@@ -1,0 +1,34 @@
+"""scann_tpu: a TPU-native vector similarity search framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of ScaNN
+(github.com/google-research/google-research/tree/master/scann): k-means-tree
+partitioning with SOAR spilled assignment and AVQ, asymmetric-hashing (4-bit
+product quantization) scoring with anisotropic (score-aware) code assignment,
+and exact float32/bfloat16/int8 rescoring — re-designed for the MXU, VMEM and
+ICI mesh rather than translated from the reference's AVX kernels.
+
+Quick start (mirrors the reference scann_ops_pybind API)::
+
+    import scann_tpu
+    searcher = (scann_tpu.builder(db, 10, "dot_product")
+                .tree(num_leaves=2000, num_leaves_to_search=100)
+                .score_ah(2, anisotropic_quantization_threshold=0.2)
+                .reorder(100)
+                .build())
+    neighbors, distances = searcher.search_batched(queries)
+"""
+
+from scann_tpu.builder import ScannBuilder, ReorderType, builder
+from scann_tpu.config import (ScannConfig, PartitioningConfig,
+                              AsymmetricHashConfig, BruteForceConfig,
+                              ReorderConfig, SoarConfig, ProjectionConfig)
+from scann_tpu.factory import create_searcher
+
+__version__ = "0.1.0"
+
+
+def load_searcher(artifacts_dir):
+    """Load a serialized searcher (reference: scann_ops_pybind.load_searcher,
+    scann_ops_pybind.py:251-273)."""
+    from scann_tpu.utils import serialization
+    return serialization.load_searcher(artifacts_dir)

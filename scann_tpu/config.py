@@ -1,0 +1,194 @@
+"""Typed configuration tree for scann_tpu searchers.
+
+This is the TPU-native equivalent of the reference's ``ScannConfig`` proto2
+textproto (reference: scann/proto/scann.proto:33-116 and the sub-protos under
+scann/proto/). Instead of protobuf we use frozen dataclasses with JSON
+round-tripping; field names mirror the reference proto/builder parameter names
+(num_leaves -> partitioning.num_children, dimensions_per_block,
+anisotropic_quantization_threshold, soar lambda / overretrieve_factor,
+reordering approx_num_neighbors, ...) so users of the reference find the same
+knobs here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Any, Optional
+
+DOT_PRODUCT = "dot_product"
+SQUARED_L2 = "squared_l2"
+_ALLOWED_MEASURES = (DOT_PRODUCT, SQUARED_L2)
+
+FLOAT32 = "float32"
+INT8 = "int8"
+BFLOAT16 = "bfloat16"
+_ALLOWED_QUANTIZE = (FLOAT32, INT8, BFLOAT16)
+
+
+@dataclasses.dataclass(frozen=True)
+class SoarConfig:
+    """SOAR two-center spilled assignment (reference:
+    scann/proto/partitioning.proto:192-218, DatabaseSpillingConfig with
+    spilling_type TWO_CENTER_ORTHOGONALITY_AMPLIFIED)."""
+
+    lambda_: float = 1.5
+    overretrieve_factor: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PartitioningConfig:
+    """K-means tree partitioning (reference: scann/proto/partitioning.proto,
+    assembled by ScannBuilder.tree, scann_builder.py:163-239)."""
+
+    num_leaves: int = 0
+    num_leaves_to_search: int = 1
+    training_sample_size: int = 100000  # expected_sample_size
+    min_partition_size: int = 50  # min_cluster_size
+    training_iterations: int = 12  # max_clustering_iterations
+    spherical: bool = False  # partitioning_type SPHERICAL vs GENERIC
+    quantize_centroids: bool = False  # query_tokenization_type FIXED_POINT_INT8
+    random_init: bool = True  # RANDOM_INITIALIZATION vs KMEANS_PLUS_PLUS
+    # Query tokenization distance: the reference overrides it with the top
+    # level distance measure (scann_builder.py:230).  Resolved at build time.
+    avq: Optional[float] = None  # AVQ eta; dot product only
+    soar: Optional[SoarConfig] = None
+    incremental_threshold: Optional[float] = None
+
+    def __post_init__(self):
+        if self.num_leaves <= 0:
+            raise ValueError("num_leaves must be positive")
+        if not (0 < self.num_leaves_to_search <= self.num_leaves):
+            raise ValueError(
+                "num_leaves_to_search must be in (0, num_leaves]")
+
+
+@dataclasses.dataclass(frozen=True)
+class AsymmetricHashConfig:
+    """Product-quantization / asymmetric hashing scoring (reference:
+    scann/proto/hash.proto AsymmetricHasherConfig, assembled by
+    ScannBuilder.score_ah, scann_builder.py:241-320)."""
+
+    dimensions_per_block: int = 2
+    anisotropic_quantization_threshold: float = math.nan  # noise_shaping_threshold
+    training_sample_size: int = 100000  # expected_sample_size
+    hash_type: str = "lut16"  # lut16 (16 centers/block) | lut256
+    training_iterations: int = 10  # max_clustering_iterations
+    # None => resolved at build: residual quantization iff partitioned and
+    # dot-product distance (scann_builder.py:428-432).
+    residual_quantization: Optional[bool] = None
+    # Fixed-point LUT conversion (reference: ConvertLookupToFixedPoint,
+    # hashes/internal/asymmetric_hashing_impl.cc:604-646): quantile 1.0 means
+    # scale by max |lut| entry.
+    lut_multiplier_quantile: float = 1.0
+    # Score with int8-quantized LUTs (reference default lookup INT8_LUT16);
+    # "float32"/"bfloat16" keep raw LUTs (reference FLOAT lookup).
+    lookup_type: str = INT8
+
+    @property
+    def clusters_per_block(self) -> int:
+        if self.hash_type == "lut16":
+            return 16
+        if self.hash_type == "lut256":
+            return 256
+        raise ValueError(f"hash_type must be lut16 or lut256: {self.hash_type}")
+
+
+@dataclasses.dataclass(frozen=True)
+class BruteForceConfig:
+    """Exact scoring (reference: scann/proto/brute_force.proto, assembled by
+    ScannBuilder.score_brute_force, scann_builder.py:322-335)."""
+
+    quantize: str = FLOAT32  # float32 | int8 | bfloat16
+
+
+@dataclasses.dataclass(frozen=True)
+class ReorderConfig:
+    """Exact reordering of top AH candidates (reference:
+    scann/proto/exact_reordering.proto, ScannBuilder.reorder,
+    scann_builder.py:337-359)."""
+
+    reordering_num_neighbors: int = 100  # approx_num_neighbors
+    quantize: str = FLOAT32  # float32 | int8 | bfloat16
+    anisotropic_quantization_threshold: float = math.nan
+
+
+@dataclasses.dataclass(frozen=True)
+class ProjectionConfig:
+    """Input projection (reference: scann/proto/projection.proto; PCA and
+    TRUNCATE variants from ScannBuilder.pca/truncate,
+    scann_builder.py:90-131)."""
+
+    projection_type: str = "truncate"  # pca | truncate
+    reduction_dim: Optional[int] = None
+    pca_significance_threshold: Optional[float] = 0.8
+    pca_truncation_threshold: Optional[float] = 0.6
+
+
+@dataclasses.dataclass(frozen=True)
+class AutopilotConfig:
+    """Autopilot config rewriting (reference: scann/proto/auto_tuning.proto,
+    utils/single_machine_autopilot.cc:35-200)."""
+
+    incremental_mode: str = "none"  # none | online | online_incremental
+    reordering_dtype: str = FLOAT32
+
+
+@dataclasses.dataclass(frozen=True)
+class ScannConfig:
+    """Top-level config, equivalent of the reference's ScannConfig textproto
+    (scann/proto/scann.proto:33)."""
+
+    num_neighbors: int = 10
+    distance_measure: str = DOT_PRODUCT
+    partitioning: Optional[PartitioningConfig] = None
+    asymmetric_hash: Optional[AsymmetricHashConfig] = None
+    brute_force: Optional[BruteForceConfig] = None
+    reordering: Optional[ReorderConfig] = None
+    projection: Optional[ProjectionConfig] = None
+    autopilot: Optional[AutopilotConfig] = None
+    seed: int = 42
+
+    def __post_init__(self):
+        if self.distance_measure not in _ALLOWED_MEASURES:
+            raise ValueError(
+                f"distance_measure must be one of {_ALLOWED_MEASURES}, got "
+                f"{self.distance_measure!r}")
+        if self.autopilot is None:
+            if (self.asymmetric_hash is None) == (self.brute_force is None):
+                raise ValueError(
+                    "Exactly 1 of score_ah or score_brute_force must be set")
+
+    # ------------------------------------------------------------------ JSON
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "ScannConfig":
+        raw = json.loads(text)
+        return _config_from_dict(raw)
+
+
+def _build(cls, raw: Optional[dict]) -> Any:
+    if raw is None:
+        return None
+    return cls(**raw)
+
+
+def _config_from_dict(raw: dict) -> ScannConfig:
+    part = raw.get("partitioning")
+    if part is not None:
+        soar = _build(SoarConfig, part.pop("soar", None))
+        part = PartitioningConfig(**part, soar=soar)
+    return ScannConfig(
+        num_neighbors=raw["num_neighbors"],
+        distance_measure=raw["distance_measure"],
+        partitioning=part,
+        asymmetric_hash=_build(AsymmetricHashConfig, raw.get("asymmetric_hash")),
+        brute_force=_build(BruteForceConfig, raw.get("brute_force")),
+        reordering=_build(ReorderConfig, raw.get("reordering")),
+        projection=_build(ProjectionConfig, raw.get("projection")),
+        autopilot=_build(AutopilotConfig, raw.get("autopilot")),
+        seed=raw.get("seed", 42),
+    )

@@ -1,0 +1,47 @@
+"""Searcher factory: config -> composed searcher.
+
+TPU-native equivalent of the reference's SingleMachineFactoryScann
+(scann/base/single_machine_factory_scann.cc:254-286) and its leaf dispatch
+(SingleMachineFactoryLeafSearcher :207-248, TreeXHybridFactory
+base/internal/tree_x_hybrid_factory.cc:732-750): exactly one of
+{brute_force, hash, partitioning+X} is composed, with optional projection and
+reordering attached around it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from scann_tpu import config as cfg
+
+
+def create_searcher(database, scann_config: cfg.ScannConfig, docids=None,
+                    artifacts=None):
+    """Build (or, given pre-trained artifacts, restore) a searcher."""
+    database = np.asarray(database, dtype=np.float32)
+    if database.ndim != 2:
+        raise ValueError(f"database must be 2d, got shape {database.shape}")
+    if scann_config.autopilot is not None:
+        from scann_tpu.utils import autopilot as autopilot_mod
+        scann_config = autopilot_mod.autopilot_rewrite(
+            scann_config, database)
+
+    if scann_config.partitioning is not None:
+        if scann_config.asymmetric_hash is not None:
+            from scann_tpu.models import tree_ah
+            return tree_ah.TreeAHSearcher(database, scann_config,
+                                          docids=docids, artifacts=artifacts)
+        from scann_tpu.models import tree_x
+        return tree_x.TreeXSearcher(database, scann_config, docids=docids,
+                                    artifacts=artifacts)
+    if scann_config.asymmetric_hash is not None:
+        # Pure AH (no partitioning): modelled as tree-AH with a single leaf
+        # (the reference routes this through asymmetric_hashing2::Searcher).
+        from scann_tpu.models import tree_ah
+        return tree_ah.TreeAHSearcher(database, scann_config, docids=docids,
+                                      artifacts=artifacts)
+    from scann_tpu.models import brute_force
+    return brute_force.BruteForceSearcher(database, scann_config,
+                                          docids=docids)

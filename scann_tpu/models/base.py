@@ -1,0 +1,219 @@
+"""Searcher base: the FindNeighbors pipeline.
+
+TPU-native equivalent of the reference's SingleMachineSearcherBase
+(scann/base/single_machine_base.h:69-677): the pipeline is
+``score-and-select -> reorder -> sort-and-drop``
+(single_machine_base.cc:399-424, ReorderResults :850, SortAndDropResults
+:872).  Where the reference dispatches per query over a thread pool, here the
+whole batch is one jitted XLA program; per-(k, leaves) overrides become static
+arguments of the compiled program, cached per distinct value.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scann_tpu import config as cfg
+from scann_tpu.ops import distance as dist_ops
+from scann_tpu.ops import quantize as quant_ops
+from scann_tpu.ops import topk as topk_ops
+
+
+def _next_bucket(n: int) -> int:
+    """Pad query batches to power-of-two buckets to bound recompilation."""
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+class ReorderHelper:
+    """Exact/int8/bf16 reordering of candidate lists.
+
+    Reference: ExactReorderingHelper / FixedPointFloatDenseDotProduct- /
+    Bfloat16ReorderingHelper (utils/reordering_helper.h:48-157) selected by
+    base/reordering_helper_factory.cc.  Owns a compressed copy of the dataset
+    and rescores gathered candidate rows on the MXU.
+    """
+
+    def __init__(self, database: np.ndarray, measure: str,
+                 reorder_cfg: cfg.ReorderConfig):
+        self.measure = measure
+        self.config = reorder_cfg
+        if reorder_cfg.quantize == cfg.INT8:
+            sq = quant_ops.scalar_quantize(jnp.asarray(database))
+            self._db = sq.data
+            self._inv_mult = sq.inverse_multipliers
+            self._sq_norms = sq.sq_norms
+        elif reorder_cfg.quantize == cfg.BFLOAT16:
+            self._db = jnp.asarray(database, dtype=jnp.bfloat16)
+            self._inv_mult = None
+            self._sq_norms = jnp.sum(
+                jnp.asarray(database, jnp.float32) ** 2, axis=-1)
+        else:
+            self._db = jnp.asarray(database, dtype=jnp.float32)
+            self._inv_mult = None
+            self._sq_norms = None
+
+    def rescore(self, queries, candidate_idx):
+        """(q, d) x (q, k_pre) -> (q, k_pre) exact similarities."""
+        q_sq = None
+        if self._inv_mult is not None:
+            db = self._db
+            # Fold the inverse multipliers into the query so the cross term
+            # is q . dequant(x); the query norm must come from the original
+            # query (one_to_many_asymmetric.h int8 kernels do the same).
+            q = queries * self._inv_mult[None, :]
+            sq_norms = self._sq_norms
+            q_sq = jnp.sum(queries * queries, axis=-1)
+        elif self._db.dtype == jnp.bfloat16:
+            db = self._db
+            q = queries.astype(jnp.bfloat16)
+            sq_norms = self._sq_norms
+            q_sq = jnp.sum(queries * queries, axis=-1)
+        else:
+            db = self._db
+            q = queries
+            sq_norms = None
+        return dist_ops.one_to_many_gathered(
+            q, db, candidate_idx, self.measure, db_sq_norms=sq_norms,
+            query_sq_norms=q_sq, precision=jax.lax.Precision.HIGHEST)
+
+
+class Searcher:
+    """Base searcher; subclasses implement _select_candidates()."""
+
+    def __init__(self, database: np.ndarray, scann_config: cfg.ScannConfig,
+                 docids=None):
+        self.config = scann_config
+        self.n_points, self.dims = database.shape
+        self.docids = list(docids) if docids is not None else None
+        if self.docids is not None and len(self.docids) != self.n_points:
+            raise ValueError("docids must have one entry per database row")
+        self.reorder_helper: Optional[ReorderHelper] = None
+        if scann_config.reordering is not None:
+            self.reorder_helper = ReorderHelper(
+                database, scann_config.distance_measure,
+                scann_config.reordering)
+        self._compiled = {}
+
+    # -------------------------------------------------------- overridables
+    def _select_candidates(self, queries, k_pre: int, leaves: int):
+        """Return (similarities, indices), each (q, >=k_pre), best-first not
+        required; indices may contain INVALID_INDEX."""
+        raise NotImplementedError
+
+    def _default_leaves(self) -> int:
+        return 0
+
+    # ------------------------------------------------------------ pipeline
+    def _search_impl(self, queries, k: int, k_pre: int, leaves: int):
+        sim, idx = self._select_candidates(queries, k_pre, leaves)
+        if self.reorder_helper is not None:
+            # Keep the best k_pre, rescore exactly, then take final k
+            # (reference: ReorderResults, single_machine_base.cc:850).
+            if sim.shape[-1] > k_pre:
+                sim, pos = jax.lax.top_k(sim, k_pre)
+                idx = jnp.take_along_axis(idx, pos, axis=-1)
+            sim = self.reorder_helper.rescore(queries, idx)
+        kk = min(k, sim.shape[-1])
+        vals, pos = jax.lax.top_k(sim, kk)
+        idx = jnp.take_along_axis(idx, pos, axis=-1)
+        idx = jnp.where(jnp.isneginf(vals), topk_ops.INVALID_INDEX, idx)
+        dist = dist_ops.similarity_to_user_distance(
+            vals, self.config.distance_measure)
+        dist = jnp.where(idx == topk_ops.INVALID_INDEX, jnp.nan, dist)
+        if kk < k:
+            pad = k - kk
+            idx = jnp.pad(idx, ((0, 0), (0, pad)),
+                          constant_values=topk_ops.INVALID_INDEX)
+            dist = jnp.pad(dist, ((0, 0), (0, pad)),
+                           constant_values=np.nan)
+        return idx, dist
+
+    def _get_compiled(self, batch: int, k: int, k_pre: int, leaves: int):
+        key = (batch, k, k_pre, leaves)
+        fn = self._compiled.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                self._search_impl, k=k, k_pre=k_pre, leaves=leaves))
+            self._compiled[key] = fn
+        return fn
+
+    def _resolve_params(self, final_num_neighbors, pre_reorder_num_neighbors,
+                        leaves_to_search):
+        k = self.config.num_neighbors
+        if final_num_neighbors is not None and final_num_neighbors > 0:
+            k = final_num_neighbors
+        if self.reorder_helper is not None:
+            k_pre = self.reorder_helper.config.reordering_num_neighbors
+        else:
+            k_pre = k
+        if (pre_reorder_num_neighbors is not None
+                and pre_reorder_num_neighbors > 0):
+            k_pre = pre_reorder_num_neighbors
+        k_pre = max(k_pre, k)
+        leaves = self._default_leaves()
+        if leaves_to_search is not None and leaves_to_search > 0:
+            leaves = leaves_to_search
+        return k, k_pre, leaves
+
+    # ------------------------------------------------------------- public
+    def search_batched(self, queries, final_num_neighbors=None,
+                       pre_reorder_num_neighbors=None, leaves_to_search=None):
+        """Batched search; mirrors ScannSearcher.search_batched
+        (scann_ops_pybind.py:67-90).  Returns (indices, distances) numpy
+        arrays of shape (num_queries, k)."""
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim != 2:
+            raise ValueError(f"queries must be 2d, got shape {queries.shape}")
+        if queries.shape[1] != self.query_dims:
+            raise ValueError(
+                f"query dimensionality {queries.shape[1]} does not match "
+                f"database dimensionality {self.query_dims}")
+        k, k_pre, leaves = self._resolve_params(
+            final_num_neighbors, pre_reorder_num_neighbors, leaves_to_search)
+        nq = queries.shape[0]
+        bucket = _next_bucket(nq)
+        padded = np.zeros((bucket, queries.shape[1]), np.float32)
+        padded[:nq] = queries
+        fn = self._get_compiled(bucket, k, k_pre, leaves)
+        idx, dist = fn(jnp.asarray(padded))
+        idx = np.asarray(idx[:nq])
+        dist = np.asarray(dist[:nq])
+        if self.docids is not None:
+            return ([[self.docids[j] if j >= 0 else None for j in row]
+                     for row in idx], dist)
+        return idx, dist
+
+    # The reference's parallel variant fans the batch over a thread pool
+    # (scann.cc:478-501); on TPU a single program already uses the chip, so
+    # this is an alias kept for API parity.
+    def search_batched_parallel(self, queries, final_num_neighbors=None,
+                                pre_reorder_num_neighbors=None,
+                                leaves_to_search=None, batch_size=256):
+        del batch_size
+        return self.search_batched(queries, final_num_neighbors,
+                                   pre_reorder_num_neighbors,
+                                   leaves_to_search)
+
+    def search(self, q, final_num_neighbors=None,
+               pre_reorder_num_neighbors=None, leaves_to_search=None):
+        """Single-query search (scann_ops_pybind.py:51-65)."""
+        q = np.asarray(q, dtype=np.float32)
+        if q.ndim != 1:
+            raise ValueError(f"query must be 1d, got shape {q.shape}")
+        idx, dist = self.search_batched(q[None, :], final_num_neighbors,
+                                        pre_reorder_num_neighbors,
+                                        leaves_to_search)
+        return idx[0], dist[0]
+
+    @property
+    def query_dims(self) -> int:
+        """Dimensionality expected of queries (pre-projection)."""
+        return self.dims

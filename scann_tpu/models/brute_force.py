@@ -1,0 +1,130 @@
+"""Exact brute-force searchers (float32 / int8 / bfloat16).
+
+TPU-native equivalents of the reference's scann/brute_force/ searchers:
+BruteForceSearcher (brute_force.h:41), ScalarQuantizedBruteForceSearcher
+(scalar_quantized_brute_force.h) and Bfloat16BruteForceSearcher
+(bfloat16_brute_force.h).  The batched many-to-many SIMD path
+(brute_force.cc:369-445 -> DenseDistanceManyToManyTopK) becomes a single
+query x database matmul on the MXU with batched top-k; the database is chunked
+with lax.map when the (q, n) score matrix would not fit in HBM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scann_tpu import config as cfg
+from scann_tpu.models import base
+from scann_tpu.ops import distance as dist_ops
+from scann_tpu.ops import quantize as quant_ops
+from scann_tpu.ops import topk as topk_ops
+
+# Chunk the database axis when scoring would materialize more than ~256M
+# scores; each chunk's top-k is merged (the reference streams through
+# ManyToManyTopK callbacks instead, many_to_many_common.h).
+_MAX_SCORES = 1 << 28
+
+
+class BruteForceSearcher(base.Searcher):
+    """Exact search over a float32/bf16/int8 copy of the dataset."""
+
+    def __init__(self, database: np.ndarray, scann_config: cfg.ScannConfig,
+                 docids=None):
+        super().__init__(database, scann_config, docids)
+        bf = scann_config.brute_force or cfg.BruteForceConfig()
+        self.quantize_mode = bf.quantize
+        self._inv_mult = None
+        self._sq_norms = None
+        if bf.quantize == cfg.INT8:
+            sq = quant_ops.scalar_quantize(jnp.asarray(database))
+            self._db = sq.data
+            self._inv_mult = sq.inverse_multipliers
+            self._sq_norms = sq.sq_norms
+        elif bf.quantize == cfg.BFLOAT16:
+            self._db = jnp.asarray(database, jnp.bfloat16)
+            self._sq_norms = jnp.sum(
+                jnp.asarray(database, jnp.float32) ** 2, axis=-1)
+        else:
+            self._db = jnp.asarray(database, jnp.float32)
+
+    def _scores(self, queries):
+        measure = self.config.distance_measure
+        if self.quantize_mode == cfg.INT8:
+            # Reference folds the inverse multipliers into the query and runs
+            # the int8 x float asymmetric kernel
+            # (scalar_quantized_brute_force.cc:230-322); here the int8 rows
+            # dequantize into a bf16 matmul operand fused by XLA.  The true
+            # query norm is supplied separately since the scaled query's norm
+            # is meaningless.
+            q = queries * self._inv_mult[None, :]
+            return dist_ops.similarity(
+                q, self._db, measure, db_sq_norms=self._sq_norms,
+                query_sq_norms=jnp.sum(queries * queries, axis=-1),
+                precision=jax.lax.Precision.DEFAULT)
+        if self.quantize_mode == cfg.BFLOAT16:
+            return dist_ops.similarity(
+                queries.astype(jnp.bfloat16), self._db, measure,
+                db_sq_norms=self._sq_norms,
+                query_sq_norms=jnp.sum(queries * queries, axis=-1),
+                precision=jax.lax.Precision.DEFAULT)
+        return dist_ops.similarity(queries, self._db, measure,
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    def _select_candidates(self, queries, k_pre, leaves):
+        del leaves
+        nq = queries.shape[0]
+        n = self.n_points
+        if nq * n <= _MAX_SCORES:
+            sim = self._scores(queries)
+            return topk_ops.top_k_with_invalid(sim, k_pre)
+        # Chunked scan over the database axis with running top-k merge.
+        chunk = max(1, _MAX_SCORES // nq)
+        chunk = min(chunk, n)
+        num_chunks = -(-n // chunk)
+        pad_n = num_chunks * chunk
+
+        db = self._db
+        if pad_n != n:
+            db = jnp.pad(db, ((0, pad_n - n), (0, 0)))
+        sq_norms = self._sq_norms
+        if sq_norms is not None and pad_n != n:
+            sq_norms = jnp.pad(sq_norms, (0, pad_n - n))
+
+        measure = self.config.distance_measure
+        inv_mult = self._inv_mult
+        q = queries
+        q_sq = None
+        if inv_mult is not None:
+            q = queries * inv_mult[None, :]
+            q_sq = jnp.sum(queries * queries, axis=-1)
+        elif db.dtype == jnp.bfloat16:
+            q = queries.astype(jnp.bfloat16)
+            q_sq = jnp.sum(queries * queries, axis=-1)
+
+        def body(carry, ci):
+            vals, idx = carry
+            rows = jax.lax.dynamic_slice_in_dim(db, ci * chunk, chunk)
+            norms = (jax.lax.dynamic_slice_in_dim(sq_norms, ci * chunk, chunk)
+                     if sq_norms is not None else None)
+            prec = (jax.lax.Precision.HIGHEST
+                    if self.quantize_mode == cfg.FLOAT32
+                    else jax.lax.Precision.DEFAULT)
+            sim = dist_ops.similarity(q, rows, measure, db_sq_norms=norms,
+                                      query_sq_norms=q_sq, precision=prec)
+            base_idx = ci * chunk
+            local = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+            gidx = base_idx + local
+            valid = gidx < n
+            cvals, cpos = topk_ops.top_k_with_invalid(
+                sim, min(k_pre, chunk), valid=valid)
+            cidx = jnp.where(cpos >= 0, base_idx + cpos,
+                             topk_ops.INVALID_INDEX)
+            return topk_ops.merge_top_k(vals, idx, cvals, cidx, k_pre), None
+
+        init_vals = jnp.full((nq, k_pre), -jnp.inf, jnp.float32)
+        init_idx = jnp.full((nq, k_pre), topk_ops.INVALID_INDEX, jnp.int32)
+        (vals, idx), _ = jax.lax.scan(
+            body, (init_vals, init_idx), jnp.arange(num_chunks))
+        return vals, idx
