@@ -1,0 +1,243 @@
+"""K-means tree partitioner.
+
+TPU-native equivalent of the reference's KMeansTree + KMeansTreePartitioner
+(scann/trees/kmeans_tree/kmeans_tree.h:82-193,
+scann/partitioning/kmeans_tree_partitioner.h:51-199).  The tree is flat (one
+level), as in every reference config exercised by its tests; hierarchical
+tokenization for very large leaf counts is layered separately (see
+parallel/).
+
+Responsibilities:
+  * train centers on a sampled subset (partitioner_factory_base.cc:145-164)
+  * query tokenization: top-L centers under the *search* distance measure
+    (query_tokenization_distance_override, scann_builder.py:230), optionally
+    against int8-quantized centers (FIXED_POINT_INT8 mode,
+    kmeans_tree_partitioner.cc:200-284)
+  * database tokenization under squared L2 (partitioning_distance), plus the
+    SOAR two-center orthogonality-amplified secondary assignment
+    (kmeans_tree_partitioner.cc:926, orthogonality_amplification_utils.h)
+  * AVQ (anisotropic vector quantization) centroid refit
+    (partitioning/anisotropic.cc:32-87, KMeansTree::ApplyAvq)
+  * residualization (ResidualizeToFloat, kmeans_tree_partitioner.cc:386-392)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scann_tpu import config as cfg
+from scann_tpu.ops import distance as dist_ops
+from scann_tpu.ops import kmeans as kmeans_ops
+from scann_tpu.ops import quantize as quant_ops
+
+# Chunk size (database rows) for build-time tokenization sweeps; bounds the
+# (chunk, num_leaves) score matrix.
+_TOKENIZE_CHUNK = 65536
+
+
+class KMeansTreePartitioner(NamedTuple):
+    """Trained flat k-means tree. All arrays live on device."""
+    centers: jax.Array  # (num_leaves, d) f32
+    centers_int8: Optional[jax.Array]  # (num_leaves, d) int8 or None
+    centers_inv_mult: Optional[jax.Array]  # (d,) f32 or None
+    query_distance: str  # distance used for query tokenization
+
+    @property
+    def num_leaves(self) -> int:
+        return self.centers.shape[0]
+
+    # ----------------------------------------------------------- training
+    @staticmethod
+    def train(database: np.ndarray, part: cfg.PartitioningConfig,
+              measure: str, seed: int) -> "KMeansTreePartitioner":
+        n = database.shape[0]
+        key = jax.random.PRNGKey(seed)
+        k_sample, k_train = jax.random.split(key)
+        sample_idx = kmeans_ops.sample_rows(
+            k_sample, n, part.training_sample_size)
+        x = jnp.asarray(database, jnp.float32)
+        sample = jnp.take(x, sample_idx, axis=0)
+        result = jax.jit(functools.partial(
+            kmeans_ops.kmeans,
+            k=part.num_leaves,
+            iterations=part.training_iterations,
+            init="random" if part.random_init else "kmeans++",
+            spherical=part.spherical,
+            min_cluster_size=part.min_partition_size,
+        ))(k_train, sample)
+        centers = result.centers
+        centers_int8 = None
+        inv_mult = None
+        if part.quantize_centroids:
+            sq = quant_ops.scalar_quantize(centers)
+            centers_int8, inv_mult = sq.data, sq.inverse_multipliers
+        return KMeansTreePartitioner(
+            centers=centers, centers_int8=centers_int8,
+            centers_inv_mult=inv_mult, query_distance=measure)
+
+    # ------------------------------------------------------ tokenization
+    def query_center_scores(self, queries):
+        """(q, num_leaves) similarity of queries to centers under the query
+        tokenization distance (higher = search this leaf earlier)."""
+        if self.centers_int8 is not None:
+            q = queries * self.centers_inv_mult[None, :]
+            return dist_ops.similarity(
+                q, self.centers_int8, self.query_distance,
+                db_sq_norms=jnp.sum(
+                    (self.centers_int8.astype(jnp.float32)
+                     * self.centers_inv_mult[None, :]) ** 2, axis=-1),
+                query_sq_norms=jnp.sum(queries * queries, axis=-1),
+                precision=jax.lax.Precision.DEFAULT)
+        return dist_ops.similarity(queries, self.centers,
+                                   self.query_distance,
+                                   precision=jax.lax.Precision.DEFAULT)
+
+    def tokenize_queries(self, queries, num_leaves_to_search: int):
+        """Top-L leaf ids per query (FIXED_NUMBER_OF_CENTERS spilling,
+        kmeans_tree_partitioner.cc:643).  Returns (leaf_ids, center_sims)."""
+        scores = self.query_center_scores(queries)
+        sims, ids = jax.lax.top_k(scores, num_leaves_to_search)
+        return ids.astype(jnp.int32), sims
+
+    def tokenize_database(self, database) -> jax.Array:
+        """Primary (unspilled) assignment under squared L2, chunked over the
+        dataset (TokenizeDatabase, kmeans_tree_partitioner.cc:485-567)."""
+        centers = self.centers
+
+        @jax.jit
+        def run(x):
+            n = x.shape[0]
+            pad = (-n) % _TOKENIZE_CHUNK
+            xp = jnp.pad(x, ((0, pad), (0, 0)))
+            chunks = xp.reshape(-1, _TOKENIZE_CHUNK, x.shape[1])
+            a = jax.lax.map(lambda c: kmeans_ops.assign(c, centers)[0],
+                            chunks)
+            return a.reshape(-1)[:n]
+
+        return run(jnp.asarray(database, jnp.float32))
+
+    def tokenize_database_soar(self, database, soar: cfg.SoarConfig):
+        """Two-center SOAR assignment: secondary center minimizes
+        ||x-c||^2 + lambda * ((x-c) . r_hat)^2 with r_hat the normalized
+        primary residual (DenseOrthogonalityAmplificationDistance,
+        orthogonality_amplification_utils.h:48-68;
+        OrthogonalityAmplifiedTokenForDatapointBatched,
+        kmeans_tree_partitioner.cc:926).
+
+        Returns (n, 2) int32; column 0 = primary, column 1 = secondary.
+        """
+        centers = self.centers
+        lam = float(soar.lambda_)
+
+        @jax.jit
+        def run(x):
+            n = x.shape[0]
+            pad = (-n) % _TOKENIZE_CHUNK
+            xp = jnp.pad(x, ((0, pad), (0, 0)))
+            chunks = xp.reshape(-1, _TOKENIZE_CHUNK, x.shape[1])
+
+            def per_chunk(c):
+                prim, _ = kmeans_ops.assign(c, centers)
+                cprim = jnp.take(centers, prim, axis=0)
+                r = c - cprim
+                rnorm = jnp.linalg.norm(r, axis=-1, keepdims=True)
+                r_hat = jnp.where(rnorm < 1e-7, 0.0, r / jnp.maximum(
+                    rnorm, 1e-20))
+                # term1: ||x - c_j||^2 for all j
+                term1 = dist_ops.squared_l2(c, centers)
+                # term2: (x - c_j) . r_hat = x.r_hat - c_j.r_hat
+                x_dot_r = jnp.sum(c * r_hat, axis=-1, keepdims=True)
+                c_dot_r = jax.lax.dot_general(
+                    r_hat, centers,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                term2 = x_dot_r - c_dot_r
+                soar_dist = term1 + lam * term2 * term2
+                # Exclude the primary.
+                soar_dist = soar_dist.at[
+                    jnp.arange(c.shape[0]), prim].set(jnp.inf)
+                sec = jnp.argmin(soar_dist, axis=-1).astype(jnp.int32)
+                return jnp.stack([prim, sec], axis=-1)
+
+            out = jax.lax.map(per_chunk, chunks)
+            return out.reshape(-1, 2)[:n]
+
+        return run(jnp.asarray(database, jnp.float32))
+
+    def residualize(self, database, tokens):
+        """x - c_token (ComputeResiduals, tree_ah_hybrid_residual.cc:185-222;
+        ResidualizeToFloat, kmeans_tree_partitioner.cc:386-392)."""
+        x = jnp.asarray(database, jnp.float32)
+        return x - jnp.take(self.centers, tokens, axis=0)
+
+    # -------------------------------------------------------------- AVQ
+    def apply_avq(self, database, tokens, eta: float,
+                  max_leaf_size: int) -> "KMeansTreePartitioner":
+        """Refit centers with anisotropic (eta-weighted) least squares.
+
+        Per partition with member matrix X: solves
+            c = eta * (W I + (eta-1) * sum ||x||^(eta-3) x x^T)^(-1)
+                    * sum ||x||^(eta-1) x
+        (AvqAccumulator, partitioning/anisotropic.cc:32-87), batched over
+        partitions with a padded (num_leaves, max_leaf_size, d) gather and
+        one vmapped linear solve.
+        """
+        x = jnp.asarray(database, jnp.float32)
+        n, d = x.shape
+        L = self.num_leaves
+        slot_idx, valid = _pad_partition_index(np.asarray(tokens), L,
+                                               max_leaf_size)
+        slot_idx = jnp.asarray(slot_idx)
+        valid = jnp.asarray(valid)
+
+        @jax.jit
+        def refit():
+            def per_leaf(args):
+                idx_row, valid_row = args
+                xm = jnp.take(x, idx_row, axis=0) * valid_row[:, None]
+                norms = jnp.linalg.norm(xm, axis=-1)
+                nz = norms > 1e-20
+                w = jnp.where(nz, norms ** (eta - 1.0), 0.0)
+                sw = jnp.where(nz, norms ** (0.5 * (eta - 3.0)), 0.0)
+                xw = xm * sw[:, None]
+                xtx = jax.lax.dot_general(
+                    xw, xw, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                wsum = jnp.sum(xm * w[:, None], axis=0)
+                tw = jnp.sum(w)
+                a_mat = tw * jnp.eye(d) + (eta - 1.0) * xtx
+                c = eta * jnp.linalg.solve(a_mat, wsum)
+                return jnp.where(tw > 0, c, jnp.zeros((d,)))
+
+            return jax.lax.map(per_leaf, (slot_idx, valid.astype(jnp.float32)))
+
+        new_centers = refit()
+        # Keep old centers for empty partitions.
+        counts = jnp.bincount(jnp.asarray(tokens).reshape(-1), length=L)
+        new_centers = jnp.where((counts > 0)[:, None], new_centers,
+                                self.centers)
+        return self._replace(centers=new_centers)
+
+
+def _pad_partition_index(tokens: np.ndarray, num_leaves: int,
+                         max_leaf_size: int):
+    """Host-side build of a dense (num_leaves, max_leaf_size) member-index
+    table with validity mask (the padded analogue of the reference's
+    datapoints_by_token lists, tree_x_hybrid_smmd.h)."""
+    tokens = tokens.reshape(-1)
+    order = np.argsort(tokens, kind="stable")
+    sorted_tokens = tokens[order]
+    starts = np.searchsorted(sorted_tokens, np.arange(num_leaves))
+    ends = np.searchsorted(sorted_tokens, np.arange(num_leaves), side="right")
+    idx = np.zeros((num_leaves, max_leaf_size), np.int32)
+    valid = np.zeros((num_leaves, max_leaf_size), bool)
+    for l in range(num_leaves):
+        members = order[starts[l]:ends[l]][:max_leaf_size]
+        idx[l, :len(members)] = members
+        valid[l, :len(members)] = True
+    return idx, valid
