@@ -60,26 +60,29 @@ class ReorderHelper:
             self._inv_mult = None
             self._sq_norms = None
 
-    def rescore(self, queries, candidate_idx):
+    def state(self):
+        """Device arrays as a pytree (passed as jit arguments rather than
+        closed over, so compiled programs do not embed the dataset)."""
+        return {"db": self._db, "inv_mult": self._inv_mult,
+                "sq_norms": self._sq_norms}
+
+    def rescore(self, queries, candidate_idx, state):
         """(q, d) x (q, k_pre) -> (q, k_pre) exact similarities."""
+        db = state["db"]
+        inv_mult = state["inv_mult"]
+        sq_norms = state["sq_norms"]
         q_sq = None
-        if self._inv_mult is not None:
-            db = self._db
+        if inv_mult is not None:
             # Fold the inverse multipliers into the query so the cross term
             # is q . dequant(x); the query norm must come from the original
             # query (one_to_many_asymmetric.h int8 kernels do the same).
-            q = queries * self._inv_mult[None, :]
-            sq_norms = self._sq_norms
+            q = queries * inv_mult[None, :]
             q_sq = jnp.sum(queries * queries, axis=-1)
-        elif self._db.dtype == jnp.bfloat16:
-            db = self._db
+        elif db.dtype == jnp.bfloat16:
             q = queries.astype(jnp.bfloat16)
-            sq_norms = self._sq_norms
             q_sq = jnp.sum(queries * queries, axis=-1)
         else:
-            db = self._db
             q = queries
-            sq_norms = None
         return dist_ops.one_to_many_gathered(
             q, db, candidate_idx, self.measure, db_sq_norms=sq_norms,
             query_sq_norms=q_sq, precision=jax.lax.Precision.HIGHEST)
@@ -103,24 +106,34 @@ class Searcher:
         self._compiled = {}
 
     # -------------------------------------------------------- overridables
-    def _select_candidates(self, queries, k_pre: int, leaves: int):
+    def _select_candidates(self, queries, state, k_pre: int, leaves: int):
         """Return (similarities, indices), each (q, >=k_pre), best-first not
         required; indices may contain INVALID_INDEX."""
         raise NotImplementedError
+
+    def _extra_state(self):
+        """Subclass device arrays, merged into the jit-argument pytree."""
+        return {}
+
+    def _state(self):
+        st = dict(self._extra_state())
+        if self.reorder_helper is not None:
+            st["reorder"] = self.reorder_helper.state()
+        return st
 
     def _default_leaves(self) -> int:
         return 0
 
     # ------------------------------------------------------------ pipeline
-    def _search_impl(self, queries, k: int, k_pre: int, leaves: int):
-        sim, idx = self._select_candidates(queries, k_pre, leaves)
+    def _search_impl(self, queries, state, k: int, k_pre: int, leaves: int):
+        sim, idx = self._select_candidates(queries, state, k_pre, leaves)
         if self.reorder_helper is not None:
             # Keep the best k_pre, rescore exactly, then take final k
             # (reference: ReorderResults, single_machine_base.cc:850).
             if sim.shape[-1] > k_pre:
                 sim, pos = jax.lax.top_k(sim, k_pre)
                 idx = jnp.take_along_axis(idx, pos, axis=-1)
-            sim = self.reorder_helper.rescore(queries, idx)
+            sim = self.reorder_helper.rescore(queries, idx, state["reorder"])
         kk = min(k, sim.shape[-1])
         vals, pos = jax.lax.top_k(sim, kk)
         idx = jnp.take_along_axis(idx, pos, axis=-1)
@@ -183,7 +196,7 @@ class Searcher:
         padded = np.zeros((bucket, queries.shape[1]), np.float32)
         padded[:nq] = queries
         fn = self._get_compiled(bucket, k, k_pre, leaves)
-        idx, dist = fn(jnp.asarray(padded))
+        idx, dist = fn(jnp.asarray(padded), self._state())
         idx = np.asarray(idx[:nq])
         dist = np.asarray(dist[:nq])
         if self.docids is not None:

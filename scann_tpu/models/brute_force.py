@@ -49,7 +49,14 @@ class BruteForceSearcher(base.Searcher):
         else:
             self._db = jnp.asarray(database, jnp.float32)
 
-    def _scores(self, queries):
+    def _extra_state(self):
+        return {"bf_db": self._db, "bf_inv_mult": self._inv_mult,
+                "bf_sq_norms": self._sq_norms}
+
+    def _scores(self, queries, state):
+        db = state["bf_db"]
+        inv_mult = state["bf_inv_mult"]
+        sq_norms = state["bf_sq_norms"]
         measure = self.config.distance_measure
         if self.quantize_mode == cfg.INT8:
             # Reference folds the inverse multipliers into the query and runs
@@ -58,26 +65,26 @@ class BruteForceSearcher(base.Searcher):
             # dequantize into a bf16 matmul operand fused by XLA.  The true
             # query norm is supplied separately since the scaled query's norm
             # is meaningless.
-            q = queries * self._inv_mult[None, :]
+            q = queries * inv_mult[None, :]
             return dist_ops.similarity(
-                q, self._db, measure, db_sq_norms=self._sq_norms,
+                q, db, measure, db_sq_norms=sq_norms,
                 query_sq_norms=jnp.sum(queries * queries, axis=-1),
                 precision=jax.lax.Precision.DEFAULT)
         if self.quantize_mode == cfg.BFLOAT16:
             return dist_ops.similarity(
-                queries.astype(jnp.bfloat16), self._db, measure,
-                db_sq_norms=self._sq_norms,
+                queries.astype(jnp.bfloat16), db, measure,
+                db_sq_norms=sq_norms,
                 query_sq_norms=jnp.sum(queries * queries, axis=-1),
                 precision=jax.lax.Precision.DEFAULT)
-        return dist_ops.similarity(queries, self._db, measure,
+        return dist_ops.similarity(queries, db, measure,
                                    precision=jax.lax.Precision.HIGHEST)
 
-    def _select_candidates(self, queries, k_pre, leaves):
+    def _select_candidates(self, queries, state, k_pre, leaves):
         del leaves
         nq = queries.shape[0]
         n = self.n_points
         if nq * n <= _MAX_SCORES:
-            sim = self._scores(queries)
+            sim = self._scores(queries, state)
             return topk_ops.top_k_with_invalid(sim, k_pre)
         # Chunked scan over the database axis with running top-k merge.
         chunk = max(1, _MAX_SCORES // nq)
@@ -85,15 +92,15 @@ class BruteForceSearcher(base.Searcher):
         num_chunks = -(-n // chunk)
         pad_n = num_chunks * chunk
 
-        db = self._db
+        db = state["bf_db"]
         if pad_n != n:
             db = jnp.pad(db, ((0, pad_n - n), (0, 0)))
-        sq_norms = self._sq_norms
+        sq_norms = state["bf_sq_norms"]
         if sq_norms is not None and pad_n != n:
             sq_norms = jnp.pad(sq_norms, (0, pad_n - n))
 
         measure = self.config.distance_measure
-        inv_mult = self._inv_mult
+        inv_mult = state["bf_inv_mult"]
         q = queries
         q_sq = None
         if inv_mult is not None:

@@ -1,0 +1,295 @@
+"""Tree-AH searcher: partition + asymmetric-hashing scoring + reorder.
+
+TPU-native equivalent of the reference's TreeAHHybridResidual
+(scann/tree_x_hybrid/tree_ah_hybrid_residual.h:47-327) and of the
+non-residual tree-AH / pure-AH paths of TreeXHybridSMMD and
+asymmetric_hashing2::Searcher.
+
+Query pipeline (vs reference FindNeighborsBatchedImpl,
+tree_ah_hybrid_residual.cc:631-846):
+  1. tokenize queries -> top-L leaves + query-to-center similarities
+     (TokensForDatapointWithSpillingBatched, kmeans_tree_partitioner.cc:643)
+  2. one LUT per query (CreateLookupTable, querying.h:202-250), int8
+  3. score *all* leaf-sorted code slots in MXU-sized chunks via one-hot
+     int8 matmuls, masking slots whose leaf the query did not select; the
+     per-(query,leaf) bias q.c_leaf is added for residual quantization.
+     Where the reference walks selected leaves per query
+     (InvertCentersToSearch + LUT16 kernels, :610-786), the TPU design
+     streams the whole code array: a dense scan keeps every matmul at full
+     MXU utilization and replaces pointer-chasing with masking.  A Pallas
+     gather kernel that skips unselected leaves is layered on top for
+     larger-than-HBM-bandwidth cases (ops/lut16_pallas.py).
+  4. running global top-k merge across chunks (the global-topn path,
+     :679-786), SOAR overretrieve + duplicate suppression
+     (DeduplicateDatabaseSpilledResults :779-783)
+  5. exact reorder + final top-k in the base pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scann_tpu import config as cfg
+from scann_tpu.models import base
+from scann_tpu.ops import ah as ah_ops
+from scann_tpu.ops import lut16 as lut16_ops
+from scann_tpu.ops import topk as topk_ops
+from scann_tpu.partitioning import kmeans_tree
+
+# Slot-chunk size for the dense scoring scan; (chunk, B*16) int8 one-hot is
+# the live operand (~4 MB at B=50).
+_SCORE_CHUNK = 65536
+# Encoding chunk (bounds the (chunk, B, J) residual-stats arrays).
+_ENCODE_CHUNK = 32768
+
+
+class TreeAHIndex(NamedTuple):
+    """Device-resident index arrays (leaf-sorted slot layout)."""
+    codes: jax.Array  # (S, B) int8; S padded to a chunk multiple
+    slot_dpid: jax.Array  # (S,) int32, -1 padding sentinel
+    slot_leaf: jax.Array  # (S,) int32, 0 for padding
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class TreeAHSearcher(base.Searcher):
+    """Partitioned (or single-leaf) asymmetric hashing searcher."""
+
+    def __init__(self, database: np.ndarray, scann_config: cfg.ScannConfig,
+                 docids=None, artifacts=None):
+        super().__init__(database, scann_config, docids)
+        self.part_cfg = scann_config.partitioning
+        self.ah_cfg = scann_config.asymmetric_hash
+        assert self.ah_cfg is not None
+        self.measure = scann_config.distance_measure
+        self.residual = bool(self.ah_cfg.residual_quantization)
+        if self.residual and self.measure != cfg.DOT_PRODUCT:
+            raise ValueError(
+                "residual quantization requires dot product distance "
+                "(reference: TreeAHHybridResidual)")
+        if artifacts is not None:
+            self._restore(artifacts)
+        else:
+            self._build(database)
+
+    # ------------------------------------------------------------- build
+    def _build(self, database: np.ndarray):
+        n, d = database.shape
+        seed = self.config.seed
+        soar = self.part_cfg.soar if self.part_cfg else None
+        if soar is not None and not self.residual:
+            raise ValueError("SOAR requires residual quantization "
+                             "(dot product + tree)")
+
+        self.partitioner: Optional[kmeans_tree.KMeansTreePartitioner] = None
+        if self.part_cfg is not None:
+            self.partitioner = kmeans_tree.KMeansTreePartitioner.train(
+                database, self.part_cfg, self.measure, seed)
+            if soar is not None:
+                tokens2 = np.asarray(
+                    self.partitioner.tokenize_database_soar(database, soar))
+                tokens = tokens2[:, 0]
+            else:
+                tokens = np.asarray(
+                    self.partitioner.tokenize_database(database))
+                tokens2 = None
+            if self.part_cfg.avq is not None:
+                # AVQ adjusts centers after tokenization; residuals are then
+                # taken against the adjusted centers
+                # (TokenizeDatabaseWithAvq, tree_x_hybrid_factory.cc:105-156)
+                max_leaf = int(np.bincount(
+                    tokens, minlength=self.part_cfg.num_leaves).max())
+                self.partitioner = self.partitioner.apply_avq(
+                    database, tokens, float(self.part_cfg.avq),
+                    max(1, max_leaf))
+        else:
+            tokens = np.zeros((n,), np.int32)
+            tokens2 = None
+
+        self.datapoint_to_token = (tokens2 if tokens2 is not None
+                                   else tokens[:, None])
+
+        # Vectors to quantize: residuals for tree-AH-residual, raw otherwise.
+        x = jnp.asarray(database, jnp.float32)
+        if self.residual and self.partitioner is not None:
+            primary_vecs = np.asarray(
+                self.partitioner.residualize(database, tokens))
+        else:
+            primary_vecs = database
+
+        # Train the codebook on a sample of the primary vectors
+        # (TrainSingleMachine, asymmetric_hashing2/training.h:36).
+        key = jax.random.PRNGKey(seed + 1)
+        k_sample, k_train = jax.random.split(key)
+        from scann_tpu.ops import kmeans as kmeans_ops
+        sample_idx = np.asarray(kmeans_ops.sample_rows(
+            k_sample, n, self.ah_cfg.training_sample_size))
+        self.model = jax.jit(
+            lambda k, s: ah_ops.train_ah_model(
+                k, s, self.ah_cfg.dimensions_per_block,
+                self.ah_cfg.clusters_per_block,
+                self.ah_cfg.training_iterations, dims=d),
+            static_argnums=())(k_train, jnp.asarray(
+                primary_vecs[sample_idx], jnp.float32))
+
+        codes_primary = self._encode_dataset(primary_vecs, database)
+        if soar is not None:
+            sec_vecs = np.asarray(self.partitioner.residualize(
+                database, tokens2[:, 1]))
+            codes_secondary = self._encode_dataset(sec_vecs, database)
+            all_codes = np.concatenate([codes_primary, codes_secondary], 0)
+            all_leaf = np.concatenate([tokens2[:, 0], tokens2[:, 1]])
+            all_dpid = np.concatenate([np.arange(n), np.arange(n)])
+        else:
+            all_codes = codes_primary
+            all_leaf = tokens
+            all_dpid = np.arange(n)
+
+        self.index = self._layout_slots(all_codes, all_leaf.astype(np.int32),
+                                        all_dpid.astype(np.int32))
+
+    def _encode_dataset(self, vectors: np.ndarray, originals: np.ndarray
+                        ) -> np.ndarray:
+        """Encode all vectors, chunked on the host to bound device memory."""
+        threshold = self.ah_cfg.anisotropic_quantization_threshold
+        noise_shaped = not math.isnan(threshold)
+        if noise_shaped:
+            fn = jax.jit(lambda v, o: ah_ops.encode_noise_shaped(
+                v, o, self.model, threshold))
+        else:
+            fn = jax.jit(lambda v, o: ah_ops.encode(v, self.model))
+        out = []
+        for s in range(0, vectors.shape[0], _ENCODE_CHUNK):
+            v = jnp.asarray(vectors[s:s + _ENCODE_CHUNK], jnp.float32)
+            o = jnp.asarray(originals[s:s + _ENCODE_CHUNK], jnp.float32)
+            out.append(np.asarray(fn(v, o)))
+        return np.concatenate(out, axis=0)
+
+    def _layout_slots(self, codes: np.ndarray, leaf: np.ndarray,
+                      dpid: np.ndarray) -> TreeAHIndex:
+        """Sort slots by leaf and pad to a chunk multiple (the TPU analogue
+        of the reference's per-leaf PackedDataset layout,
+        asymmetric_hashing2/querying.h:73-105)."""
+        order = np.argsort(leaf, kind="stable")
+        codes = codes[order]
+        leaf = leaf[order]
+        dpid = dpid[order]
+        s = codes.shape[0]
+        self._num_slots = s
+        chunk = _SCORE_CHUNK if s >= _SCORE_CHUNK else _round_up(s, 128)
+        self._chunk = chunk
+        pad = _round_up(s, chunk) - s
+        if pad:
+            codes = np.pad(codes, ((0, pad), (0, 0)))
+            leaf = np.pad(leaf, (0, pad))
+            dpid = np.pad(dpid, (0, pad), constant_values=-1)
+        return TreeAHIndex(codes=jnp.asarray(codes),
+                           slot_dpid=jnp.asarray(dpid),
+                           slot_leaf=jnp.asarray(leaf))
+
+    # ------------------------------------------------------------ restore
+    def _restore(self, artifacts: dict):
+        from scann_tpu.utils import serialization
+        serialization.restore_tree_ah(self, artifacts)
+
+    # ------------------------------------------------------------- query
+    def _default_leaves(self) -> int:
+        if self.part_cfg is None:
+            return 0
+        return self.part_cfg.num_leaves_to_search
+
+    def _extra_state(self):
+        st = {"codes": self.index.codes,
+              "slot_dpid": self.index.slot_dpid,
+              "slot_leaf": self.index.slot_leaf,
+              "codebook": self.model.codebook}
+        if self.partitioner is not None:
+            st["centers"] = self.partitioner.centers
+            st["centers_int8"] = self.partitioner.centers_int8
+            st["centers_inv_mult"] = self.partitioner.centers_inv_mult
+        return st
+
+    def _select_candidates(self, queries, state, k_pre: int, leaves: int):
+        model = self.model._replace(codebook=state["codebook"])
+        index = TreeAHIndex(codes=state["codes"],
+                            slot_dpid=state["slot_dpid"],
+                            slot_leaf=state["slot_leaf"])
+        luts = ah_ops.build_luts(queries, model, self.measure,
+                                 self.ah_cfg.lookup_type)
+        nq = queries.shape[0]
+        num_leaves = (self.partitioner.num_leaves
+                      if self.partitioner is not None else 1)
+
+        mask_dense = None
+        bias_dense = None
+        if self.partitioner is not None and num_leaves > 1:
+            partitioner = self.partitioner._replace(
+                centers=state["centers"],
+                centers_int8=state["centers_int8"],
+                centers_inv_mult=state["centers_inv_mult"])
+            leaves = max(1, min(leaves, num_leaves))
+            leaf_ids, center_sims = partitioner.tokenize_queries(
+                queries, leaves)
+            rows = jnp.arange(nq)[:, None]
+            mask_dense = jnp.zeros((nq, num_leaves), bool
+                                   ).at[rows, leaf_ids].set(True)
+            if self.residual:
+                # Per-leaf bias: similarity(q, c_leaf) under dot product
+                # (the reference's per-leaf distance_to_center bias,
+                # tree_ah_hybrid_residual.cc:693-701).
+                bias_dense = jnp.zeros((nq, num_leaves), jnp.float32
+                                       ).at[rows, leaf_ids].set(center_sims)
+
+        soar = self.part_cfg.soar if self.part_cfg is not None else None
+        k_fetch = k_pre
+        if soar is not None:
+            # Overretrieve before duplicate suppression
+            # (NumNeighborsWithSpillingMultiplier,
+            # tree_ah_hybrid_residual.h:263-267).
+            k_fetch = int(math.ceil(k_pre * soar.overretrieve_factor))
+        k_fetch = min(k_fetch, self._num_slots)
+
+        chunk = self._chunk
+        num_chunks = index.codes.shape[0] // chunk
+        cpb = self.ah_cfg.clusters_per_block
+
+        def body(carry, ci):
+            vals, slots = carry
+            start = ci * chunk
+            codes_c = jax.lax.dynamic_slice_in_dim(index.codes, start, chunk)
+            leaf_c = jax.lax.dynamic_slice_in_dim(index.slot_leaf, start,
+                                                  chunk)
+            dpid_c = jax.lax.dynamic_slice_in_dim(index.slot_dpid, start,
+                                                  chunk)
+            sim = lut16_ops.score_codes_chunk(codes_c, luts, cpb)
+            if bias_dense is not None:
+                sim = sim + jnp.take(bias_dense, leaf_c, axis=1)
+            valid = (dpid_c >= 0)[None, :]
+            if mask_dense is not None:
+                valid = jnp.logical_and(valid,
+                                        jnp.take(mask_dense, leaf_c, axis=1))
+            cvals, cpos = topk_ops.top_k_with_invalid(
+                sim, min(k_fetch, chunk), valid=valid)
+            cslot = jnp.where(cpos >= 0, start + cpos, -1)
+            return topk_ops.merge_top_k(vals, slots, cvals, cslot,
+                                        k_fetch), None
+
+        init = (jnp.full((nq, k_fetch), -jnp.inf, jnp.float32),
+                jnp.full((nq, k_fetch), -1, jnp.int32))
+        (vals, slots), _ = jax.lax.scan(body, init, jnp.arange(num_chunks))
+        dpids = jnp.where(slots >= 0,
+                          jnp.take(index.slot_dpid,
+                                   jnp.maximum(slots, 0)), -1)
+        vals = vals + luts.base[:, None]
+        if soar is not None:
+            vals, dpids = topk_ops.dedup_candidates(vals, dpids)
+            vals, pos = jax.lax.top_k(vals, min(k_pre, vals.shape[-1]))
+            dpids = jnp.take_along_axis(dpids, pos, axis=-1)
+        return vals, dpids

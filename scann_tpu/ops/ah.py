@@ -1,0 +1,275 @@
+"""Asymmetric hashing (product quantization): training, encoding, LUTs.
+
+TPU-native equivalent of the reference's AH stack:
+  * codebook training: AhImpl::TrainAsymmetricHashing
+    (scann/hashes/internal/asymmetric_hashing_impl.cc:60-198) — per-block
+    k-means over (residual) vectors, here one vmapped batched k-means.
+  * plain encoding: AhImpl::IndexDatapoint (:200-246) — per-block argmin,
+    here one einsum + argmin.
+  * anisotropic (noise-shaped) encoding: AhImpl::IndexDatapointNoiseShaped
+    (:434-503) — score-aware coordinate descent minimizing
+    eta * ||r_par||^2 + ||r_perp||^2, vmapped with a fixed round budget.
+  * lookup tables: AhImpl::CreateRawFloatLookupTable (:505-568) and
+    ConvertLookupToFixedPoint (:590-646) — similarity-convention LUTs with
+    per-query symmetric int8 quantization.
+
+Chunking layout: a d-dim vector is split into ``num_blocks`` contiguous
+blocks of ``dims_per_block`` (reference CHUNK projection,
+projection/chunking_projection.h:40-90).  A ragged tail block is handled by
+zero-padding the dimensionality — equivalent to the reference's
+VARIABLE_CHUNK final block because centers of all-zero padded coordinates
+train to zero and contribute nothing to either distance.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from scann_tpu import config as cfg
+from scann_tpu.ops import kmeans as kmeans_ops
+
+
+class AHModel(NamedTuple):
+    codebook: jax.Array  # (num_blocks, clusters_per_block, dims_per_block)
+    dims: int  # original (unpadded) dimensionality
+
+    @property
+    def num_blocks(self) -> int:
+        return self.codebook.shape[0]
+
+    @property
+    def clusters_per_block(self) -> int:
+        return self.codebook.shape[1]
+
+    @property
+    def dims_per_block(self) -> int:
+        return self.codebook.shape[2]
+
+    @property
+    def padded_dims(self) -> int:
+        return self.num_blocks * self.dims_per_block
+
+
+def pad_to_blocks(x, dims_per_block: int):
+    """Zero-pad the feature axis to a whole number of blocks."""
+    d = x.shape[-1]
+    pad = (-d) % dims_per_block
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return x
+
+
+def chunk(x, dims_per_block: int):
+    """(..., d) -> (..., num_blocks, dims_per_block) with zero tail pad."""
+    x = pad_to_blocks(x, dims_per_block)
+    return x.reshape(x.shape[:-1] + (-1, dims_per_block))
+
+
+def train_ah_model(key, sample, dims_per_block: int,
+                   clusters_per_block: int = 16, iterations: int = 10,
+                   dims: int | None = None) -> AHModel:
+    """Train per-block codebooks on a (residual) sample.
+
+    Reference: TrainAsymmetricHashing runs one k-means per block
+    (asymmetric_hashing_impl.cc:60-198) with kmeans++ init under squared L2;
+    here the blocks train as one vmapped batched k-means.
+    """
+    if dims is None:
+        dims = sample.shape[-1]
+    xc = chunk(sample.astype(jnp.float32), dims_per_block)
+    num_blocks = xc.shape[-2]
+    xb = jnp.swapaxes(xc, 0, 1)  # (num_blocks, n, dpb)
+    keys = jax.random.split(key, num_blocks)
+
+    def train_block(k, xblk):
+        res = kmeans_ops.kmeans(k, xblk, k=clusters_per_block,
+                                iterations=iterations, init="kmeans++")
+        return res.centers
+
+    codebook = jax.vmap(train_block)(keys, xb)
+    return AHModel(codebook=codebook, dims=dims)
+
+
+def _block_stats(vectors, originals, model: AHModel):
+    """Residual stats per (point, block, center): squared residual norm and
+    parallel residual component (ComputeResidualStats,
+    asymmetric_hashing_impl.cc:300-348).
+
+    vectors: the vectors being encoded (residuals in tree-AH); originals: the
+    original datapoints defining the "parallel" direction.
+    """
+    cb = model.codebook  # (B, J, d)
+    vc = chunk(vectors, model.dims_per_block)  # (n, B, d)
+    oc = chunk(originals, model.dims_per_block)
+    v_dot_c = jnp.einsum("nbd,bjd->nbj", vc, cb,
+                         preferred_element_type=jnp.float32)
+    o_dot_c = jnp.einsum("nbd,bjd->nbj", oc, cb,
+                         preferred_element_type=jnp.float32)
+    v_sq = jnp.sum(vc * vc, axis=-1)  # (n, B)
+    c_sq = jnp.sum(cb * cb, axis=-1)  # (B, J)
+    rn = v_sq[:, :, None] - 2.0 * v_dot_c + c_sq[None, :, :]
+    inv_norm = 1.0 / jnp.maximum(
+        jnp.linalg.norm(originals, axis=-1), 1e-20)  # (n,)
+    v_dot_o = jnp.sum(vc * oc, axis=-1)  # (n, B)
+    pc = (v_dot_o[:, :, None] - o_dot_c) * inv_norm[:, None, None]
+    return rn, pc
+
+
+def encode(vectors, model: AHModel):
+    """Plain per-block nearest-center encoding -> (n, num_blocks) int8
+    codes (AhImpl::IndexDatapoint, asymmetric_hashing_impl.cc:200-246)."""
+    cb = model.codebook
+    vc = chunk(vectors.astype(jnp.float32), model.dims_per_block)
+    dots = jnp.einsum("nbd,bjd->nbj", vc, cb,
+                      preferred_element_type=jnp.float32)
+    c_sq = jnp.sum(cb * cb, axis=-1)
+    # argmin ||v - c||^2 == argmin (-2 v.c + ||c||^2)
+    return jnp.argmin(c_sq[None, :, :] - 2.0 * dots, axis=-1).astype(jnp.int8)
+
+
+_NOISE_SHAPING_ROUNDS = 10  # kMaxRounds, asymmetric_hashing_impl.cc:475
+
+
+def encode_noise_shaped(vectors, originals, model: AHModel,
+                        threshold: float, eta: float = math.nan):
+    """Anisotropic (score-aware) encoding via coordinate descent.
+
+    Faithful port of the *algorithm* of AhImpl::IndexDatapointNoiseShaped
+    (asymmetric_hashing_impl.cc:434-503): init at per-block min residual
+    norm, process blocks in decreasing initial-residual order, switch a
+    block's center only when it strictly lowers
+    eta * d(par^2) + d(perp^2), for up to 10 rounds.  Vectorized over points
+    with a lax.scan over (round, block) steps; the only sequential state is
+    the scalar parallel residual component per point.
+    """
+    n = vectors.shape[0]
+    rn, pc = _block_stats(vectors.astype(jnp.float32),
+                          originals.astype(jnp.float32), model)
+    num_blocks = model.num_blocks
+    sq_norms = jnp.sum(originals.astype(jnp.float32) ** 2, axis=-1)
+    if math.isnan(eta):
+        eta_v = _parallel_cost_multiplier(threshold, sq_norms, model.dims)
+    else:
+        eta_v = jnp.full((n,), eta, jnp.float32)
+
+    codes0 = jnp.argmin(rn, axis=-1).astype(jnp.int32)  # (n, B)
+    p0 = jnp.sum(jnp.take_along_axis(pc, codes0[:, :, None],
+                                     axis=-1)[:, :, 0], axis=-1)  # (n,)
+    init_rn = jnp.take_along_axis(rn, codes0[:, :, None], axis=-1)[:, :, 0]
+    order = jnp.argsort(-init_rn, axis=-1)  # (n, B) blocks by desc residual
+
+    def step(carry, s):
+        codes, p = carry  # (n, B), (n,)
+        b = order[:, s % num_blocks]  # (n,)
+        rn_b = jnp.take_along_axis(
+            rn, b[:, None, None], axis=1)[:, 0, :]  # (n, J)
+        pc_b = jnp.take_along_axis(
+            pc, b[:, None, None], axis=1)[:, 0, :]
+        cur = jnp.take_along_axis(codes, b[:, None], axis=1)[:, 0]  # (n,)
+        cur_rn = jnp.take_along_axis(rn_b, cur[:, None], axis=1)[:, 0]
+        cur_pc = jnp.take_along_axis(pc_b, cur[:, None], axis=1)[:, 0]
+        new_p = p[:, None] - cur_pc[:, None] + pc_b  # (n, J)
+        pnd = new_p * new_p - (p * p)[:, None]
+        rnd = rn_b - cur_rn[:, None]
+        cost = eta_v[:, None] * pnd + (rnd - pnd)
+        # Reference skips candidates that increase the parallel norm
+        # (OptimizeSingleSubspace: `if parallel_norm_delta > 0 continue`)
+        # and keeps the current center unless strictly better.
+        cost = jnp.where(pnd > 0.0, jnp.inf, cost)
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, cost.shape, 1)
+        cost = jnp.where(j_idx == cur[:, None], jnp.inf, cost)
+        best_j = jnp.argmin(cost, axis=-1).astype(jnp.int32)
+        best_cost = jnp.take_along_axis(cost, best_j[:, None], axis=1)[:, 0]
+        switch = best_cost < 0.0
+        new_code = jnp.where(switch, best_j, cur)
+        codes = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, codes.shape, 1)
+            == b[:, None], new_code[:, None], codes)
+        p = jnp.where(
+            switch,
+            jnp.take_along_axis(new_p, best_j[:, None], axis=1)[:, 0], p)
+        return (codes, p), None
+
+    steps = jnp.arange(_NOISE_SHAPING_ROUNDS * num_blocks)
+    (codes, _), _ = jax.lax.scan(step, (codes0, p0), steps)
+    return codes.astype(jnp.int8)
+
+
+def _parallel_cost_multiplier(threshold, squared_norms, dims):
+    """eta(T) (ComputeParallelCostMultiplier, noise_shaping_utils.h:31-38)."""
+    sq = jnp.maximum(squared_norms, 1e-20)
+    parallel_cost = (threshold * threshold) / sq
+    perp_cost = (1.0 - parallel_cost) / (dims - 1.0)
+    return parallel_cost / jnp.maximum(perp_cost, 1e-20)
+
+
+def reconstruct(codes, model: AHModel):
+    """Decode (n, B) codes back to approximate vectors (Indexer's
+    reconstruction path, asymmetric_hashing2/indexing.cc)."""
+    cb = model.codebook
+    gathered = jnp.take_along_axis(
+        cb[None, :, :, :],
+        codes.astype(jnp.int32)[:, :, None, None].repeat(
+            cb.shape[-1], axis=-1), axis=2)[:, :, 0, :]
+    flat = gathered.reshape(codes.shape[0], -1)
+    return flat[:, :model.dims]
+
+
+# --------------------------------------------------------------------- LUTs
+class LookupTables(NamedTuple):
+    """Per-query lookup tables in the *similarity* convention
+    (lut[q, b, j] = similarity contribution of center j of block b).
+
+    int8 quantization follows ConvertLookupToFixedPoint
+    (asymmetric_hashing_impl.cc:590-646): symmetric scale
+    127/max|entry| per query (multiplier_quantile == 1.0, ROUND), with the
+    reference's +128 uint8 bias replaced by signed int8 since the MXU
+    accumulates int32 natively (no int16 saturation guard needed).
+    """
+    int8: jax.Array | None  # (q, B, J) int8
+    raw: jax.Array | None  # (q, B, J) f32 (kept when lookup is float)
+    inv_multiplier: jax.Array  # (q,) f32: accum * inv_multiplier -> f32
+    base: jax.Array  # (q,) f32 additive per-query constant
+
+
+def build_luts(queries, model: AHModel, measure: str,
+               lookup_dtype: str = cfg.INT8) -> LookupTables:
+    """Queries -> per-block lookup tables (CreateRawFloatLookupTable,
+    asymmetric_hashing_impl.cc:505-568).
+
+    dot_product: lut = q_b . c (similarity form of DotProductDistance).
+    squared_l2: lut = -(||q_b - c||^2); the per-query ||q||^2 constant is
+    carried in ``base`` exactly.
+    """
+    qf = queries.astype(jnp.float32)
+    qc = chunk(qf, model.dims_per_block)  # (q, B, d)
+    cb = model.codebook
+    dots = jnp.einsum("qbd,bjd->qbj", qc, cb,
+                      preferred_element_type=jnp.float32)
+    nq = qf.shape[0]
+    if measure == cfg.DOT_PRODUCT:
+        raw = dots
+        base = jnp.zeros((nq,), jnp.float32)
+    elif measure == cfg.SQUARED_L2:
+        c_sq = jnp.sum(cb * cb, axis=-1)
+        raw = 2.0 * dots - c_sq[None, :, :]
+        base = -jnp.sum(qf * qf, axis=-1)
+    else:
+        raise ValueError(f"unsupported measure: {measure}")
+
+    if lookup_dtype == cfg.INT8:
+        max_abs = jnp.maximum(
+            jnp.max(jnp.abs(raw), axis=(1, 2)),
+            jnp.sqrt(jnp.finfo(jnp.float32).eps))
+        mult = 127.0 / max_abs
+        q8 = jnp.clip(jnp.round(raw * mult[:, None, None]),
+                      -127, 127).astype(jnp.int8)
+        return LookupTables(int8=q8, raw=None, inv_multiplier=1.0 / mult,
+                            base=base)
+    return LookupTables(int8=None, raw=raw,
+                        inv_multiplier=jnp.ones((nq,), jnp.float32),
+                        base=base)

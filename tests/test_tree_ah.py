@@ -1,0 +1,184 @@
+"""Tree-AH searcher tests: recall vs exact oracle across the config matrix.
+
+Mirrors the reference's scann_ops_pybind_test.py idioms: test_tree_ah
+parameterized product over measures x quantized centroids x reorder modes x
+SOAR (:108-159), test_pure_ah, test_squared_l2 recall >= threshold vs brute
+force (:245-265), test_empty_partitions.
+"""
+
+import numpy as np
+import pytest
+
+import scann_tpu
+
+
+def make_data(n=5000, d=32, nq=64, seed=0, normalize=False):
+    rng = np.random.default_rng(seed)
+    # Cluster structure so partitioning prunes meaningfully.
+    centers = rng.standard_normal((40, d)).astype(np.float32)
+    a = rng.integers(0, 40, n)
+    db = centers[a] + 0.3 * rng.standard_normal((n, d)).astype(np.float32)
+    q = (centers[rng.integers(0, 40, nq)]
+         + 0.3 * rng.standard_normal((nq, d)).astype(np.float32))
+    if normalize:
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return db, q
+
+
+def exact_topk(db, q, k, measure):
+    if measure == "dot_product":
+        scores = q @ db.T
+        return np.argsort(-scores, axis=1)[:, :k]
+    d2 = (np.sum(q * q, 1)[:, None] - 2 * q @ db.T
+          + np.sum(db * db, 1)[None, :])
+    return np.argsort(d2, axis=1)[:, :k]
+
+
+def recall_at_k(idx, truth):
+    k = truth.shape[1]
+    return np.mean([len(set(idx[i]) & set(truth[i])) / k
+                    for i in range(len(truth))])
+
+
+@pytest.mark.parametrize("measure", ["dot_product", "squared_l2"])
+@pytest.mark.parametrize("reorder_quantize", [None, "float32", "int8",
+                                              "bfloat16"])
+def test_tree_ah(measure, reorder_quantize):
+    db, q = make_data()
+    k = 10
+    b = (scann_tpu.builder(db, k, measure)
+         .tree(num_leaves=32, num_leaves_to_search=8,
+               training_sample_size=4000)
+         .score_ah(2, anisotropic_quantization_threshold=0.2
+                   if measure == "dot_product" else float("nan")))
+    if reorder_quantize is not None:
+        b = b.reorder(100, quantize=reorder_quantize)
+    s = b.build()
+    idx, dist = s.search_batched(q)
+    truth = exact_topk(db, q, k, measure)
+    r = recall_at_k(idx, truth)
+    # Without reorder, recall is limited by AH quantization error (verified
+    # against the reconstruction oracle; non-residual L2 codes are coarsest
+    # — the reference likewise only asserts L2 recall with reordering);
+    # with exact reorder recall must be high.
+    if reorder_quantize is None:
+        want = 0.5 if measure == "dot_product" else 0.3
+    else:
+        want = 0.9
+    assert r >= want, (measure, reorder_quantize, r)
+    # Distances must be ordered best-first.
+    if measure == "dot_product":
+        assert np.all(np.diff(dist, axis=1) <= 1e-5)
+    else:
+        assert np.all(np.diff(dist, axis=1) >= -1e-5)
+
+
+def test_pure_ah():
+    db, q = make_data()
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .score_ah(2).reorder(150).build())
+    idx, _ = s.search_batched(q)
+    truth = exact_topk(db, q, 10, "dot_product")
+    assert recall_at_k(idx, truth) >= 0.95
+
+
+def test_tree_ah_soar():
+    db, q = make_data(normalize=True)
+    k = 10
+    s = (scann_tpu.builder(db, k, "dot_product")
+         .tree(num_leaves=32, num_leaves_to_search=4,
+               training_sample_size=4000, soar_lambda=1.5,
+               overretrieve_factor=2.0)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(60).build())
+    idx, dist = s.search_batched(q)
+    truth = exact_topk(db, q, k, "dot_product")
+    r_soar = recall_at_k(idx, truth)
+
+    s2 = (scann_tpu.builder(db, k, "dot_product")
+          .tree(num_leaves=32, num_leaves_to_search=4,
+                training_sample_size=4000)
+          .score_ah(2, anisotropic_quantization_threshold=0.2)
+          .reorder(60).build())
+    idx2, _ = s2.search_batched(q)
+    r_plain = recall_at_k(idx2, truth)
+    # SOAR's second assignment should not hurt and normally helps at
+    # fixed leaves_to_search (arXiv:2404.00774).
+    assert r_soar >= r_plain - 0.02, (r_soar, r_plain)
+    # No duplicate neighbors from spilled assignment.
+    for row in idx:
+        valid = row[row >= 0]
+        assert len(set(valid)) == len(valid)
+
+
+def test_tree_ah_quantized_centroids():
+    db, q = make_data()
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=32, num_leaves_to_search=8,
+               training_sample_size=4000, quantize_centroids=True)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(60).build())
+    idx, _ = s.search_batched(q)
+    truth = exact_topk(db, q, 10, "dot_product")
+    assert recall_at_k(idx, truth) >= 0.9
+
+
+def test_tree_ah_avq():
+    db, q = make_data(normalize=True)
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=32, num_leaves_to_search=8,
+               training_sample_size=4000, avq=3.0)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(100).build())
+    idx, _ = s.search_batched(q)
+    truth = exact_topk(db, q, 10, "dot_product")
+    assert recall_at_k(idx, truth) >= 0.9
+
+
+def test_empty_partitions():
+    """More leaves than distinct clusters: some leaves may be near-empty;
+    search must still work (reference: test_empty_partitions)."""
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((300, 16)).astype(np.float32)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    s = (scann_tpu.builder(db, 5, "dot_product")
+         .tree(num_leaves=64, num_leaves_to_search=64,
+               training_sample_size=300, min_partition_size=1)
+         .score_ah(2).reorder(30).build())
+    idx, dist = s.search_batched(q)
+    truth = exact_topk(db, q, 5, "dot_product")
+    assert recall_at_k(idx, truth) >= 0.9
+
+
+def test_leaves_override_improves_recall():
+    db, q = make_data()
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=32, num_leaves_to_search=2,
+               training_sample_size=4000)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(60).build())
+    truth = exact_topk(db, q, 10, "dot_product")
+    r_few = recall_at_k(s.search_batched(q)[0], truth)
+    r_many = recall_at_k(
+        s.search_batched(q, leaves_to_search=16)[0], truth)
+    assert r_many >= r_few
+    assert r_many >= 0.9
+
+
+def test_noise_shaping_improves_mips_recall():
+    """Anisotropic encoding should beat plain PQ for dot product recall
+    without reorder (the AVQ paper's core claim)."""
+    db, q = make_data(n=4000, normalize=True, seed=3)
+    truth = exact_topk(db, q, 10, "dot_product")
+
+    def build(thresh):
+        return (scann_tpu.builder(db, 10, "dot_product")
+                .tree(num_leaves=16, num_leaves_to_search=16,
+                      training_sample_size=4000)
+                .score_ah(2, anisotropic_quantization_threshold=thresh)
+                .build())
+
+    r_plain = recall_at_k(build(float("nan")).search_batched(q)[0], truth)
+    r_aniso = recall_at_k(build(0.2).search_batched(q)[0], truth)
+    assert r_aniso >= r_plain - 0.02, (r_aniso, r_plain)
