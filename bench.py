@@ -1,0 +1,106 @@
+"""Headline benchmark: batched QPS/chip at recall@10 >= 0.95.
+
+Mirrors the reference's glove-100-angular benchmark shape (BASELINE.md:
+train (1183514, 100) / test (10000, 100), config tree(2000, 100) +
+AH(2 dims/block, T=0.2) + reorder(100), dot product).  The environment has
+no network egress, so the corpus is a deterministic synthetic stand-in with
+glove-like cluster structure (a mixture over unit-sphere topic directions,
+normalized — "angular"); recall is measured against exact brute force
+computed on-device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": QPS, "unit": "qps/chip", "vs_baseline": x}
+vs_baseline is against the reference notebook's 7,240 QPS on its x86
+workstation (docs/example.ipynb, BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_DB = 1_183_514
+N_QUERY = 10_000
+DIM = 100
+K = 10
+BASELINE_QPS = 7240.0
+RECALL_TARGET = 0.95
+
+
+def make_glove_like(n, nq, d, seed=0):
+    """Mixture of unit-sphere topics + noise, L2-normalized (angular)."""
+    rng = np.random.default_rng(seed)
+    n_topics = 2048
+    topics = rng.standard_normal((n_topics, d)).astype(np.float32)
+    topics /= np.linalg.norm(topics, axis=1, keepdims=True)
+
+    def draw(m, seed2):
+        r = np.random.default_rng(seed2)
+        a = r.integers(0, n_topics, m)
+        x = topics[a] + 0.55 * r.standard_normal((m, d)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        return x.astype(np.float32)
+
+    return draw(n, seed + 1), draw(nq, seed + 2)
+
+
+def exact_ground_truth(db, q, k):
+    """Exact top-k via the on-device brute-force searcher."""
+    import scann_tpu
+    s = scann_tpu.builder(db, k, "dot_product").score_brute_force().build()
+    out = []
+    for i in range(0, len(q), 2048):
+        idx, _ = s.search_batched(q[i:i + 2048])
+        out.append(idx)
+    return np.concatenate(out, axis=0)
+
+
+def recall_at_k(idx, truth):
+    k = truth.shape[1]
+    hits = 0
+    for i in range(len(truth)):
+        hits += len(set(idx[i][:k]) & set(truth[i]))
+    return hits / (len(truth) * k)
+
+
+def main():
+    import scann_tpu
+
+    db, q = make_glove_like(N_DB, N_QUERY, DIM)
+
+    t0 = time.perf_counter()
+    searcher = (scann_tpu.builder(db, K, "dot_product")
+                .tree(num_leaves=2000, num_leaves_to_search=100,
+                      training_sample_size=100_000)
+                .score_ah(2, anisotropic_quantization_threshold=0.2)
+                .reorder(100).build())
+    build_s = time.perf_counter() - t0
+
+    truth = exact_ground_truth(db, q, K)
+
+    best = None
+    for leaves in (100, 150, 200, 300, 500, 1000, 2000):
+        idx, _ = searcher.search_batched(q[:2048],
+                                         leaves_to_search=leaves)  # warmup
+        t0 = time.perf_counter()
+        idx, _ = searcher.search_batched(q, leaves_to_search=leaves)
+        dt = time.perf_counter() - t0
+        r = recall_at_k(idx, truth)
+        qps = N_QUERY / dt
+        best = {"leaves": leaves, "recall": r, "qps": qps}
+        if r >= RECALL_TARGET:
+            break
+
+    print(json.dumps({
+        "metric": "synth_glove100_qps_at_recall0.95",
+        "value": round(best["qps"], 1),
+        "unit": "qps/chip",
+        "vs_baseline": round(best["qps"] / BASELINE_QPS, 3),
+        "recall_at_10": round(best["recall"], 4),
+        "leaves_to_search": best["leaves"],
+        "index_build_s": round(build_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -226,6 +226,13 @@ class Searcher:
                                         leaves_to_search)
         return idx[0], dist[0]
 
+    def serialize(self, artifacts_dir, relative_path=False):
+        """Write config + asset arrays for later load_searcher()
+        (reference: ScannSearcher.serialize, scann_ops_pybind.py:114-119)."""
+        del relative_path  # paths are always relative in this format
+        from scann_tpu.utils import serialization
+        serialization.save_searcher(self, artifacts_dir)
+
     @property
     def query_dims(self) -> int:
         """Dimensionality expected of queries (pre-projection)."""

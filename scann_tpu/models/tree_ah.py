@@ -131,13 +131,14 @@ class TreeAHSearcher(base.Searcher):
         from scann_tpu.ops import kmeans as kmeans_ops
         sample_idx = np.asarray(kmeans_ops.sample_rows(
             k_sample, n, self.ah_cfg.training_sample_size))
-        self.model = jax.jit(
+        codebook = jax.jit(
             lambda k, s: ah_ops.train_ah_model(
                 k, s, self.ah_cfg.dimensions_per_block,
                 self.ah_cfg.clusters_per_block,
-                self.ah_cfg.training_iterations, dims=d),
-            static_argnums=())(k_train, jnp.asarray(
-                primary_vecs[sample_idx], jnp.float32))
+                self.ah_cfg.training_iterations, dims=d).codebook)(
+                    k_train,
+                    jnp.asarray(primary_vecs[sample_idx], jnp.float32))
+        self.model = ah_ops.AHModel(codebook=codebook, dims=d)
 
         codes_primary = self._encode_dataset(primary_vecs, database)
         if soar is not None:

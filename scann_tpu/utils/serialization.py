@@ -1,0 +1,211 @@
+"""Index serialization: config JSON + npz asset arrays.
+
+TPU-native equivalent of the reference's asset system
+(ScannInterface::Serialize, scann_ops/cc/scann.cc:504-601, and the
+scann_assets.pbtxt manifest, scann_ops/scann_assets.proto:21-50).  The same
+logical assets exist — config, partitioner centers, datapoint_to_token
+(2 slots per point under SOAR), packed AH codes + codebook, int8/bf16/f32
+reordering datasets with multipliers/norms — stored as one
+``scann_config.json`` + ``scann_assets.npz`` + optional ``scann_docids.json``.
+
+The round-trip contract matches the reference's tests: a reloaded searcher
+returns bit-identical results (verify_serialization,
+scann_ops_pybind_test.py:39-59).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from scann_tpu import config as cfg
+
+_CONFIG_FILE = "scann_config.json"
+_ASSETS_FILE = "scann_assets.npz"
+_DOCIDS_FILE = "scann_docids.json"
+
+
+def _to_numpy(arr) -> tuple[np.ndarray, str]:
+    """Device array -> (numpy-storable array, logical dtype tag).
+    bfloat16 has no numpy-native storage; persist as a uint16 view."""
+    a = np.asarray(arr)
+    if a.dtype == jnp.bfloat16:
+        return a.view(np.uint16), "bfloat16"
+    return a, str(a.dtype)
+
+
+def _from_numpy(a: np.ndarray, tag: str):
+    if tag == "bfloat16":
+        return jnp.asarray(a.view(jnp.bfloat16))
+    return jnp.asarray(a)
+
+
+def save_searcher(searcher, artifacts_dir: str):
+    os.makedirs(artifacts_dir, exist_ok=True)
+    arrays: dict[str, np.ndarray] = {}
+    dtypes: dict[str, str] = {}
+    meta: dict = {"type": type(searcher).__name__,
+                  "n_points": searcher.n_points, "dims": searcher.dims}
+
+    def put(key, arr):
+        if arr is None:
+            return
+        arrays[key], dtypes[key] = _to_numpy(arr)
+
+    if searcher.reorder_helper is not None:
+        rh = searcher.reorder_helper
+        put("reorder_db", rh._db)
+        put("reorder_inv_mult", rh._inv_mult)
+        put("reorder_sq_norms", rh._sq_norms)
+
+    tname = meta["type"]
+    if tname == "BruteForceSearcher":
+        put("bf_db", searcher._db)
+        put("bf_inv_mult", searcher._inv_mult)
+        put("bf_sq_norms", searcher._sq_norms)
+    elif tname == "TreeAHSearcher":
+        put("codes", searcher.index.codes)
+        put("slot_dpid", searcher.index.slot_dpid)
+        put("slot_leaf", searcher.index.slot_leaf)
+        put("codebook", searcher.model.codebook)
+        put("datapoint_to_token", jnp.asarray(searcher.datapoint_to_token))
+        meta["model_dims"] = searcher.model.dims
+        meta["num_slots"] = searcher._num_slots
+        meta["chunk"] = searcher._chunk
+        if searcher.partitioner is not None:
+            put("centers", searcher.partitioner.centers)
+            put("centers_int8", searcher.partitioner.centers_int8)
+            put("centers_inv_mult", searcher.partitioner.centers_inv_mult)
+    elif tname == "TreeXSearcher":
+        put("slot_rows", searcher.slot_rows)
+        put("slot_leaf", searcher.slot_leaf)
+        put("slot_dpid", searcher.slot_dpid)
+        put("tx_inv_mult", searcher._inv_mult)
+        put("tx_sq_norms", searcher._sq_norms)
+        put("datapoint_to_token", jnp.asarray(searcher.datapoint_to_token))
+        meta["num_slots"] = searcher._num_slots
+        meta["chunk"] = searcher._chunk
+        put("centers", searcher.partitioner.centers)
+        put("centers_int8", searcher.partitioner.centers_int8)
+        put("centers_inv_mult", searcher.partitioner.centers_inv_mult)
+    else:
+        raise ValueError(f"cannot serialize searcher type {tname}")
+
+    meta["dtypes"] = dtypes
+    with open(os.path.join(artifacts_dir, _CONFIG_FILE), "w") as f:
+        f.write(json.dumps({"config": json.loads(searcher.config.to_json()),
+                            "meta": meta}, indent=2))
+    np.savez(os.path.join(artifacts_dir, _ASSETS_FILE), **arrays)
+    if searcher.docids is not None:
+        with open(os.path.join(artifacts_dir, _DOCIDS_FILE), "w") as f:
+            json.dump(searcher.docids, f)
+
+
+def load_searcher(artifacts_dir: str):
+    """Reconstruct a searcher without retraining (reference:
+    load_searcher -> LoadArtifacts, scann.cc:105-263)."""
+    with open(os.path.join(artifacts_dir, _CONFIG_FILE)) as f:
+        blob = json.load(f)
+    scann_config = cfg._config_from_dict(blob["config"])
+    meta = blob["meta"]
+    dtypes = meta["dtypes"]
+    raw = np.load(os.path.join(artifacts_dir, _ASSETS_FILE))
+    arrays = {k: _from_numpy(raw[k], dtypes[k]) for k in raw.files}
+    docids = None
+    docids_path = os.path.join(artifacts_dir, _DOCIDS_FILE)
+    if os.path.exists(docids_path):
+        with open(docids_path) as f:
+            docids = json.load(f)
+
+    tname = meta["type"]
+    if tname == "BruteForceSearcher":
+        from scann_tpu.models import brute_force
+        s = object.__new__(brute_force.BruteForceSearcher)
+        _init_base(s, scann_config, meta, arrays, docids)
+        bf = scann_config.brute_force or cfg.BruteForceConfig()
+        s.quantize_mode = bf.quantize
+        s._db = arrays["bf_db"]
+        s._inv_mult = arrays.get("bf_inv_mult")
+        s._sq_norms = arrays.get("bf_sq_norms")
+        return s
+    if tname == "TreeAHSearcher":
+        from scann_tpu.models import tree_ah
+        s = object.__new__(tree_ah.TreeAHSearcher)
+        _init_base(s, scann_config, meta, arrays, docids)
+        s.part_cfg = scann_config.partitioning
+        s.ah_cfg = scann_config.asymmetric_hash
+        s.measure = scann_config.distance_measure
+        s.residual = bool(s.ah_cfg.residual_quantization)
+        s.index = tree_ah.TreeAHIndex(codes=arrays["codes"],
+                                      slot_dpid=arrays["slot_dpid"],
+                                      slot_leaf=arrays["slot_leaf"])
+        from scann_tpu.ops import ah as ah_ops
+        s.model = ah_ops.AHModel(codebook=arrays["codebook"],
+                                 dims=meta["model_dims"])
+        s._num_slots = meta["num_slots"]
+        s._chunk = meta["chunk"]
+        s.datapoint_to_token = np.asarray(arrays["datapoint_to_token"])
+        s.partitioner = _load_partitioner(arrays, scann_config)
+        return s
+    if tname == "TreeXSearcher":
+        from scann_tpu.models import tree_x
+        s = object.__new__(tree_x.TreeXSearcher)
+        _init_base(s, scann_config, meta, arrays, docids)
+        s.part_cfg = scann_config.partitioning
+        s.measure = scann_config.distance_measure
+        bf = scann_config.brute_force or cfg.BruteForceConfig()
+        s.quantize_mode = bf.quantize
+        s.slot_rows = arrays["slot_rows"]
+        s.slot_leaf = arrays["slot_leaf"]
+        s.slot_dpid = arrays["slot_dpid"]
+        s._inv_mult = arrays.get("tx_inv_mult")
+        s._sq_norms = arrays.get("tx_sq_norms")
+        s._num_slots = meta["num_slots"]
+        s._chunk = meta["chunk"]
+        s.datapoint_to_token = np.asarray(arrays["datapoint_to_token"])
+        s.partitioner = _load_partitioner(arrays, scann_config)
+        return s
+    raise ValueError(f"unknown searcher type in artifacts: {tname}")
+
+
+def _init_base(s, scann_config, meta, arrays, docids):
+    from scann_tpu.models import base
+    s.config = scann_config
+    s.n_points = meta["n_points"]
+    s.dims = meta["dims"]
+    s.docids = docids
+    s._compiled = {}
+    s.reorder_helper = None
+    if scann_config.reordering is not None:
+        rh = object.__new__(base.ReorderHelper)
+        rh.measure = scann_config.distance_measure
+        rh.config = scann_config.reordering
+        rh._db = arrays["reorder_db"]
+        rh._inv_mult = arrays.get("reorder_inv_mult")
+        rh._sq_norms = arrays.get("reorder_sq_norms")
+        s.reorder_helper = rh
+
+
+def _load_partitioner(arrays, scann_config):
+    if "centers" not in arrays:
+        return None
+    from scann_tpu.partitioning import kmeans_tree
+    return kmeans_tree.KMeansTreePartitioner(
+        centers=arrays["centers"],
+        centers_int8=arrays.get("centers_int8"),
+        centers_inv_mult=arrays.get("centers_inv_mult"),
+        query_distance=scann_config.distance_measure)
+
+
+def restore_tree_ah(searcher, artifacts):
+    raise NotImplementedError(
+        "use scann_tpu.load_searcher(artifacts_dir) to restore")
+
+
+def restore_tree_x(searcher, artifacts):
+    raise NotImplementedError(
+        "use scann_tpu.load_searcher(artifacts_dir) to restore")
