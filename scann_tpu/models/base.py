@@ -66,6 +66,46 @@ class ReorderHelper:
         return {"db": self._db, "inv_mult": self._inv_mult,
                 "sq_norms": self._sq_norms}
 
+    def ensure_capacity(self, n: int) -> bool:
+        """Grow the compressed dataset to hold at least n rows.  Returns
+        True if a re-allocation happened (callers must invalidate compiled
+        programs)."""
+        cap = self._db.shape[0]
+        if n <= cap:
+            return False
+        new_cap = max(n, int(cap * 1.2) + 128)
+        self._db = jnp.concatenate(
+            [self._db, jnp.zeros((new_cap - cap, self._db.shape[1]),
+                                 self._db.dtype)], axis=0)
+        if self._sq_norms is not None:
+            self._sq_norms = jnp.concatenate(
+                [self._sq_norms, jnp.zeros((new_cap - cap,),
+                                           self._sq_norms.dtype)])
+        return True
+
+    def update_rows(self, ids, rows):
+        """Write/overwrite rows (mutator path; multipliers stay fixed like
+        the reference's int8 mutators, scalar_quantized_brute_force_mutator
+        .cc)."""
+        ids = jnp.asarray(ids, jnp.int32)
+        rows_f = jnp.asarray(rows, jnp.float32)
+        if self._inv_mult is not None:
+            q = jnp.clip(jnp.round(rows_f / self._inv_mult[None, :]),
+                         -127, 127).astype(jnp.int8)
+            self._db = self._db.at[ids].set(q)
+            deq = q.astype(jnp.float32) * self._inv_mult[None, :]
+            self._sq_norms = self._sq_norms.at[ids].set(
+                jnp.sum(deq * deq, axis=-1))
+        elif self._db.dtype == jnp.bfloat16:
+            self._db = self._db.at[ids].set(rows_f.astype(jnp.bfloat16))
+            self._sq_norms = self._sq_norms.at[ids].set(
+                jnp.sum(rows_f * rows_f, axis=-1))
+        else:
+            self._db = self._db.at[ids].set(rows_f)
+            if self._sq_norms is not None:
+                self._sq_norms = self._sq_norms.at[ids].set(
+                    jnp.sum(rows_f * rows_f, axis=-1))
+
     def rescore(self, queries, candidate_idx, state):
         """(q, d) x (q, k_pre) -> (q, k_pre) exact similarities."""
         db = state["db"]
@@ -100,10 +140,33 @@ class Searcher:
             raise ValueError("docids must have one entry per database row")
         self.reorder_helper: Optional[ReorderHelper] = None
         if scann_config.reordering is not None:
+            # Reordering always rescoring against the *original* vectors
+            # (the reference attaches exact_reordering outside the
+            # projection, reordering_helper_factory.cc).
             self.reorder_helper = ReorderHelper(
                 database, scann_config.distance_measure,
                 scann_config.reordering)
+        self.projector = None
+        if scann_config.projection is not None:
+            from scann_tpu.ops import projection as proj_ops
+            self.projector = proj_ops.train_projection(
+                database, scann_config.projection, seed=scann_config.seed)
+        self._enable_mutation(database, self.docids)
         self._compiled = {}
+
+    def _project_database(self, database: np.ndarray) -> np.ndarray:
+        if self.projector is None:
+            return database
+        return np.asarray(self.projector.project(
+            jnp.asarray(database, jnp.float32)))
+
+    def _project_queries(self, queries, state):
+        if self.projector is None:
+            return queries
+        proj = self.projector
+        if state.get("proj_matrix") is not None:
+            proj = proj._replace(matrix=state["proj_matrix"])
+        return proj.project(queries)
 
     # -------------------------------------------------------- overridables
     def _select_candidates(self, queries, state, k_pre: int, leaves: int):
@@ -119,6 +182,8 @@ class Searcher:
         st = dict(self._extra_state())
         if self.reorder_helper is not None:
             st["reorder"] = self.reorder_helper.state()
+        if self.projector is not None:
+            st["proj_matrix"] = self.projector.matrix
         return st
 
     def _default_leaves(self) -> int:
@@ -126,7 +191,10 @@ class Searcher:
 
     # ------------------------------------------------------------ pipeline
     def _search_impl(self, queries, state, k: int, k_pre: int, leaves: int):
-        sim, idx = self._select_candidates(queries, state, k_pre, leaves)
+        # Candidate selection runs in the (possibly projected) index space;
+        # exact reordering below uses the raw queries.
+        q_proj = self._project_queries(queries, state)
+        sim, idx = self._select_candidates(q_proj, state, k_pre, leaves)
         if self.reorder_helper is not None:
             # Keep the best k_pre, rescore exactly, then take final k
             # (reference: ReorderResults, single_machine_base.cc:850).
@@ -225,6 +293,99 @@ class Searcher:
                                         pre_reorder_num_neighbors,
                                         leaves_to_search)
         return idx[0], dist[0]
+
+    # ---------------------------------------------------------- mutation
+    def _mutation_state(self):
+        from scann_tpu import mutation
+        if getattr(self, "_mut", None) is None:
+            raise ValueError(
+                "upsert/delete require the searcher to be built with "
+                "docids")
+        return self._mut
+
+    def _enable_mutation(self, database, docids):
+        from scann_tpu import mutation
+        self._mut = (mutation.MutationState(database, docids)
+                     if docids is not None else None)
+
+    def upsert(self, docids, database, batch_size=1):
+        """Insert or update datapoints (reference: ScannSearcher.upsert,
+        scann_ops_pybind.py:130-153 -> ScannNumpy::Upsert).  Auto-rebalances
+        when the incremental threshold is exceeded (scann_npy.cc:126-135)."""
+        del batch_size
+        from scann_tpu import mutation
+        if not isinstance(docids, list):
+            docids = [docids]
+        vecs = np.asarray(database, np.float32)
+        if vecs.ndim == 1:
+            vecs = vecs[None, :]
+        st = self._mutation_state()
+        existing = mutation.resolve_upsert_ids(st, docids, len(vecs),
+                                               self.docids)
+        ids = np.empty(len(vecs), np.int64)
+        for i, (d, ex) in enumerate(zip(docids, existing)):
+            if ex >= 0:
+                ids[i] = ex
+                st.vectors[ex] = vecs[i]
+                st.alive[ex] = True
+            else:
+                ids[i] = st.append(vecs[i:i + 1])[0]
+                st.docid_to_id[d] = int(ids[i])
+                self.docids.append(d)
+        self._apply_upsert(ids, vecs)
+        self.n_points = len(st.vectors)
+        st.mutations_since_rebuild += len(vecs)
+        part_cfg = getattr(self, "part_cfg", None)
+        if mutation.incremental_threshold_exceeded(part_cfg, st,
+                                                   self.n_points):
+            self.rebalance()
+
+    def delete(self, docids):
+        """Remove datapoints by docid (reference: ScannSearcher.delete ->
+        ScannNumpy::Delete; tombstone-then-compact like the reference's
+        mutator removal path)."""
+        if not isinstance(docids, list):
+            docids = [docids]
+        st = self._mutation_state()
+        ids = []
+        for d in docids:
+            if d not in st.docid_to_id:
+                raise ValueError(f"unknown docid: {d!r}")
+            i = st.docid_to_id.pop(d)
+            st.alive[i] = False
+            ids.append(i)
+        self._apply_delete(np.asarray(ids, np.int64))
+        st.mutations_since_rebuild += len(ids)
+
+    def rebalance(self):
+        """Full retrain + reindex from the live vectors (reference:
+        Rebalance == RetrainAndReindexSearcher, scann.cc:433-448).  Also
+        compacts delete tombstones; datapoint indices are renumbered."""
+        st = self._mutation_state()
+        live, keep, _ = st.live_database()
+        docids = [self.docids[i] for i in keep]
+        from scann_tpu import factory
+        fresh = factory.create_searcher(live, self.config, docids=docids)
+        self.__dict__.update(fresh.__dict__)
+
+    def _apply_upsert(self, ids: np.ndarray, vecs: np.ndarray):
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support dynamic updates yet")
+
+    def _apply_delete(self, ids: np.ndarray):
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support dynamic updates yet")
+
+    def get_health_stats(self):
+        """Partition imbalance + quantization error stats
+        (reference: get_health_stats, scann_ops_pybind.py:121-127)."""
+        from scann_tpu.utils import health
+        return health.compute_health_stats(self).as_dict()
+
+    def initialize_health_stats(self):
+        """API parity with the reference; stats here are derived on demand,
+        so initialization is a no-op."""
+        return None
 
     def serialize(self, artifacts_dir, relative_path=False):
         """Write config + asset arrays for later load_searcher()

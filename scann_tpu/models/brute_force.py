@@ -33,6 +33,7 @@ class BruteForceSearcher(base.Searcher):
     def __init__(self, database: np.ndarray, scann_config: cfg.ScannConfig,
                  docids=None):
         super().__init__(database, scann_config, docids)
+        database = self._project_database(database)
         bf = scann_config.brute_force or cfg.BruteForceConfig()
         self.quantize_mode = bf.quantize
         self._inv_mult = None
@@ -48,10 +49,49 @@ class BruteForceSearcher(base.Searcher):
                 jnp.asarray(database, jnp.float32) ** 2, axis=-1)
         else:
             self._db = jnp.asarray(database, jnp.float32)
+        self._valid = jnp.ones((database.shape[0],), bool)
 
     def _extra_state(self):
         return {"bf_db": self._db, "bf_inv_mult": self._inv_mult,
-                "bf_sq_norms": self._sq_norms}
+                "bf_sq_norms": self._sq_norms, "bf_valid": self._valid}
+
+    # ----------------------------------------------------------- mutation
+    def _apply_upsert(self, ids: np.ndarray, vecs: np.ndarray):
+        vecs = np.asarray(self._project_database(vecs))
+        cap = self._db.shape[0]
+        need = int(ids.max()) + 1
+        if need > cap:
+            grow = max(need - cap, cap // 5 + 1)
+            self._db = jnp.concatenate(
+                [self._db, jnp.zeros((grow, self._db.shape[1]),
+                                     self._db.dtype)], axis=0)
+            if self._sq_norms is not None:
+                self._sq_norms = jnp.concatenate(
+                    [self._sq_norms, jnp.zeros((grow,),
+                                               self._sq_norms.dtype)])
+            self._valid = jnp.concatenate(
+                [self._valid, jnp.zeros((grow,), bool)])
+        idx = jnp.asarray(ids, jnp.int32)
+        rows = jnp.asarray(vecs, jnp.float32)
+        if self.quantize_mode == cfg.INT8:
+            q = jnp.clip(jnp.round(rows / self._inv_mult[None, :]),
+                         -127, 127).astype(jnp.int8)
+            self._db = self._db.at[idx].set(q)
+            deq = q.astype(jnp.float32) * self._inv_mult[None, :]
+            self._sq_norms = self._sq_norms.at[idx].set(
+                jnp.sum(deq * deq, axis=-1))
+        else:
+            self._db = self._db.at[idx].set(rows.astype(self._db.dtype))
+            if self._sq_norms is not None:
+                self._sq_norms = self._sq_norms.at[idx].set(
+                    jnp.sum(rows * rows, axis=-1))
+        self._valid = self._valid.at[idx].set(True)
+        if self.reorder_helper is not None:
+            self.reorder_helper.ensure_capacity(need)
+            self.reorder_helper.update_rows(ids, vecs)
+
+    def _apply_delete(self, ids: np.ndarray):
+        self._valid = self._valid.at[jnp.asarray(ids, jnp.int32)].set(False)
 
     def _scores(self, queries, state):
         db = state["bf_db"]
@@ -82,10 +122,11 @@ class BruteForceSearcher(base.Searcher):
     def _select_candidates(self, queries, state, k_pre, leaves):
         del leaves
         nq = queries.shape[0]
-        n = self.n_points
+        n = state["bf_db"].shape[0]
         if nq * n <= _MAX_SCORES:
             sim = self._scores(queries, state)
-            return topk_ops.top_k_with_invalid(sim, k_pre)
+            return topk_ops.top_k_with_invalid(
+                sim, min(k_pre, n), valid=state["bf_valid"][None, :])
         # Chunked scan over the database axis with running top-k merge.
         chunk = max(1, _MAX_SCORES // nq)
         chunk = min(chunk, n)
@@ -98,6 +139,7 @@ class BruteForceSearcher(base.Searcher):
         sq_norms = state["bf_sq_norms"]
         if sq_norms is not None and pad_n != n:
             sq_norms = jnp.pad(sq_norms, (0, pad_n - n))
+        valid_padded = jnp.pad(state["bf_valid"], (0, pad_n - n))
 
         measure = self.config.distance_measure
         inv_mult = state["bf_inv_mult"]
@@ -121,11 +163,10 @@ class BruteForceSearcher(base.Searcher):
             sim = dist_ops.similarity(q, rows, measure, db_sq_norms=norms,
                                       query_sq_norms=q_sq, precision=prec)
             base_idx = ci * chunk
-            local = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
-            gidx = base_idx + local
-            valid = gidx < n
+            valid_c = jax.lax.dynamic_slice_in_dim(valid_padded, base_idx,
+                                                   chunk)
             cvals, cpos = topk_ops.top_k_with_invalid(
-                sim, min(k_pre, chunk), valid=valid)
+                sim, min(k_pre, chunk), valid=valid_c[None, :])
             cidx = jnp.where(cpos >= 0, base_idx + cpos,
                              topk_ops.INVALID_INDEX)
             return topk_ops.merge_top_k(vals, idx, cvals, cidx, k_pre), None

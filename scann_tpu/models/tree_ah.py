@@ -81,6 +81,7 @@ class TreeAHSearcher(base.Searcher):
 
     # ------------------------------------------------------------- build
     def _build(self, database: np.ndarray):
+        database = self._project_database(database)
         n, d = database.shape
         seed = self.config.seed
         soar = self.part_cfg.soar if self.part_cfg else None
@@ -161,23 +162,40 @@ class TreeAHSearcher(base.Searcher):
         """Encode all vectors, chunked on the host to bound device memory."""
         threshold = self.ah_cfg.anisotropic_quantization_threshold
         noise_shaped = not math.isnan(threshold)
-        if noise_shaped:
-            fn = jax.jit(lambda v, o: ah_ops.encode_noise_shaped(
-                v, o, self.model, threshold))
-        else:
-            fn = jax.jit(lambda v, o: ah_ops.encode(v, self.model))
+        def encode_and_err(v, o):
+            if noise_shaped:
+                codes = ah_ops.encode_noise_shaped(v, o, self.model,
+                                                   threshold)
+            else:
+                codes = ah_ops.encode(v, self.model)
+            recon = ah_ops.reconstruct(codes, self.model)
+            err = jnp.sum((v - recon) ** 2)
+            return codes, err
+
+        fn = jax.jit(encode_and_err)
         out = []
+        err_sum = 0.0
         for s in range(0, vectors.shape[0], _ENCODE_CHUNK):
             v = jnp.asarray(vectors[s:s + _ENCODE_CHUNK], jnp.float32)
             o = jnp.asarray(originals[s:s + _ENCODE_CHUNK], jnp.float32)
-            out.append(np.asarray(fn(v, o)))
+            codes, err = fn(v, o)
+            out.append(np.asarray(codes))
+            err_sum += float(err)
+        # Running mean squared quantization error across every encoded slot
+        # (HealthStats.avg_quantization_error is its sqrt).
+        prev_n = getattr(self, "_encoded_slots", 0)
+        prev = getattr(self, "_quantization_error_sq", 0.0) * prev_n
+        total_n = prev_n + vectors.shape[0]
+        self._encoded_slots = total_n
+        self._quantization_error_sq = (prev + err_sum) / max(total_n, 1)
         return np.concatenate(out, axis=0)
 
     def _layout_slots(self, codes: np.ndarray, leaf: np.ndarray,
                       dpid: np.ndarray) -> TreeAHIndex:
         """Sort slots by leaf and pad to a chunk multiple (the TPU analogue
         of the reference's per-leaf PackedDataset layout,
-        asymmetric_hashing2/querying.h:73-105)."""
+        asymmetric_hashing2/querying.h:73-105).  Padding slots (dpid == -1)
+        double as free capacity for the mutator."""
         order = np.argsort(leaf, kind="stable")
         codes = codes[order]
         leaf = leaf[order]
@@ -191,9 +209,139 @@ class TreeAHSearcher(base.Searcher):
             codes = np.pad(codes, ((0, pad), (0, 0)))
             leaf = np.pad(leaf, (0, pad))
             dpid = np.pad(dpid, (0, pad), constant_values=-1)
+        self._host = {"codes": codes, "leaf": leaf, "dpid": dpid}
+        self._dpid_slots = None  # built lazily on first mutation
         return TreeAHIndex(codes=jnp.asarray(codes),
                            slot_dpid=jnp.asarray(dpid),
                            slot_leaf=jnp.asarray(leaf))
+
+    # ----------------------------------------------------------- mutation
+    def _ensure_mutable_maps(self):
+        if getattr(self, "_dpid_slots", None) is None:
+            self._host = {k: (v if v.flags.writeable else v.copy())
+                          for k, v in self._host.items()}
+            dp = self._host["dpid"]
+            self._dpid_slots = {}
+            for slot in np.nonzero(dp >= 0)[0]:
+                self._dpid_slots.setdefault(int(dp[slot]), []).append(
+                    int(slot))
+            self._free_slots = list(np.nonzero(dp < 0)[0][::-1])
+
+    def _encode_rows(self, vecs: np.ndarray):
+        """Tokenize + residualize + encode a small batch of vectors with
+        the same kernels as the build (ComputePrecomputedMutationArtifacts /
+        TokenizeAndMaybeResidualize, tree_ah_hybrid_residual.cc:1044-1069).
+        Returns (slot_leafs, codes) with one or two (SOAR) slots per row."""
+        soar = self.part_cfg.soar if self.part_cfg is not None else None
+        if self.partitioner is None:
+            tokens = np.zeros((len(vecs), 1), np.int32)
+        elif soar is not None:
+            tokens = np.asarray(
+                self.partitioner.tokenize_database_soar(vecs, soar))
+        else:
+            tokens = np.asarray(
+                self.partitioner.tokenize_database(vecs))[:, None]
+        threshold = self.ah_cfg.anisotropic_quantization_threshold
+        noise_shaped = not math.isnan(threshold)
+        all_codes = []
+        for col in range(tokens.shape[1]):
+            if self.residual and self.partitioner is not None:
+                v = np.asarray(self.partitioner.residualize(
+                    vecs, tokens[:, col]))
+            else:
+                v = vecs
+            vj = jnp.asarray(v, jnp.float32)
+            oj = jnp.asarray(vecs, jnp.float32)
+            if noise_shaped:
+                c = ah_ops.encode_noise_shaped(vj, oj, self.model, threshold)
+            else:
+                c = ah_ops.encode(vj, self.model)
+            all_codes.append(np.asarray(c))
+        return tokens, all_codes
+
+    def _grow_slots(self, extra: int):
+        """Append free capacity (chunk-aligned) and re-upload; jit retraces
+        on the new shapes automatically since index arrays are arguments."""
+        grow = _round_up(max(extra, self._host["codes"].shape[0] // 5 + 1),
+                         self._chunk)
+        h = self._host
+        h["codes"] = np.pad(h["codes"], ((0, grow), (0, 0)))
+        h["leaf"] = np.pad(h["leaf"], (0, grow))
+        h["dpid"] = np.pad(h["dpid"], (0, grow), constant_values=-1)
+        self._free_slots.extend(
+            range(len(h["dpid"]) - grow, len(h["dpid"])))
+        self.index = TreeAHIndex(codes=jnp.asarray(h["codes"]),
+                                 slot_dpid=jnp.asarray(h["dpid"]),
+                                 slot_leaf=jnp.asarray(h["leaf"]))
+
+    def _apply_upsert(self, ids: np.ndarray, vecs: np.ndarray):
+        self._ensure_mutable_maps()
+        vecs = np.asarray(self._project_database(vecs))
+        tokens, codes_per_col = self._encode_rows(vecs)
+        # Free any existing slots for updated ids, then allocate fresh.
+        for i in ids:
+            for slot in self._dpid_slots.pop(int(i), []):
+                self._host["dpid"][slot] = -1
+                self._free_slots.append(slot)
+        needed = len(ids) * tokens.shape[1]
+        if len(self._free_slots) < needed:
+            self._grow_slots(needed - len(self._free_slots))
+        slot_list, code_list, leaf_list, dpid_list = [], [], [], []
+        for col in range(tokens.shape[1]):
+            for r, i in enumerate(ids):
+                slot = self._free_slots.pop()
+                slot_list.append(slot)
+                code_list.append(codes_per_col[col][r])
+                leaf_list.append(tokens[r, col])
+                dpid_list.append(int(i))
+                self._dpid_slots.setdefault(int(i), []).append(slot)
+        slot_arr = np.asarray(slot_list, np.int32)
+        code_arr = np.asarray(code_list, np.int8)
+        leaf_arr = np.asarray(leaf_list, np.int32)
+        dpid_arr = np.asarray(dpid_list, np.int32)
+        h = self._host
+        h["codes"][slot_arr] = code_arr
+        h["leaf"][slot_arr] = leaf_arr
+        h["dpid"][slot_arr] = dpid_arr
+        sidx = jnp.asarray(slot_arr)
+        self.index = TreeAHIndex(
+            codes=self.index.codes.at[sidx].set(jnp.asarray(code_arr)),
+            slot_dpid=self.index.slot_dpid.at[sidx].set(
+                jnp.asarray(dpid_arr)),
+            slot_leaf=self.index.slot_leaf.at[sidx].set(
+                jnp.asarray(leaf_arr)))
+        self._num_slots = int(np.sum(h["dpid"] >= 0))
+        # Keep token map + rescoring data in sync.
+        self._grow_token_map(ids, tokens)
+        if self.reorder_helper is not None:
+            self.reorder_helper.ensure_capacity(int(ids.max()) + 1)
+            self.reorder_helper.update_rows(ids, vecs)
+
+    def _grow_token_map(self, ids, tokens):
+        t = self.datapoint_to_token
+        if not t.flags.writeable:
+            t = t.copy()
+        width = t.shape[1]
+        max_id = int(ids.max())
+        if max_id >= t.shape[0]:
+            t = np.pad(t, ((0, max_id + 1 - t.shape[0]), (0, 0)),
+                       constant_values=-1)
+        t[ids, :min(width, tokens.shape[1])] = tokens[:, :width]
+        self.datapoint_to_token = t
+
+    def _apply_delete(self, ids: np.ndarray):
+        self._ensure_mutable_maps()
+        slots = []
+        for i in ids:
+            slots.extend(self._dpid_slots.pop(int(i), []))
+        if not slots:
+            return
+        slot_arr = np.asarray(slots, np.int32)
+        self._host["dpid"][slot_arr] = -1
+        self._free_slots.extend(slots)
+        self.index = self.index._replace(
+            slot_dpid=self.index.slot_dpid.at[jnp.asarray(slot_arr)].set(-1))
+        self._num_slots = int(np.sum(self._host["dpid"] >= 0))
 
     # ------------------------------------------------------------ restore
     def _restore(self, artifacts: dict):

@@ -44,6 +44,7 @@ class TreeXSearcher(base.Searcher):
         self._build(database)
 
     def _build(self, database: np.ndarray):
+        database = self._project_database(database)
         n, d = database.shape
         self.partitioner = kmeans_tree.KMeansTreePartitioner.train(
             database, self.part_cfg, self.measure, self.config.seed)

@@ -61,12 +61,23 @@ def save_searcher(searcher, artifacts_dir: str):
         put("reorder_db", rh._db)
         put("reorder_inv_mult", rh._inv_mult)
         put("reorder_sq_norms", rh._sq_norms)
+    if searcher.projector is not None:
+        put("proj_matrix", searcher.projector.matrix)
+        meta["proj_out_dims"] = searcher.projector.out_dims
+    if getattr(searcher, "_mut", None) is not None:
+        # Vector mirror powering upsert/delete/rebalance (the reference
+        # keeps dataset.npy for RetrainAndReindex similarly).
+        put("mut_vectors", jnp.asarray(searcher._mut.vectors))
+        put("mut_alive", jnp.asarray(searcher._mut.alive))
+        meta["mutations_since_rebuild"] = (
+            searcher._mut.mutations_since_rebuild)
 
     tname = meta["type"]
     if tname == "BruteForceSearcher":
         put("bf_db", searcher._db)
         put("bf_inv_mult", searcher._inv_mult)
         put("bf_sq_norms", searcher._sq_norms)
+        put("bf_valid", searcher._valid)
     elif tname == "TreeAHSearcher":
         put("codes", searcher.index.codes)
         put("slot_dpid", searcher.index.slot_dpid)
@@ -131,6 +142,9 @@ def load_searcher(artifacts_dir: str):
         s._db = arrays["bf_db"]
         s._inv_mult = arrays.get("bf_inv_mult")
         s._sq_norms = arrays.get("bf_sq_norms")
+        s._valid = arrays.get("bf_valid")
+        if s._valid is None:
+            s._valid = jnp.ones((s._db.shape[0],), bool)
         return s
     if tname == "TreeAHSearcher":
         from scann_tpu.models import tree_ah
@@ -150,6 +164,10 @@ def load_searcher(artifacts_dir: str):
         s._chunk = meta["chunk"]
         s.datapoint_to_token = np.asarray(arrays["datapoint_to_token"])
         s.partitioner = _load_partitioner(arrays, scann_config)
+        s._host = {"codes": np.asarray(s.index.codes),
+                   "leaf": np.asarray(s.index.slot_leaf),
+                   "dpid": np.asarray(s.index.slot_dpid)}
+        s._dpid_slots = None
         return s
     if tname == "TreeXSearcher":
         from scann_tpu.models import tree_x
@@ -179,6 +197,22 @@ def _init_base(s, scann_config, meta, arrays, docids):
     s.dims = meta["dims"]
     s.docids = docids
     s._compiled = {}
+    s._mut = None
+    if "mut_vectors" in arrays:
+        from scann_tpu import mutation
+        st = mutation.MutationState(np.asarray(arrays["mut_vectors"]),
+                                    docids)
+        st.alive = np.asarray(arrays["mut_alive"])
+        st.docid_to_id = {d: i for i, d in enumerate(docids)
+                          if st.alive[i]}
+        st.mutations_since_rebuild = meta.get("mutations_since_rebuild", 0)
+        s._mut = st
+    s.projector = None
+    if "proj_out_dims" in meta:
+        from scann_tpu.ops import projection as proj_ops
+        s.projector = proj_ops.Projector(
+            matrix=arrays.get("proj_matrix"),
+            out_dims=meta["proj_out_dims"])
     s.reorder_helper = None
     if scann_config.reordering is not None:
         rh = object.__new__(base.ReorderHelper)

@@ -1,0 +1,116 @@
+"""Projection, autopilot, and health-stats tests (reference:
+test_pca/test_truncation, test_autopilot, health stats assertions in
+scann_ops_pybind_updates_test.py)."""
+
+import numpy as np
+
+import scann_tpu
+from scann_tpu import config as cfg
+from scann_tpu.utils import autopilot as autopilot_mod
+from scann_tpu.utils import health as health_mod
+
+
+def make_data(n=4000, d=32, nq=32, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((30, d)).astype(np.float32)
+    db = (centers[rng.integers(0, 30, n)]
+          + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    return db, q
+
+
+def recall(idx, truth):
+    k = truth.shape[1]
+    return np.mean([len(set(idx[i]) & set(truth[i])) / k
+                    for i in range(len(truth))])
+
+
+def test_truncation():
+    db, q = make_data()
+    # MRL-style embeddings: energy concentrated in the leading dims, which
+    # is the case truncation is for (scann_builder.py:116).
+    decay = np.exp(-np.arange(32, dtype=np.float32) / 4.0)
+    db = db * decay
+    q = q * decay
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .truncate(16)
+         .tree(num_leaves=16, num_leaves_to_search=16,
+               training_sample_size=4000)
+         .score_ah(2).reorder(80).build())
+    idx, _ = s.search_batched(q)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    # Truncation halves the space but exact reorder on raw vectors
+    # recovers most of the quality.
+    assert recall(idx, truth) >= 0.8
+
+
+def test_pca():
+    db, q = make_data(d=64)
+    # Embed structure in a low-dim subspace so PCA is nearly lossless.
+    mix = np.random.default_rng(1).standard_normal((64, 64)).astype(
+        np.float32) * 0.01
+    mix[:16, :] += np.random.default_rng(2).standard_normal(
+        (16, 64)).astype(np.float32)
+    db = db @ mix
+    q = q @ mix
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .pca(pca_significance_threshold=0.995)
+         .tree(num_leaves=16, num_leaves_to_search=16,
+               training_sample_size=4000)
+         .score_ah(2).reorder(80).build())
+    assert s.projector is not None
+    assert s.projector.out_dims < 64
+    idx, _ = s.search_batched(q)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    assert recall(idx, truth) >= 0.85
+
+
+def test_autopilot_small_is_brute_force():
+    db = np.random.default_rng(0).random((500, 16)).astype(np.float32)
+    out = autopilot_mod.autopilot_rewrite(
+        cfg.ScannConfig(num_neighbors=10, distance_measure="dot_product",
+                        autopilot=cfg.AutopilotConfig()), db)
+    assert out.brute_force is not None
+    assert out.partitioning is None
+
+
+def test_autopilot_large_is_tree_ah():
+    db = np.zeros((200_000, 64), np.float32)
+    out = autopilot_mod.autopilot_rewrite(
+        cfg.ScannConfig(num_neighbors=10, distance_measure="dot_product",
+                        autopilot=cfg.AutopilotConfig()), db)
+    assert out.partitioning is not None
+    assert out.asymmetric_hash is not None
+    assert out.asymmetric_hash.residual_quantization is True
+    assert out.asymmetric_hash.anisotropic_quantization_threshold == 0.2
+    assert out.reordering is not None
+    # reference formula: reorder = ceil(max(2k, 100*sqrt(k)))
+    assert out.reordering.reordering_num_neighbors == int(
+        np.ceil(100 * np.sqrt(10)))
+    assert out.partitioning.num_leaves <= 200_000 // 200
+
+
+def test_autopilot_end_to_end():
+    db, q = make_data(n=2000)
+    s = scann_tpu.builder(db, 10, "dot_product").autopilot().build()
+    idx, _ = s.search_batched(q)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    assert recall(idx, truth) >= 0.95
+
+
+def test_health_stats():
+    db, q = make_data()
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=4,
+               training_sample_size=4000)
+         .score_ah(2, anisotropic_quantization_threshold=0.2).build())
+    hs = s.get_health_stats()
+    assert hs["sum_partition_sizes"] == len(db)
+    assert hs["avg_quantization_error"] > 0
+    assert hs["partition_weighted_avg_relative_imbalance"] >= 0
+    # Perfectly balanced partitions -> zero imbalance.
+    w, p = health_mod.partition_imbalance(np.full(8, 100))
+    assert abs(w) < 1e-9 and p == 0.0
+    # Imbalanced -> positive.
+    w, p = health_mod.partition_imbalance(np.array([10, 10, 300, 10]))
+    assert w > 0 and p > 0

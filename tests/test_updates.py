@@ -1,0 +1,155 @@
+"""Dynamic update lifecycle tests (reference:
+scann_ops_pybind_updates_test.py: test_updates, test_rebalance,
+test_serialization_with_updates, test_online_training)."""
+
+import numpy as np
+import pytest
+
+import scann_tpu
+
+
+def make_data(n=2000, d=24, nq=16, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((20, d)).astype(np.float32)
+    db = (centers[rng.integers(0, 20, n)]
+          + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    return db, q
+
+
+def build_tree_ah(db, docids, **tree_kw):
+    return (scann_tpu.builder(db, 5, "dot_product")
+            .tree(num_leaves=16, num_leaves_to_search=16,
+                  training_sample_size=2000, **tree_kw)
+            .score_ah(2, anisotropic_quantization_threshold=0.2)
+            .reorder(40).build(docids=docids))
+
+
+def test_upsert_insert_and_search():
+    db, q = make_data()
+    docids = [f"d{i}" for i in range(len(db))]
+    s = build_tree_ah(db, docids)
+    # Insert brand-new points that are exact matches of the queries.
+    new_ids = [f"new{i}" for i in range(len(q))]
+    s.upsert(new_ids, q)
+    idx, dist = s.search_batched(q)
+    # Each query's nearest neighbor must now be its own inserted copy
+    # (dot with itself maximal for these near-unit norms... verify membership).
+    for i in range(len(q)):
+        assert f"new{i}" in idx[i], idx[i]
+
+
+def test_upsert_update_moves_point():
+    db, q = make_data()
+    docids = [f"d{i}" for i in range(len(db))]
+    s = build_tree_ah(db, docids)
+    # Move d0 exactly onto query 0.
+    s.upsert("d0", q[0] * 3.0)
+    idx, _ = s.search(q[0])
+    assert "d0" in idx
+
+
+def test_delete_removes_point():
+    db, q = make_data()
+    docids = [f"d{i}" for i in range(len(db))]
+    s = build_tree_ah(db, docids)
+    idx0, _ = s.search(q[0])
+    victim = idx0[0]
+    s.delete(victim)
+    idx1, _ = s.search(q[0])
+    assert victim not in idx1
+
+
+def test_delete_then_reinsert():
+    db, q = make_data()
+    docids = [f"d{i}" for i in range(len(db))]
+    s = build_tree_ah(db, docids)
+    s.delete("d0")
+    s.upsert("d0", q[0] * 2.0)
+    idx, _ = s.search(q[0])
+    assert "d0" in idx
+
+
+def test_rebalance():
+    db, q = make_data()
+    docids = [f"d{i}" for i in range(len(db))]
+    s = build_tree_ah(db, docids)
+    s.upsert([f"n{i}" for i in range(8)], q[:8] * 2.0)
+    s.delete(["d1", "d2"])
+    s.rebalance()
+    # After rebalance: deleted gone, inserted present, search works.
+    idx, _ = s.search(q[0])
+    assert "n0" in idx
+    assert "d1" not in idx and "d2" not in idx
+    hs = s.get_health_stats()
+    assert hs["sum_partition_sizes"] == len(db) + 8 - 2
+
+
+def test_upsert_many_triggers_growth():
+    db, q = make_data(n=500)
+    docids = [f"d{i}" for i in range(len(db))]
+    s = build_tree_ah(db, docids)
+    rng = np.random.default_rng(5)
+    extra = rng.standard_normal((700, db.shape[1])).astype(np.float32)
+    s.upsert([f"x{i}" for i in range(700)], extra)
+    idx, _ = s.search_batched(q)
+    assert len(idx) == len(q) and len(idx[0]) == 5
+    # Specific new points findable.
+    i0, _ = s.search(extra[0])
+    assert "x0" in i0
+
+
+def test_online_training_auto_rebalance():
+    """incremental_threshold triggers automatic retrain
+    (reference: test_online_training)."""
+    db, q = make_data(n=500)
+    docids = [f"d{i}" for i in range(len(db))]
+    s = (scann_tpu.builder(db, 5, "dot_product")
+         .tree(num_leaves=8, num_leaves_to_search=8,
+               training_sample_size=500, incremental_threshold=0.1)
+         .score_ah(2).reorder(40).build(docids=docids))
+    rng = np.random.default_rng(7)
+    extra = rng.standard_normal((100, db.shape[1])).astype(np.float32)
+    s.upsert([f"x{i}" for i in range(100)], extra)
+    # threshold 0.1 * 500 = 50 < 100 -> rebalance must have run
+    assert s._mut.mutations_since_rebuild == 0
+    i0, _ = s.search(extra[3])
+    assert "x3" in i0
+
+
+def test_serialization_with_updates(tmp_path):
+    db, q = make_data()
+    docids = [f"d{i}" for i in range(len(db))]
+    s = build_tree_ah(db, docids)
+    s.upsert("zz", q[0] * 2.0)
+    s.delete("d3")
+    i1, d1 = s.search_batched(q)
+    s.serialize(str(tmp_path))
+    s2 = scann_tpu.load_searcher(str(tmp_path))
+    i2, d2 = s2.search_batched(q)
+    assert i1 == i2  # docid lists
+    np.testing.assert_array_equal(d1, d2)
+    # Mutation continues to work after reload.
+    s2.upsert("yy", q[1] * 2.0)
+    iy, _ = s2.search(q[1])
+    assert "yy" in iy
+
+
+def test_brute_force_updates():
+    db, q = make_data(n=300)
+    docids = [f"d{i}" for i in range(300)]
+    s = (scann_tpu.builder(db, 5, "squared_l2")
+         .score_brute_force().build(docids=docids))
+    s.upsert("p", q[0])
+    idx, dist = s.search(q[0])
+    assert idx[0] == "p" and dist[0] < 1e-6
+    s.delete("p")
+    idx, _ = s.search(q[0])
+    assert "p" not in idx
+
+
+def test_mutation_requires_docids():
+    db, q = make_data(n=200)
+    s = scann_tpu.builder(db, 5, "dot_product").score_brute_force().build()
+    with pytest.raises(ValueError):
+        s.upsert("a", q[0])
