@@ -15,9 +15,22 @@ workstation (docs/example.ipynb, BASELINE.md).
 """
 
 import json
+import logging
+import sys
 import time
 
 import numpy as np
+
+logging.basicConfig(stream=sys.stderr, level=logging.INFO,
+                    format="%(message)s")
+
+
+def _log(msg):
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
 
 N_DB = 1_183_514
 N_QUERY = 10_000
@@ -66,7 +79,9 @@ def recall_at_k(idx, truth):
 def main():
     import scann_tpu
 
+    _log("generating corpus")
     db, q = make_glove_like(N_DB, N_QUERY, DIM)
+    _log("corpus ready")
 
     t0 = time.perf_counter()
     searcher = (scann_tpu.builder(db, K, "dot_product")
@@ -75,8 +90,10 @@ def main():
                 .score_ah(2, anisotropic_quantization_threshold=0.2)
                 .reorder(100).build())
     build_s = time.perf_counter() - t0
+    _log(f"index built in {build_s:.1f}s")
 
     truth = exact_ground_truth(db, q, K)
+    _log("ground truth ready")
 
     best = None
     for leaves in (100, 150, 200, 300, 500, 1000, 2000):
@@ -88,6 +105,7 @@ def main():
         r = recall_at_k(idx, truth)
         qps = N_QUERY / dt
         best = {"leaves": leaves, "recall": r, "qps": qps}
+        _log(f"leaves={leaves}: recall@10={r:.4f} qps={qps:.0f}")
         if r >= RECALL_TARGET:
             break
 

@@ -56,6 +56,7 @@ class ScannBuilder:
         self._reorder: Optional[cfg.ReorderConfig] = None
         self._projection: Optional[cfg.ProjectionConfig] = None
         self._autopilot: Optional[cfg.AutopilotConfig] = None
+        self._upper_tree: Optional[cfg.UpperTreeConfig] = None
         self.seed = 42
 
     def set_n_training_threads(self, threads: int) -> "ScannBuilder":
@@ -99,6 +100,27 @@ class ScannBuilder:
             incremental_threshold=incremental_threshold,
             avq=avq,
             soar=soar)
+        return self
+
+    def upper_tree(self, num_leaves, num_leaves_to_search,
+                   avq=float("nan"), soar_lambda=None,
+                   overretrieve_factor=None,
+                   scoring_mode=ReorderType.INT8,
+                   anisotropic_quantization_threshold=float("nan")
+                   ) -> "ScannBuilder":
+        """Configure an additional tree layer; REQUIRES tree()
+        (reference: scann_builder.py:133-161)."""
+        if self._upper_tree is not None:
+            raise ValueError("upper_tree has already been configured")
+        del anisotropic_quantization_threshold
+        import math as _math
+        self._upper_tree = cfg.UpperTreeConfig(
+            num_leaves=num_leaves, num_leaves_to_search=num_leaves_to_search,
+            avq=None if (isinstance(avq, float) and _math.isnan(avq))
+            else avq,
+            soar_lambda=soar_lambda,
+            overretrieve_factor=overretrieve_factor,
+            scoring_mode=_quantize_name(scoring_mode))
         return self
 
     def score_ah(self, dimensions_per_block,
@@ -194,10 +216,16 @@ class ScannBuilder:
                         and self.distance_measure == cfg.DOT_PRODUCT)
             ah = cfg.AsymmetricHashConfig(
                 **{**ah.__dict__, "residual_quantization": residual})
+        partitioning = self._partitioning
+        if self._upper_tree is not None:
+            if partitioning is None:
+                raise ValueError("upper_tree requires tree() to be set")
+            partitioning = cfg.PartitioningConfig(
+                **{**partitioning.__dict__, "upper_tree": self._upper_tree})
         return cfg.ScannConfig(
             num_neighbors=self.num_neighbors,
             distance_measure=self.distance_measure,
-            partitioning=self._partitioning,
+            partitioning=partitioning,
             asymmetric_hash=ah,
             brute_force=self._bf,
             reordering=self._reorder,

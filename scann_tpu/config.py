@@ -38,6 +38,25 @@ class SoarConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class UpperTreeConfig:
+    """Second-level partitioner over the leaf centroids, making query
+    tokenization itself approximate (reference: BottomUpTopLevelPartitioner,
+    proto/partitioning.proto:282-313, TreeBruteForceSecondLevelWrapper,
+    tree_brute_force_second_level_wrapper.h:44-100; builder upper_tree,
+    scann_builder.py:133-161).  On TPU this only pays off at very large
+    leaf counts; the quantization/soar/avq sub-knobs of the reference's
+    upper tree are accepted for API parity but the centroid search runs as
+    one masked matmul."""
+
+    num_leaves: int = 0
+    num_leaves_to_search: int = 1
+    avq: Optional[float] = None
+    soar_lambda: Optional[float] = None
+    overretrieve_factor: Optional[float] = None
+    scoring_mode: str = INT8
+
+
+@dataclasses.dataclass(frozen=True)
 class PartitioningConfig:
     """K-means tree partitioning (reference: scann/proto/partitioning.proto,
     assembled by ScannBuilder.tree, scann_builder.py:163-239)."""
@@ -55,6 +74,7 @@ class PartitioningConfig:
     avq: Optional[float] = None  # AVQ eta; dot product only
     soar: Optional[SoarConfig] = None
     incremental_threshold: Optional[float] = None
+    upper_tree: Optional[UpperTreeConfig] = None
 
     def __post_init__(self):
         if self.num_leaves <= 0:
@@ -180,7 +200,8 @@ def _config_from_dict(raw: dict) -> ScannConfig:
     part = raw.get("partitioning")
     if part is not None:
         soar = _build(SoarConfig, part.pop("soar", None))
-        part = PartitioningConfig(**part, soar=soar)
+        upper = _build(UpperTreeConfig, part.pop("upper_tree", None))
+        part = PartitioningConfig(**part, soar=soar, upper_tree=upper)
     return ScannConfig(
         num_neighbors=raw["num_neighbors"],
         distance_measure=raw["distance_measure"],

@@ -152,7 +152,19 @@ class Searcher:
             self.projector = proj_ops.train_projection(
                 database, scann_config.projection, seed=scann_config.seed)
         self._enable_mutation(database, self.docids)
+        self._crowding_attrs = None
         self._compiled = {}
+
+    def set_crowding(self, attributes):
+        """Attach per-datapoint crowding attributes (reference:
+        EnableCrowding, base/single_machine_base.h:126-163).  Attributes
+        must be int32; result caps are then requested per search via
+        ``per_crowding_attribute_num_neighbors``."""
+        attributes = np.asarray(attributes, np.int32)
+        if attributes.shape != (self.n_points,):
+            raise ValueError(
+                f"crowding attributes must have shape ({self.n_points},)")
+        self._crowding_attrs = jnp.asarray(attributes)
 
     def _project_database(self, database: np.ndarray) -> np.ndarray:
         if self.projector is None:
@@ -190,7 +202,8 @@ class Searcher:
         return 0
 
     # ------------------------------------------------------------ pipeline
-    def _search_impl(self, queries, state, k: int, k_pre: int, leaves: int):
+    def _search_impl(self, queries, state, k: int, k_pre: int, leaves: int,
+                     crowding_limit: int = 0):
         # Candidate selection runs in the (possibly projected) index space;
         # exact reordering below uses the raw queries.
         q_proj = self._project_queries(queries, state)
@@ -202,6 +215,11 @@ class Searcher:
                 sim, pos = jax.lax.top_k(sim, k_pre)
                 idx = jnp.take_along_axis(idx, pos, axis=-1)
             sim = self.reorder_helper.rescore(queries, idx, state["reorder"])
+        if crowding_limit > 0 and state.get("crowding_attrs") is not None:
+            attrs = jnp.take(state["crowding_attrs"],
+                             jnp.maximum(idx, 0), axis=0)
+            sim, idx = topk_ops.crowding_filter(sim, idx, attrs,
+                                                crowding_limit)
         kk = min(k, sim.shape[-1])
         vals, pos = jax.lax.top_k(sim, kk)
         idx = jnp.take_along_axis(idx, pos, axis=-1)
@@ -217,12 +235,14 @@ class Searcher:
                            constant_values=np.nan)
         return idx, dist
 
-    def _get_compiled(self, batch: int, k: int, k_pre: int, leaves: int):
-        key = (batch, k, k_pre, leaves)
+    def _get_compiled(self, batch: int, k: int, k_pre: int, leaves: int,
+                      crowding_limit: int = 0):
+        key = (batch, k, k_pre, leaves, crowding_limit)
         fn = self._compiled.get(key)
         if fn is None:
             fn = jax.jit(functools.partial(
-                self._search_impl, k=k, k_pre=k_pre, leaves=leaves))
+                self._search_impl, k=k, k_pre=k_pre, leaves=leaves,
+                crowding_limit=crowding_limit))
             self._compiled[key] = fn
         return fn
 
@@ -246,10 +266,20 @@ class Searcher:
 
     # ------------------------------------------------------------- public
     def search_batched(self, queries, final_num_neighbors=None,
-                       pre_reorder_num_neighbors=None, leaves_to_search=None):
+                       pre_reorder_num_neighbors=None, leaves_to_search=None,
+                       restrict_allowlist=None,
+                       per_crowding_attribute_num_neighbors=None):
         """Batched search; mirrors ScannSearcher.search_batched
         (scann_ops_pybind.py:67-90).  Returns (indices, distances) numpy
-        arrays of shape (num_queries, k)."""
+        arrays of shape (num_queries, k).
+
+        restrict_allowlist: optional (n_points,) bool mask restricting
+        results to allowed datapoints (reference: RestrictAllowlist,
+        restricts/restrict_allowlist.h:46-110).
+        per_crowding_attribute_num_neighbors: optional cap on results per
+        crowding attribute (requires set_crowding; reference:
+        SearchParameters::per_crowding_attribute_post_reordering_num_
+        neighbors, base/search_parameters.h)."""
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim != 2:
             raise ValueError(f"queries must be 2d, got shape {queries.shape}")
@@ -259,12 +289,29 @@ class Searcher:
                 f"database dimensionality {self.query_dims}")
         k, k_pre, leaves = self._resolve_params(
             final_num_neighbors, pre_reorder_num_neighbors, leaves_to_search)
+        crowding_limit = 0
+        if per_crowding_attribute_num_neighbors is not None:
+            if self._crowding_attrs is None:
+                raise ValueError(
+                    "call set_crowding(attributes) before searching with "
+                    "per_crowding_attribute_num_neighbors")
+            crowding_limit = int(per_crowding_attribute_num_neighbors)
         nq = queries.shape[0]
         bucket = _next_bucket(nq)
         padded = np.zeros((bucket, queries.shape[1]), np.float32)
         padded[:nq] = queries
-        fn = self._get_compiled(bucket, k, k_pre, leaves)
-        idx, dist = fn(jnp.asarray(padded), self._state())
+        fn = self._get_compiled(bucket, k, k_pre, leaves, crowding_limit)
+        state = self._state()
+        if restrict_allowlist is not None:
+            allow = np.asarray(restrict_allowlist, bool)
+            if allow.shape != (self.n_points,):
+                raise ValueError(
+                    f"restrict_allowlist must have shape "
+                    f"({self.n_points},)")
+            state["restrict"] = jnp.asarray(allow)
+        if crowding_limit > 0:
+            state["crowding_attrs"] = self._crowding_attrs
+        idx, dist = fn(jnp.asarray(padded), state)
         idx = np.asarray(idx[:nq])
         dist = np.asarray(dist[:nq])
         if self.docids is not None:
@@ -277,21 +324,23 @@ class Searcher:
     # this is an alias kept for API parity.
     def search_batched_parallel(self, queries, final_num_neighbors=None,
                                 pre_reorder_num_neighbors=None,
-                                leaves_to_search=None, batch_size=256):
+                                leaves_to_search=None, batch_size=256,
+                                **kwargs):
         del batch_size
         return self.search_batched(queries, final_num_neighbors,
                                    pre_reorder_num_neighbors,
-                                   leaves_to_search)
+                                   leaves_to_search, **kwargs)
 
     def search(self, q, final_num_neighbors=None,
-               pre_reorder_num_neighbors=None, leaves_to_search=None):
+               pre_reorder_num_neighbors=None, leaves_to_search=None,
+               **kwargs):
         """Single-query search (scann_ops_pybind.py:51-65)."""
         q = np.asarray(q, dtype=np.float32)
         if q.ndim != 1:
             raise ValueError(f"query must be 1d, got shape {q.shape}")
         idx, dist = self.search_batched(q[None, :], final_num_neighbors,
                                         pre_reorder_num_neighbors,
-                                        leaves_to_search)
+                                        leaves_to_search, **kwargs)
         return idx[0], dist[0]
 
     # ---------------------------------------------------------- mutation

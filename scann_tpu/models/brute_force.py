@@ -125,8 +125,14 @@ class BruteForceSearcher(base.Searcher):
         n = state["bf_db"].shape[0]
         if nq * n <= _MAX_SCORES:
             sim = self._scores(queries, state)
+            valid = state["bf_valid"]
+            if state.get("restrict") is not None:
+                r = state["restrict"]
+                valid = jnp.logical_and(
+                    valid, jnp.pad(r, (0, n - r.shape[0]),
+                                   constant_values=False))
             return topk_ops.top_k_with_invalid(
-                sim, min(k_pre, n), valid=state["bf_valid"][None, :])
+                sim, min(k_pre, n), valid=valid[None, :])
         # Chunked scan over the database axis with running top-k merge.
         chunk = max(1, _MAX_SCORES // nq)
         chunk = min(chunk, n)
@@ -140,6 +146,11 @@ class BruteForceSearcher(base.Searcher):
         if sq_norms is not None and pad_n != n:
             sq_norms = jnp.pad(sq_norms, (0, pad_n - n))
         valid_padded = jnp.pad(state["bf_valid"], (0, pad_n - n))
+        if state.get("restrict") is not None:
+            r = state["restrict"]
+            valid_padded = jnp.logical_and(
+                valid_padded, jnp.pad(r, (0, pad_n - r.shape[0]),
+                                      constant_values=False))
 
         measure = self.config.distance_measure
         inv_mult = state["bf_inv_mult"]
@@ -165,7 +176,7 @@ class BruteForceSearcher(base.Searcher):
             base_idx = ci * chunk
             valid_c = jax.lax.dynamic_slice_in_dim(valid_padded, base_idx,
                                                    chunk)
-            cvals, cpos = topk_ops.top_k_with_invalid(
+            cvals, cpos = topk_ops.chunk_top_k(
                 sim, min(k_pre, chunk), valid=valid_c[None, :])
             cidx = jnp.where(cpos >= 0, base_idx + cpos,
                              topk_ops.INVALID_INDEX)

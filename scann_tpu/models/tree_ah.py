@@ -27,7 +27,9 @@ tree_ah_hybrid_residual.cc:631-846):
 
 from __future__ import annotations
 
+import logging
 import math
+import time
 from typing import NamedTuple, Optional
 
 import jax
@@ -81,6 +83,12 @@ class TreeAHSearcher(base.Searcher):
 
     # ------------------------------------------------------------- build
     def _build(self, database: np.ndarray):
+        t_start = time.perf_counter()
+
+        def _phase(name):
+            logging.getLogger("scann_tpu").info(
+                "build %s at +%.1fs", name, time.perf_counter() - t_start)
+
         database = self._project_database(database)
         n, d = database.shape
         seed = self.config.seed
@@ -93,6 +101,7 @@ class TreeAHSearcher(base.Searcher):
         if self.part_cfg is not None:
             self.partitioner = kmeans_tree.KMeansTreePartitioner.train(
                 database, self.part_cfg, self.measure, seed)
+            _phase("partitioner trained")
             if soar is not None:
                 tokens2 = np.asarray(
                     self.partitioner.tokenize_database_soar(database, soar))
@@ -114,6 +123,7 @@ class TreeAHSearcher(base.Searcher):
             tokens = np.zeros((n,), np.int32)
             tokens2 = None
 
+        _phase("database tokenized")
         self.datapoint_to_token = (tokens2 if tokens2 is not None
                                    else tokens[:, None])
 
@@ -140,8 +150,10 @@ class TreeAHSearcher(base.Searcher):
                     k_train,
                     jnp.asarray(primary_vecs[sample_idx], jnp.float32))
         self.model = ah_ops.AHModel(codebook=codebook, dims=d)
+        _phase("AH model trained")
 
         codes_primary = self._encode_dataset(primary_vecs, database)
+        _phase("dataset encoded")
         if soar is not None:
             sec_vecs = np.asarray(self.partitioner.residualize(
                 database, tokens2[:, 1]))
@@ -156,6 +168,7 @@ class TreeAHSearcher(base.Searcher):
 
         self.index = self._layout_slots(all_codes, all_leaf.astype(np.int32),
                                         all_dpid.astype(np.int32))
+        _phase("slots laid out")
 
     def _encode_dataset(self, vectors: np.ndarray, originals: np.ndarray
                         ) -> np.ndarray:
@@ -363,6 +376,8 @@ class TreeAHSearcher(base.Searcher):
             st["centers"] = self.partitioner.centers
             st["centers_int8"] = self.partitioner.centers_int8
             st["centers_inv_mult"] = self.partitioner.centers_inv_mult
+            st["upper_centers"] = self.partitioner.upper_centers
+            st["upper_assign"] = self.partitioner.upper_assign
         return st
 
     def _select_candidates(self, queries, state, k_pre: int, leaves: int):
@@ -382,7 +397,9 @@ class TreeAHSearcher(base.Searcher):
             partitioner = self.partitioner._replace(
                 centers=state["centers"],
                 centers_int8=state["centers_int8"],
-                centers_inv_mult=state["centers_inv_mult"])
+                centers_inv_mult=state["centers_inv_mult"],
+                upper_centers=state["upper_centers"],
+                upper_assign=state["upper_assign"])
             leaves = max(1, min(leaves, num_leaves))
             leaf_ids, center_sims = partitioner.tokenize_queries(
                 queries, leaves)
@@ -424,7 +441,12 @@ class TreeAHSearcher(base.Searcher):
             if mask_dense is not None:
                 valid = jnp.logical_and(valid,
                                         jnp.take(mask_dense, leaf_c, axis=1))
-            cvals, cpos = topk_ops.top_k_with_invalid(
+            if state.get("restrict") is not None:
+                allow = jnp.take(state["restrict"],
+                                 jnp.clip(dpid_c, 0,
+                                          state["restrict"].shape[0] - 1))
+                valid = jnp.logical_and(valid, allow[None, :])
+            cvals, cpos = topk_ops.chunk_top_k(
                 sim, min(k_fetch, chunk), valid=valid)
             cslot = jnp.where(cpos >= 0, start + cpos, -1)
             return topk_ops.merge_top_k(vals, slots, cvals, cslot,

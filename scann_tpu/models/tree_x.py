@@ -97,14 +97,18 @@ class TreeXSearcher(base.Searcher):
                 "tx_sq_norms": self._sq_norms,
                 "tx_centers": self.partitioner.centers,
                 "tx_centers_int8": self.partitioner.centers_int8,
-                "tx_centers_inv_mult": self.partitioner.centers_inv_mult}
+                "tx_centers_inv_mult": self.partitioner.centers_inv_mult,
+                "tx_upper_centers": self.partitioner.upper_centers,
+                "tx_upper_assign": self.partitioner.upper_assign}
 
     def _select_candidates(self, queries, state, k_pre: int, leaves: int):
         nq = queries.shape[0]
         partitioner = self.partitioner._replace(
             centers=state["tx_centers"],
             centers_int8=state["tx_centers_int8"],
-            centers_inv_mult=state["tx_centers_inv_mult"])
+            centers_inv_mult=state["tx_centers_inv_mult"],
+            upper_centers=state["tx_upper_centers"],
+            upper_assign=state["tx_upper_assign"])
         num_leaves = partitioner.num_leaves
         leaves = max(1, min(leaves, num_leaves))
         leaf_ids, _ = partitioner.tokenize_queries(queries, leaves)
@@ -148,7 +152,12 @@ class TreeXSearcher(base.Searcher):
                 sim = -(q_sq[:, None] - 2.0 * dots + norms_c[None, :])
             valid = jnp.logical_and((dpid_c >= 0)[None, :],
                                     jnp.take(mask_dense, leaf_c, axis=1))
-            cvals, cpos = topk_ops.top_k_with_invalid(
+            if state.get("restrict") is not None:
+                allow = jnp.take(state["restrict"],
+                                 jnp.clip(dpid_c, 0,
+                                          state["restrict"].shape[0] - 1))
+                valid = jnp.logical_and(valid, allow[None, :])
+            cvals, cpos = topk_ops.chunk_top_k(
                 sim, min(k_fetch, chunk), valid=valid)
             cslot = jnp.where(cpos >= 0, start + cpos, -1)
             return topk_ops.merge_top_k(vals, slots, cvals, cslot,

@@ -47,6 +47,22 @@ def top_k_with_invalid(scores, k, valid=None, approx=False,
     return vals, idx
 
 
+# Width above which the chunked scorers use the TPU-accelerated approximate
+# top-k for per-chunk selection (exact lax.top_k is a full sort and
+# dominates the scoring loop; the approximation is absorbed by the
+# reordering overretrieve, like the reference's LUT16 approximation is).
+APPROX_WIDTH_THRESHOLD = 8192
+CHUNK_RECALL_TARGET = 0.97
+
+
+def chunk_top_k(scores, k, valid=None):
+    """Per-chunk candidate selection: approximate when the chunk is wide
+    enough for approx_max_k to win, exact otherwise."""
+    approx = scores.shape[-1] >= APPROX_WIDTH_THRESHOLD
+    return top_k_with_invalid(scores, k, valid=valid, approx=approx,
+                              recall_target=CHUNK_RECALL_TARGET)
+
+
 def merge_top_k(vals_a, idx_a, vals_b, idx_b, k):
     """Merge two per-row candidate lists into the best k (by similarity).
 
@@ -66,6 +82,39 @@ def sort_results(vals, idx):
     order = jnp.argsort(-vals, axis=-1, stable=True)
     return (jnp.take_along_axis(vals, order, axis=-1),
             jnp.take_along_axis(idx, order, axis=-1))
+
+
+def crowding_filter(vals, idx, attrs, limit: int):
+    """Cap the number of results sharing a crowding attribute.
+
+    vals/idx: (q, k) candidates; attrs: (q, k) int32 attribute per
+    candidate (invalid candidates may carry any value).  Keeps the best
+    ``limit`` per attribute per row, masking the rest to -inf (reference:
+    crowding top-N in utils/top_n_amortized_constant.h, enabled through
+    EnableCrowding, single_machine_base.h:126-163).
+
+    Vectorized as: sort by score desc (stable), then by attribute
+    (stable); the rank of a candidate within its equal-attribute run is
+    its crowding rank.
+    """
+    order1 = jnp.argsort(-vals, axis=-1, stable=True)
+    v = jnp.take_along_axis(vals, order1, axis=-1)
+    d = jnp.take_along_axis(idx, order1, axis=-1)
+    a = jnp.take_along_axis(attrs, order1, axis=-1)
+    order2 = jnp.argsort(a, axis=-1, stable=True)
+    v = jnp.take_along_axis(v, order2, axis=-1)
+    d = jnp.take_along_axis(d, order2, axis=-1)
+    a = jnp.take_along_axis(a, order2, axis=-1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    run_break = jnp.concatenate(
+        [jnp.ones_like(a[..., :1], bool), a[..., 1:] != a[..., :-1]],
+        axis=-1)
+    run_start = jax.lax.cummax(jnp.where(run_break, pos, 0), axis=a.ndim - 1)
+    rank = pos - run_start
+    drop = jnp.logical_or(rank >= limit, d == INVALID_INDEX)
+    v = jnp.where(drop, -jnp.inf, v)
+    d = jnp.where(drop, INVALID_INDEX, d)
+    return v, d
 
 
 def dedup_candidates(vals, idx):

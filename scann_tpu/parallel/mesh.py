@@ -172,7 +172,7 @@ class ShardedTreeAHSearcher:
                     sim = sim + jnp.take(bias_dense, leaf_c, axis=1)
                 vmask = jnp.logical_and((dpid_c >= 0)[None, :],
                                         jnp.take(mask_dense, leaf_c, axis=1))
-                cvals, cpos = topk_ops.top_k_with_invalid(
+                cvals, cpos = topk_ops.chunk_top_k(
                     sim, min(k_fetch, chunk), valid=vmask)
                 cslot = jnp.where(cpos >= 0, start + cpos, -1)
                 return topk_ops.merge_top_k(vals, pos, cvals, cslot,

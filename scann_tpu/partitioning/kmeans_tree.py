@@ -41,11 +41,15 @@ _TOKENIZE_CHUNK = 65536
 
 
 class KMeansTreePartitioner(NamedTuple):
-    """Trained flat k-means tree. All arrays live on device."""
+    """Trained flat k-means tree (optionally with a second-level "upper
+    tree" over the leaf centroids).  All arrays live on device."""
     centers: jax.Array  # (num_leaves, d) f32
     centers_int8: Optional[jax.Array]  # (num_leaves, d) int8 or None
     centers_inv_mult: Optional[jax.Array]  # (d,) f32 or None
     query_distance: str  # distance used for query tokenization
+    upper_centers: Optional[jax.Array] = None  # (U, d) f32
+    upper_assign: Optional[jax.Array] = None  # (num_leaves,) int32
+    upper_leaves_to_search: int = 1
 
     @property
     def num_leaves(self) -> int:
@@ -76,9 +80,26 @@ class KMeansTreePartitioner(NamedTuple):
         if part.quantize_centroids:
             sq = quant_ops.scalar_quantize(centers)
             centers_int8, inv_mult = sq.data, sq.inverse_multipliers
+        upper_centers = None
+        upper_assign = None
+        upper_l = 1
+        if part.upper_tree is not None and part.upper_tree.num_leaves > 1:
+            # Bottom-up second level: cluster the leaf centroids
+            # (MaybeAddTopLevelPartitioner, tree_x_hybrid_factory.cc:399).
+            up = part.upper_tree
+            ures = jax.jit(functools.partial(
+                kmeans_ops.kmeans, k=min(up.num_leaves, part.num_leaves),
+                iterations=10, init="kmeans++"))(
+                    jax.random.PRNGKey(seed + 7), centers)
+            upper_centers = ures.centers
+            upper_assign = ures.assignments
+            upper_l = max(1, min(up.num_leaves_to_search,
+                                 upper_centers.shape[0]))
         return KMeansTreePartitioner(
             centers=centers, centers_int8=centers_int8,
-            centers_inv_mult=inv_mult, query_distance=measure)
+            centers_inv_mult=inv_mult, query_distance=measure,
+            upper_centers=upper_centers, upper_assign=upper_assign,
+            upper_leaves_to_search=upper_l)
 
     # ------------------------------------------------------ tokenization
     def query_center_scores(self, queries):
@@ -99,8 +120,23 @@ class KMeansTreePartitioner(NamedTuple):
 
     def tokenize_queries(self, queries, num_leaves_to_search: int):
         """Top-L leaf ids per query (FIXED_NUMBER_OF_CENTERS spilling,
-        kmeans_tree_partitioner.cc:643).  Returns (leaf_ids, center_sims)."""
+        kmeans_tree_partitioner.cc:643).  Returns (leaf_ids, center_sims).
+
+        With an upper tree, leaf candidates are first pruned to the leaves
+        whose centroid falls in a selected upper cluster (the approximate
+        tokenization of TreeBruteForceSecondLevelWrapper)."""
         scores = self.query_center_scores(queries)
+        if self.upper_centers is not None:
+            up_scores = dist_ops.similarity(
+                queries, self.upper_centers, self.query_distance,
+                precision=jax.lax.Precision.DEFAULT)
+            _, up_ids = jax.lax.top_k(up_scores,
+                                      self.upper_leaves_to_search)
+            nq = queries.shape[0]
+            sel = jnp.zeros((nq, self.upper_centers.shape[0]), bool
+                            ).at[jnp.arange(nq)[:, None], up_ids].set(True)
+            leaf_allowed = jnp.take(sel, self.upper_assign, axis=1)
+            scores = jnp.where(leaf_allowed, scores, -jnp.inf)
         sims, ids = jax.lax.top_k(scores, num_leaves_to_search)
         return ids.astype(jnp.int32), sims
 

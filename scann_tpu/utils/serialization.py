@@ -79,7 +79,13 @@ def save_searcher(searcher, artifacts_dir: str):
         put("bf_sq_norms", searcher._sq_norms)
         put("bf_valid", searcher._valid)
     elif tname == "TreeAHSearcher":
-        put("codes", searcher.index.codes)
+        # 4-bit pair-packed on disk (reference stores hashed_dataset.npy in
+        # the same packed form, scann_assets.proto).
+        from scann_tpu.utils import native
+        codes_np = np.asarray(searcher.index.codes)
+        arrays["codes_packed"] = native.pack4(codes_np)
+        dtypes["codes_packed"] = "uint8"
+        meta["num_blocks"] = int(codes_np.shape[1])
         put("slot_dpid", searcher.index.slot_dpid)
         put("slot_leaf", searcher.index.slot_leaf)
         put("codebook", searcher.model.codebook)
@@ -91,6 +97,8 @@ def save_searcher(searcher, artifacts_dir: str):
             put("centers", searcher.partitioner.centers)
             put("centers_int8", searcher.partitioner.centers_int8)
             put("centers_inv_mult", searcher.partitioner.centers_inv_mult)
+            put("upper_centers", searcher.partitioner.upper_centers)
+            put("upper_assign", searcher.partitioner.upper_assign)
     elif tname == "TreeXSearcher":
         put("slot_rows", searcher.slot_rows)
         put("slot_leaf", searcher.slot_leaf)
@@ -103,6 +111,8 @@ def save_searcher(searcher, artifacts_dir: str):
         put("centers", searcher.partitioner.centers)
         put("centers_int8", searcher.partitioner.centers_int8)
         put("centers_inv_mult", searcher.partitioner.centers_inv_mult)
+        put("upper_centers", searcher.partitioner.upper_centers)
+        put("upper_assign", searcher.partitioner.upper_assign)
     else:
         raise ValueError(f"cannot serialize searcher type {tname}")
 
@@ -154,7 +164,13 @@ def load_searcher(artifacts_dir: str):
         s.ah_cfg = scann_config.asymmetric_hash
         s.measure = scann_config.distance_measure
         s.residual = bool(s.ah_cfg.residual_quantization)
-        s.index = tree_ah.TreeAHIndex(codes=arrays["codes"],
+        from scann_tpu.utils import native
+        if "codes_packed" in arrays:
+            codes = jnp.asarray(native.unpack4(
+                np.asarray(arrays["codes_packed"]), meta["num_blocks"]))
+        else:
+            codes = arrays["codes"]
+        s.index = tree_ah.TreeAHIndex(codes=codes,
                                       slot_dpid=arrays["slot_dpid"],
                                       slot_leaf=arrays["slot_leaf"])
         from scann_tpu.ops import ah as ah_ops
@@ -228,11 +244,18 @@ def _load_partitioner(arrays, scann_config):
     if "centers" not in arrays:
         return None
     from scann_tpu.partitioning import kmeans_tree
+    upper_l = 1
+    part = scann_config.partitioning
+    if part is not None and part.upper_tree is not None:
+        upper_l = part.upper_tree.num_leaves_to_search
     return kmeans_tree.KMeansTreePartitioner(
         centers=arrays["centers"],
         centers_int8=arrays.get("centers_int8"),
         centers_inv_mult=arrays.get("centers_inv_mult"),
-        query_distance=scann_config.distance_measure)
+        query_distance=scann_config.distance_measure,
+        upper_centers=arrays.get("upper_centers"),
+        upper_assign=arrays.get("upper_assign"),
+        upper_leaves_to_search=upper_l)
 
 
 def restore_tree_ah(searcher, artifacts):

@@ -114,3 +114,74 @@ def test_health_stats():
     # Imbalanced -> positive.
     w, p = health_mod.partition_imbalance(np.array([10, 10, 300, 10]))
     assert w > 0 and p > 0
+
+
+def test_upper_tree():
+    """Two-level tokenization (reference: test_tree_ah upper_tree variants,
+    builder upper_tree scann_builder.py:133-161)."""
+    db, q = make_data(n=6000)
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=64, num_leaves_to_search=16,
+               training_sample_size=6000)
+         .upper_tree(num_leaves=8, num_leaves_to_search=4)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(80).build())
+    assert s.partitioner.upper_centers is not None
+    idx, _ = s.search_batched(q)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    r_upper = recall(idx, truth)
+    # Approximate tokenization loses a little recall vs flat but must stay
+    # in a sane band.
+    assert r_upper >= 0.6, r_upper
+    # Searching all upper clusters recovers flat-tree behavior.
+    s2 = (scann_tpu.builder(db, 10, "dot_product")
+          .tree(num_leaves=64, num_leaves_to_search=16,
+                training_sample_size=6000)
+          .upper_tree(num_leaves=8, num_leaves_to_search=8)
+          .score_ah(2, anisotropic_quantization_threshold=0.2)
+          .reorder(80).build())
+    r_all = recall(s2.search_batched(q)[0], truth)
+    assert r_all >= r_upper - 0.02
+
+
+def test_upper_tree_requires_tree():
+    db, _ = make_data(n=200)
+    b = (scann_tpu.builder(db, 5, "dot_product")
+         .upper_tree(4, 2).score_ah(2))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        b.create_config()
+
+
+def test_upper_tree_serialization(tmp_path):
+    db, q = make_data(n=3000)
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=32, num_leaves_to_search=8,
+               training_sample_size=3000)
+         .upper_tree(num_leaves=4, num_leaves_to_search=2)
+         .score_ah(2).reorder(50).build())
+    i1, d1 = s.search_batched(q)
+    s.serialize(str(tmp_path))
+    s2 = scann_tpu.load_searcher(str(tmp_path))
+    i2, d2 = s2.search_batched(q)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_native_pack_and_sort():
+    from scann_tpu.utils import native
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 16, (257, 7)).astype(np.int8)
+    packed = native.pack4(codes)
+    assert packed.shape == (257, 4)
+    back = native.unpack4(packed, 7)
+    np.testing.assert_array_equal(back, codes)
+    leaf = rng.integers(0, 13, 1000).astype(np.int32)
+    order, counts = native.sort_by_leaf(leaf, 13)
+    assert np.all(np.diff(leaf[order]) >= 0)
+    np.testing.assert_array_equal(counts, np.bincount(leaf, minlength=13))
+    # stability
+    np_order = np.argsort(leaf, kind="stable")
+    np.testing.assert_array_equal(order, np_order)
+    g = native.gather_rows_i8(codes[:100], np.arange(99, -1, -1))
+    np.testing.assert_array_equal(g, codes[:100][::-1])

@@ -1,0 +1,77 @@
+"""Restrict allowlists + crowding caps (reference: restricts/
+restrict_allowlist.h, proto/crowding.proto, crowding top-N)."""
+
+import numpy as np
+import pytest
+
+import scann_tpu
+
+
+def make_data(n=2000, d=24, nq=8, seed=0):
+    rng = np.random.default_rng(seed)
+    db = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    return db, q
+
+
+def build(db, kind="tree_ah"):
+    b = scann_tpu.builder(db, 10, "dot_product")
+    if kind == "tree_ah":
+        b = (b.tree(num_leaves=16, num_leaves_to_search=16,
+                    training_sample_size=2000)
+             .score_ah(2).reorder(60))
+    elif kind == "tree_bf":
+        b = (b.tree(num_leaves=16, num_leaves_to_search=16,
+                    training_sample_size=2000).score_brute_force())
+    else:
+        b = b.score_brute_force()
+    return b.build()
+
+
+@pytest.mark.parametrize("kind", ["tree_ah", "tree_bf", "bf"])
+def test_restrict_allowlist(kind):
+    db, q = make_data()
+    s = build(db, kind)
+    allow = np.zeros(len(db), bool)
+    allow[:500] = True
+    idx, dist = s.search_batched(q, restrict_allowlist=allow)
+    valid = idx[idx >= 0]
+    assert len(valid) > 0
+    assert valid.max() < 500
+    # Results must equal exact search over the allowed subset.
+    truth = np.argsort(-(q @ db[:500].T), axis=1)[:, :10]
+    r = np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                 for i in range(len(q))])
+    assert r >= 0.9, (kind, r)
+
+
+def test_restrict_wrong_shape():
+    db, q = make_data()
+    s = build(db, "bf")
+    with pytest.raises(ValueError):
+        s.search_batched(q, restrict_allowlist=np.ones(7, bool))
+
+
+def test_crowding():
+    db, q = make_data()
+    s = build(db, "tree_ah")
+    attrs = np.arange(len(db)) % 5  # 5 attribute classes
+    s.set_crowding(attrs)
+    idx, dist = s.search_batched(q, per_crowding_attribute_num_neighbors=2)
+    for row in idx:
+        row = row[row >= 0]
+        counts = np.bincount(attrs[row], minlength=5)
+        assert counts.max() <= 2, counts
+    # Without the cap, some attribute normally exceeds 2 among top-10.
+    idx2, _ = s.search_batched(q)
+    exceeded = any(
+        np.bincount(attrs[row[row >= 0]], minlength=5).max() > 2
+        for row in idx2)
+    assert exceeded
+
+
+def test_crowding_requires_attributes():
+    db, q = make_data()
+    s = build(db, "bf")
+    with pytest.raises(ValueError):
+        s.search_batched(q, per_crowding_attribute_num_neighbors=2)
