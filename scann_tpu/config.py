@@ -102,8 +102,14 @@ class AsymmetricHashConfig:
     # hashes/internal/asymmetric_hashing_impl.cc:604-646): quantile 1.0 means
     # scale by max |lut| entry.
     lut_multiplier_quantile: float = 1.0
-    # Score with int8-quantized LUTs (reference default lookup INT8_LUT16);
-    # "float32"/"bfloat16" keep raw LUTs (reference FLOAT lookup).
+    # Scoring mode for the packed codes:
+    #   "int8"/"float32": LUT16 lookup via one-hot matmuls (reference
+    #     INT8_LUT16 / FLOAT lookup semantics, memory-lean);
+    #   "reconstruct": decode the same 4-bit codes into bf16 rows at build
+    #     and score with a plain MXU matmul — identical information (and
+    #     recall) to a float LUT, ~8x fewer FLOPs on TPU, at the cost of
+    #     bf16-row HBM footprint.  A TPU-only tradeoff with no reference
+    #     equivalent.
     lookup_type: str = INT8
 
     @property

@@ -300,8 +300,19 @@ class Searcher:
         bucket = _next_bucket(nq)
         padded = np.zeros((bucket, queries.shape[1]), np.float32)
         padded[:nq] = queries
-        fn = self._get_compiled(bucket, k, k_pre, leaves, crowding_limit)
+        # The number of leaves searched is passed dynamically (the static
+        # program ranks all centroids and masks the tail) so every
+        # leaves_to_search override reuses one compiled program — centroid
+        # ranking is a negligible matmul + sort next to leaf scoring.
+        leaves_bucket = leaves
+        if leaves > 0:
+            leaves_bucket = getattr(getattr(self, "part_cfg", None),
+                                    "num_leaves", leaves)
+        fn = self._get_compiled(bucket, k, k_pre, leaves_bucket,
+                                crowding_limit)
         state = self._state()
+        if leaves > 0:
+            state["leaves_dynamic"] = jnp.int32(min(leaves, leaves_bucket))
         if restrict_allowlist is not None:
             allow = np.asarray(restrict_allowlist, bool)
             if allow.shape != (self.n_points,):

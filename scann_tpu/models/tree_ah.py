@@ -169,6 +169,8 @@ class TreeAHSearcher(base.Searcher):
         self.index = self._layout_slots(all_codes, all_leaf.astype(np.int32),
                                         all_dpid.astype(np.int32))
         _phase("slots laid out")
+        self._build_recon()
+        _phase("recon rows built")
 
     def _encode_dataset(self, vectors: np.ndarray, originals: np.ndarray
                         ) -> np.ndarray:
@@ -208,9 +210,13 @@ class TreeAHSearcher(base.Searcher):
         """Sort slots by leaf and pad to a chunk multiple (the TPU analogue
         of the reference's per-leaf PackedDataset layout,
         asymmetric_hashing2/querying.h:73-105).  Padding slots (dpid == -1)
-        double as free capacity for the mutator."""
-        order = np.argsort(leaf, kind="stable")
-        codes = codes[order]
+        double as free capacity for the mutator.  The leaf-major sort and
+        code-row gathers run in the native host runtime when available
+        (scann_tpu/cc/native.cc)."""
+        from scann_tpu.utils import native
+        num_leaves = int(leaf.max()) + 1 if len(leaf) else 1
+        order, _ = native.sort_by_leaf(leaf, num_leaves)
+        codes = native.gather_rows_i8(codes, order)
         leaf = leaf[order]
         dpid = dpid[order]
         s = codes.shape[0]
@@ -227,6 +233,41 @@ class TreeAHSearcher(base.Searcher):
         return TreeAHIndex(codes=jnp.asarray(codes),
                            slot_dpid=jnp.asarray(dpid),
                            slot_leaf=jnp.asarray(leaf))
+
+    # -------------------------------------------------- reconstruct mode
+    @property
+    def _recon_mode(self) -> bool:
+        return self.ah_cfg.lookup_type == "reconstruct"
+
+    def _decode_slots(self, codes, slot_leaf, slot_dpid):
+        """Decode packed codes into bf16 approximate rows: x_hat =
+        c_leaf + recon(codes) under residual quantization, recon(codes)
+        otherwise.  Same information as the float LUT path — a TPU memory/
+        FLOP tradeoff (see AsymmetricHashConfig.lookup_type)."""
+        recon = ah_ops.reconstruct(codes, self.model)
+        if self.residual and self.partitioner is not None:
+            recon = recon + jnp.take(self.partitioner.centers,
+                                     jnp.maximum(slot_leaf, 0), axis=0)
+        recon = jnp.where((slot_dpid >= 0)[:, None], recon, 0.0)
+        sq = jnp.sum(recon * recon, axis=-1)
+        return recon.astype(jnp.bfloat16), sq
+
+    def _build_recon(self):
+        self._recon_rows = None
+        self._recon_sq = None
+        if not self._recon_mode:
+            return
+        fn = jax.jit(self._decode_slots)
+        rows, sqs = [], []
+        h = self._host
+        for s in range(0, h["codes"].shape[0], _ENCODE_CHUNK):
+            r, q = fn(jnp.asarray(h["codes"][s:s + _ENCODE_CHUNK]),
+                      jnp.asarray(h["leaf"][s:s + _ENCODE_CHUNK]),
+                      jnp.asarray(h["dpid"][s:s + _ENCODE_CHUNK]))
+            rows.append(r)
+            sqs.append(q)
+        self._recon_rows = jnp.concatenate(rows, axis=0)
+        self._recon_sq = jnp.concatenate(sqs, axis=0)
 
     # ----------------------------------------------------------- mutation
     def _ensure_mutable_maps(self):
@@ -286,6 +327,7 @@ class TreeAHSearcher(base.Searcher):
         self.index = TreeAHIndex(codes=jnp.asarray(h["codes"]),
                                  slot_dpid=jnp.asarray(h["dpid"]),
                                  slot_leaf=jnp.asarray(h["leaf"]))
+        self._build_recon()
 
     def _apply_upsert(self, ids: np.ndarray, vecs: np.ndarray):
         self._ensure_mutable_maps()
@@ -324,6 +366,12 @@ class TreeAHSearcher(base.Searcher):
             slot_leaf=self.index.slot_leaf.at[sidx].set(
                 jnp.asarray(leaf_arr)))
         self._num_slots = int(np.sum(h["dpid"] >= 0))
+        if self._recon_mode:
+            r, q = jax.jit(self._decode_slots)(
+                jnp.asarray(code_arr), jnp.asarray(leaf_arr),
+                jnp.asarray(dpid_arr))
+            self._recon_rows = self._recon_rows.at[sidx].set(r)
+            self._recon_sq = self._recon_sq.at[sidx].set(q)
         # Keep token map + rescoring data in sync.
         self._grow_token_map(ids, tokens)
         if self.reorder_helper is not None:
@@ -371,7 +419,9 @@ class TreeAHSearcher(base.Searcher):
         st = {"codes": self.index.codes,
               "slot_dpid": self.index.slot_dpid,
               "slot_leaf": self.index.slot_leaf,
-              "codebook": self.model.codebook}
+              "codebook": self.model.codebook,
+              "recon_rows": getattr(self, "_recon_rows", None),
+              "recon_sq": getattr(self, "_recon_sq", None)}
         if self.partitioner is not None:
             st["centers"] = self.partitioner.centers
             st["centers_int8"] = self.partitioner.centers_int8
@@ -385,8 +435,11 @@ class TreeAHSearcher(base.Searcher):
         index = TreeAHIndex(codes=state["codes"],
                             slot_dpid=state["slot_dpid"],
                             slot_leaf=state["slot_leaf"])
-        luts = ah_ops.build_luts(queries, model, self.measure,
-                                 self.ah_cfg.lookup_type)
+        recon_mode = self._recon_mode
+        luts = None
+        if not recon_mode:
+            luts = ah_ops.build_luts(queries, model, self.measure,
+                                     self.ah_cfg.lookup_type)
         nq = queries.shape[0]
         num_leaves = (self.partitioner.num_leaves
                       if self.partitioner is not None else 1)
@@ -404,8 +457,12 @@ class TreeAHSearcher(base.Searcher):
             leaf_ids, center_sims = partitioner.tokenize_queries(
                 queries, leaves)
             rows = jnp.arange(nq)[:, None]
+            keep = jnp.ones((nq, leaves), bool)
+            if state.get("leaves_dynamic") is not None:
+                col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
+                keep = col < state["leaves_dynamic"]
             mask_dense = jnp.zeros((nq, num_leaves), bool
-                                   ).at[rows, leaf_ids].set(True)
+                                   ).at[rows, leaf_ids].set(keep)
             if self.residual:
                 # Per-leaf bias: similarity(q, c_leaf) under dot product
                 # (the reference's per-leaf distance_to_center bias,
@@ -425,18 +482,36 @@ class TreeAHSearcher(base.Searcher):
         chunk = self._chunk
         num_chunks = index.codes.shape[0] // chunk
         cpb = self.ah_cfg.clusters_per_block
+        if recon_mode:
+            q_bf = queries.astype(jnp.bfloat16)
+            q_sq = jnp.sum(queries * queries, axis=-1)
 
         def body(carry, ci):
             vals, slots = carry
             start = ci * chunk
-            codes_c = jax.lax.dynamic_slice_in_dim(index.codes, start, chunk)
             leaf_c = jax.lax.dynamic_slice_in_dim(index.slot_leaf, start,
                                                   chunk)
             dpid_c = jax.lax.dynamic_slice_in_dim(index.slot_dpid, start,
                                                   chunk)
-            sim = lut16_ops.score_codes_chunk(codes_c, luts, cpb)
-            if bias_dense is not None:
-                sim = sim + jnp.take(bias_dense, leaf_c, axis=1)
+            if recon_mode:
+                rows_c = jax.lax.dynamic_slice_in_dim(
+                    state["recon_rows"], start, chunk)
+                dots = jax.lax.dot_general(
+                    q_bf, rows_c,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if self.measure == cfg.SQUARED_L2:
+                    sq_c = jax.lax.dynamic_slice_in_dim(
+                        state["recon_sq"], start, chunk)
+                    sim = -(q_sq[:, None] - 2.0 * dots + sq_c[None, :])
+                else:
+                    sim = dots
+            else:
+                codes_c = jax.lax.dynamic_slice_in_dim(index.codes, start,
+                                                       chunk)
+                sim = lut16_ops.score_codes_chunk(codes_c, luts, cpb)
+                if bias_dense is not None:
+                    sim = sim + jnp.take(bias_dense, leaf_c, axis=1)
             valid = (dpid_c >= 0)[None, :]
             if mask_dense is not None:
                 valid = jnp.logical_and(valid,
@@ -458,7 +533,8 @@ class TreeAHSearcher(base.Searcher):
         dpids = jnp.where(slots >= 0,
                           jnp.take(index.slot_dpid,
                                    jnp.maximum(slots, 0)), -1)
-        vals = vals + luts.base[:, None]
+        if luts is not None:
+            vals = vals + luts.base[:, None]
         if soar is not None:
             vals, dpids = topk_ops.dedup_candidates(vals, dpids)
             vals, pos = jax.lax.top_k(vals, min(k_pre, vals.shape[-1]))

@@ -113,8 +113,12 @@ class TreeXSearcher(base.Searcher):
         leaves = max(1, min(leaves, num_leaves))
         leaf_ids, _ = partitioner.tokenize_queries(queries, leaves)
         rows_iota = jnp.arange(nq)[:, None]
+        keep = jnp.ones((nq, leaves), bool)
+        if state.get("leaves_dynamic") is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
+            keep = col < state["leaves_dynamic"]
         mask_dense = jnp.zeros((nq, num_leaves), bool
-                               ).at[rows_iota, leaf_ids].set(True)
+                               ).at[rows_iota, leaf_ids].set(keep)
 
         rows = state["tx_rows"]
         inv_mult = state["tx_inv_mult"]

@@ -184,6 +184,7 @@ def load_searcher(artifacts_dir: str):
                    "leaf": np.asarray(s.index.slot_leaf),
                    "dpid": np.asarray(s.index.slot_dpid)}
         s._dpid_slots = None
+        s._build_recon()
         return s
     if tname == "TreeXSearcher":
         from scann_tpu.models import tree_x

@@ -182,3 +182,53 @@ def test_noise_shaping_improves_mips_recall():
     r_plain = recall_at_k(build(float("nan")).search_batched(q)[0], truth)
     r_aniso = recall_at_k(build(0.2).search_batched(q)[0], truth)
     assert r_aniso >= r_plain - 0.02, (r_aniso, r_plain)
+
+
+def test_reconstruct_scoring_mode():
+    """lookup_type='reconstruct' must match the float-LUT path's recall
+    (same decoded information scored as a plain bf16 matmul)."""
+    import dataclasses
+    import scann_tpu.config as cfg_mod
+    db, q = make_data()
+    truth = exact_topk(db, q, 10, "dot_product")
+
+    def build(lookup):
+        b = (scann_tpu.builder(db, 10, "dot_product")
+             .tree(num_leaves=32, num_leaves_to_search=8,
+                   training_sample_size=4000)
+             .score_ah(2, anisotropic_quantization_threshold=0.2)
+             .reorder(100))
+        config = b.create_config()
+        ah = dataclasses.replace(config.asymmetric_hash, lookup_type=lookup)
+        config = dataclasses.replace(config, asymmetric_hash=ah)
+        import scann_tpu.factory as factory
+        return factory.create_searcher(db, config)
+
+    s_lut = build("int8")
+    s_rec = build("reconstruct")
+    r_lut = recall_at_k(s_lut.search_batched(q)[0], truth)
+    r_rec = recall_at_k(s_rec.search_batched(q)[0], truth)
+    assert r_rec >= r_lut - 0.02, (r_rec, r_lut)
+    assert r_rec >= 0.9
+
+    # L2 non-residual variant
+    truth2 = exact_topk(db, q, 10, "squared_l2")
+    b = (scann_tpu.builder(db, 10, "squared_l2")
+         .tree(num_leaves=32, num_leaves_to_search=8,
+               training_sample_size=4000)
+         .score_ah(2).reorder(100))
+    import dataclasses as dc, scann_tpu.factory as factory
+    config = b.create_config()
+    config = dc.replace(config, asymmetric_hash=dc.replace(
+        config.asymmetric_hash, lookup_type="reconstruct"))
+    s2 = factory.create_searcher(db, config)
+    r2 = recall_at_k(s2.search_batched(q)[0], truth2)
+    assert r2 >= 0.9, r2
+
+    # mutation keeps recon in sync
+    docids = [f"d{i}" for i in range(len(db))]
+    s3 = factory.create_searcher(db, build("reconstruct").config,
+                                 docids=docids)
+    s3.upsert("probe", q[0] * 2.0)
+    idx, _ = s3.search(q[0])
+    assert "probe" in idx
