@@ -77,37 +77,54 @@ def recall_at_k(idx, truth):
 
 
 def main():
+    import dataclasses
+    import os
+
     import scann_tpu
+    import scann_tpu.factory as factory
 
     _log("generating corpus")
     db, q = make_glove_like(N_DB, N_QUERY, DIM)
     _log("corpus ready")
 
+    # Headline config: same quantization spec as the reference benchmark
+    # (2000 partitions, 2 dims/block 16-center codebooks, anisotropic 0.2,
+    # reorder 100); scored in "reconstruct" mode — the same 4-bit codes
+    # decoded to bf16 and scanned by the fused Pallas kernel.
+    lookup = os.environ.get("SCANN_TPU_BENCH_LOOKUP", "reconstruct")
     t0 = time.perf_counter()
-    searcher = (scann_tpu.builder(db, K, "dot_product")
-                .tree(num_leaves=2000, num_leaves_to_search=100,
-                      training_sample_size=100_000)
-                .score_ah(2, anisotropic_quantization_threshold=0.2)
-                .reorder(100).build())
+    b = (scann_tpu.builder(db, K, "dot_product")
+         .tree(num_leaves=2000, num_leaves_to_search=100,
+               training_sample_size=100_000)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(100))
+    config = b.create_config()
+    config = dataclasses.replace(
+        config, asymmetric_hash=dataclasses.replace(
+            config.asymmetric_hash, lookup_type=lookup))
+    searcher = factory.create_searcher(db, config)
     build_s = time.perf_counter() - t0
-    _log(f"index built in {build_s:.1f}s")
+    _log(f"index built in {build_s:.1f}s (lookup={lookup})")
 
     truth = exact_ground_truth(db, q, K)
     _log("ground truth ready")
 
     best = None
-    for leaves in (100, 150, 200, 300, 500, 1000, 2000):
-        idx, _ = searcher.search_batched(q[:2048],
+    # One compiled program covers all masked leaves counts (dynamic
+    # leaves); the full scan (leaves=2000) engages the fused Pallas kernel.
+    for leaves in (100, 200, 400, 1000, 2000):
+        idx, _ = searcher.search_batched(q[:N_QUERY],
                                          leaves_to_search=leaves)  # warmup
         t0 = time.perf_counter()
         idx, _ = searcher.search_batched(q, leaves_to_search=leaves)
         dt = time.perf_counter() - t0
         r = recall_at_k(idx, truth)
         qps = N_QUERY / dt
-        best = {"leaves": leaves, "recall": r, "qps": qps}
         _log(f"leaves={leaves}: recall@10={r:.4f} qps={qps:.0f}")
-        if r >= RECALL_TARGET:
-            break
+        if r >= RECALL_TARGET and (best is None or qps > best["qps"]):
+            best = {"leaves": leaves, "recall": r, "qps": qps}
+    if best is None:
+        best = {"leaves": 2000, "recall": r, "qps": qps}
 
     print(json.dumps({
         "metric": "synth_glove100_qps_at_recall0.95",

@@ -181,7 +181,8 @@ class Searcher:
         return proj.project(queries)
 
     # -------------------------------------------------------- overridables
-    def _select_candidates(self, queries, state, k_pre: int, leaves: int):
+    def _select_candidates(self, queries, state, k_pre: int, leaves: int,
+                           full_scan: bool = False):
         """Return (similarities, indices), each (q, >=k_pre), best-first not
         required; indices may contain INVALID_INDEX."""
         raise NotImplementedError
@@ -203,11 +204,12 @@ class Searcher:
 
     # ------------------------------------------------------------ pipeline
     def _search_impl(self, queries, state, k: int, k_pre: int, leaves: int,
-                     crowding_limit: int = 0):
+                     crowding_limit: int = 0, full_scan: bool = False):
         # Candidate selection runs in the (possibly projected) index space;
         # exact reordering below uses the raw queries.
         q_proj = self._project_queries(queries, state)
-        sim, idx = self._select_candidates(q_proj, state, k_pre, leaves)
+        sim, idx = self._select_candidates(q_proj, state, k_pre, leaves,
+                                           full_scan=full_scan)
         if self.reorder_helper is not None:
             # Keep the best k_pre, rescore exactly, then take final k
             # (reference: ReorderResults, single_machine_base.cc:850).
@@ -236,13 +238,13 @@ class Searcher:
         return idx, dist
 
     def _get_compiled(self, batch: int, k: int, k_pre: int, leaves: int,
-                      crowding_limit: int = 0):
-        key = (batch, k, k_pre, leaves, crowding_limit)
+                      crowding_limit: int = 0, full_scan: bool = False):
+        key = (batch, k, k_pre, leaves, crowding_limit, full_scan)
         fn = self._compiled.get(key)
         if fn is None:
             fn = jax.jit(functools.partial(
                 self._search_impl, k=k, k_pre=k_pre, leaves=leaves,
-                crowding_limit=crowding_limit))
+                crowding_limit=crowding_limit, full_scan=full_scan))
             self._compiled[key] = fn
         return fn
 
@@ -305,11 +307,13 @@ class Searcher:
         # leaves_to_search override reuses one compiled program — centroid
         # ranking is a negligible matmul + sort next to leaf scoring.
         leaves_bucket = leaves
+        num_leaves = getattr(getattr(self, "part_cfg", None), "num_leaves",
+                             0)
         if leaves > 0:
-            leaves_bucket = getattr(getattr(self, "part_cfg", None),
-                                    "num_leaves", leaves)
+            leaves_bucket = num_leaves or leaves
+        full_scan = leaves == 0 or leaves >= (num_leaves or 1 << 30)
         fn = self._get_compiled(bucket, k, k_pre, leaves_bucket,
-                                crowding_limit)
+                                crowding_limit, full_scan)
         state = self._state()
         if leaves > 0:
             state["leaves_dynamic"] = jnp.int32(min(leaves, leaves_bucket))

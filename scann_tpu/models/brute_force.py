@@ -119,7 +119,8 @@ class BruteForceSearcher(base.Searcher):
         return dist_ops.similarity(queries, db, measure,
                                    precision=jax.lax.Precision.HIGHEST)
 
-    def _select_candidates(self, queries, state, k_pre, leaves):
+    def _select_candidates(self, queries, state, k_pre, leaves,
+                           full_scan=False):
         del leaves
         nq = queries.shape[0]
         n = state["bf_db"].shape[0]

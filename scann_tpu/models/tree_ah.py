@@ -216,12 +216,20 @@ class TreeAHSearcher(base.Searcher):
         from scann_tpu.utils import native
         num_leaves = int(leaf.max()) + 1 if len(leaf) else 1
         order, _ = native.sort_by_leaf(leaf, num_leaves)
+        if self._recon_mode:
+            # The fused group-max kernel requires slots in random order so
+            # a query's top-k spreads across groups (see ops/fused_scan.py).
+            order = order[np.random.default_rng(
+                self.config.seed).permutation(len(order))]
         codes = native.gather_rows_i8(codes, order)
         leaf = leaf[order]
         dpid = dpid[order]
         s = codes.shape[0]
         self._num_slots = s
-        chunk = _SCORE_CHUNK if s >= _SCORE_CHUNK else _round_up(s, 128)
+        # Align small indexes to the fused kernel's block size in recon
+        # mode (ops/fused_scan.py BS); 128 otherwise.
+        align = 2048 if self._recon_mode else 128
+        chunk = _SCORE_CHUNK if s >= _SCORE_CHUNK else _round_up(s, align)
         self._chunk = chunk
         pad = _round_up(s, chunk) - s
         if pad:
@@ -239,22 +247,33 @@ class TreeAHSearcher(base.Searcher):
     def _recon_mode(self) -> bool:
         return self.ah_cfg.lookup_type == "reconstruct"
 
+    @property
+    def _recon_dim(self) -> int:
+        # Feature dim padded to the MXU lane width for the fused kernel.
+        return _round_up(self.dims if self.projector is None
+                         else self.projector.out_dims, 128)
+
     def _decode_slots(self, codes, slot_leaf, slot_dpid):
         """Decode packed codes into bf16 approximate rows: x_hat =
         c_leaf + recon(codes) under residual quantization, recon(codes)
         otherwise.  Same information as the float LUT path — a TPU memory/
-        FLOP tradeoff (see AsymmetricHashConfig.lookup_type)."""
+        FLOP tradeoff (see AsymmetricHashConfig.lookup_type).  Rows are
+        zero-padded to a 128-multiple feature dim for the fused kernel."""
         recon = ah_ops.reconstruct(codes, self.model)
         if self.residual and self.partitioner is not None:
             recon = recon + jnp.take(self.partitioner.centers,
                                      jnp.maximum(slot_leaf, 0), axis=0)
         recon = jnp.where((slot_dpid >= 0)[:, None], recon, 0.0)
+        pad = self._recon_dim - recon.shape[1]
+        if pad:
+            recon = jnp.pad(recon, ((0, 0), (0, pad)))
         sq = jnp.sum(recon * recon, axis=-1)
         return recon.astype(jnp.bfloat16), sq
 
     def _build_recon(self):
         self._recon_rows = None
         self._recon_sq = None
+        self._recon_bias = None
         if not self._recon_mode:
             return
         fn = jax.jit(self._decode_slots)
@@ -268,6 +287,17 @@ class TreeAHSearcher(base.Searcher):
             sqs.append(q)
         self._recon_rows = jnp.concatenate(rows, axis=0)
         self._recon_sq = jnp.concatenate(sqs, axis=0)
+        self._recon_bias = self._make_bias(self._recon_sq,
+                                           jnp.asarray(h["dpid"]))
+
+    def _make_bias(self, sq, dpid):
+        """Per-slot additive bias for the fused kernel: -||x||^2 under L2
+        plus a padding penalty for empty slots (fused_scan.build_bias)."""
+        from scann_tpu.ops import fused_scan
+        bias = jnp.zeros_like(sq)
+        if self.measure == cfg.SQUARED_L2:
+            bias = -sq
+        return jnp.where(dpid >= 0, bias, fused_scan._PAD_PENALTY)
 
     # ----------------------------------------------------------- mutation
     def _ensure_mutable_maps(self):
@@ -372,6 +402,8 @@ class TreeAHSearcher(base.Searcher):
                 jnp.asarray(dpid_arr))
             self._recon_rows = self._recon_rows.at[sidx].set(r)
             self._recon_sq = self._recon_sq.at[sidx].set(q)
+            self._recon_bias = self._recon_bias.at[sidx].set(
+                self._make_bias(q, jnp.asarray(dpid_arr)))
         # Keep token map + rescoring data in sync.
         self._grow_token_map(ids, tokens)
         if self.reorder_helper is not None:
@@ -402,6 +434,10 @@ class TreeAHSearcher(base.Searcher):
         self._free_slots.extend(slots)
         self.index = self.index._replace(
             slot_dpid=self.index.slot_dpid.at[jnp.asarray(slot_arr)].set(-1))
+        if self._recon_mode:
+            from scann_tpu.ops import fused_scan
+            self._recon_bias = self._recon_bias.at[
+                jnp.asarray(slot_arr)].set(fused_scan._PAD_PENALTY)
         self._num_slots = int(np.sum(self._host["dpid"] >= 0))
 
     # ------------------------------------------------------------ restore
@@ -421,7 +457,8 @@ class TreeAHSearcher(base.Searcher):
               "slot_leaf": self.index.slot_leaf,
               "codebook": self.model.codebook,
               "recon_rows": getattr(self, "_recon_rows", None),
-              "recon_sq": getattr(self, "_recon_sq", None)}
+              "recon_sq": getattr(self, "_recon_sq", None),
+              "recon_bias": getattr(self, "_recon_bias", None)}
         if self.partitioner is not None:
             st["centers"] = self.partitioner.centers
             st["centers_int8"] = self.partitioner.centers_int8
@@ -430,7 +467,18 @@ class TreeAHSearcher(base.Searcher):
             st["upper_assign"] = self.partitioner.upper_assign
         return st
 
-    def _select_candidates(self, queries, state, k_pre: int, leaves: int):
+    def _select_candidates(self, queries, state, k_pre: int, leaves: int,
+                           full_scan: bool = False):
+        from scann_tpu.ops import fused_scan
+        if (self._recon_mode and full_scan
+                and state.get("restrict") is None
+                and queries.shape[0] % fused_scan.QT == 0
+                # enough groups that top-k collision losses are negligible
+                and (state["recon_rows"].shape[0] // fused_scan.SUB
+                     >= 4 * k_pre)
+                and (jax.default_backend() == "tpu"
+                     or getattr(self, "_fused_interpret", False))):
+            return self._fused_select(queries, state, k_pre)
         model = self.model._replace(codebook=state["codebook"])
         index = TreeAHIndex(codes=state["codes"],
                             slot_dpid=state["slot_dpid"],
@@ -483,7 +531,10 @@ class TreeAHSearcher(base.Searcher):
         num_chunks = index.codes.shape[0] // chunk
         cpb = self.ah_cfg.clusters_per_block
         if recon_mode:
-            q_bf = queries.astype(jnp.bfloat16)
+            dpad = state["recon_rows"].shape[1] - queries.shape[1]
+            q_pad = (jnp.pad(queries, ((0, 0), (0, dpad))) if dpad
+                     else queries)
+            q_bf = q_pad.astype(jnp.bfloat16)
             q_sq = jnp.sum(queries * queries, axis=-1)
 
         def body(carry, ci):
@@ -535,6 +586,41 @@ class TreeAHSearcher(base.Searcher):
                                    jnp.maximum(slots, 0)), -1)
         if luts is not None:
             vals = vals + luts.base[:, None]
+        if soar is not None:
+            vals, dpids = topk_ops.dedup_candidates(vals, dpids)
+            vals, pos = jax.lax.top_k(vals, min(k_pre, vals.shape[-1]))
+            dpids = jnp.take_along_axis(dpids, pos, axis=-1)
+        return vals, dpids
+
+    def _fused_select(self, queries, state, k_pre: int):
+        """Full-scan candidate selection through the fused Pallas kernel
+        (ops/fused_scan.py): one MXU matmul + grouped VPU max per tile, no
+        materialized score matrix."""
+        from scann_tpu.ops import fused_scan
+        d_pad = state["recon_rows"].shape[1]
+        pad = d_pad - queries.shape[1]
+        q = jnp.pad(queries, ((0, 0), (0, pad))) if pad else queries
+        vals, slots = fused_scan.fused_scan_groupmax(
+            q.astype(jnp.bfloat16), state["recon_rows"],
+            state["recon_bias"],
+            measure_l2=self.measure == cfg.SQUARED_L2,
+            interpret=getattr(self, "_fused_interpret", False))
+        soar = self.part_cfg.soar if self.part_cfg is not None else None
+        k_fetch = k_pre
+        if soar is not None:
+            k_fetch = int(math.ceil(k_pre * soar.overretrieve_factor))
+        k_fetch = min(k_fetch, vals.shape[-1])
+        vals, pos = topk_ops.top_k(vals, k_fetch, approx=True,
+                                   recall_target=0.97)
+        slots = jnp.take_along_axis(slots, pos, axis=-1)
+        dpids = jnp.take(state["slot_dpid"], jnp.maximum(slots, 0))
+        dead = vals < -1e20
+        vals = jnp.where(dead, -jnp.inf, vals)
+        dpids = jnp.where(dead, -1, dpids)
+        if self.measure == cfg.SQUARED_L2:
+            # Restore the rank-invariant -||q||^2 term so returned
+            # distances are true squared distances.
+            vals = vals - jnp.sum(queries * queries, axis=-1)[:, None]
         if soar is not None:
             vals, dpids = topk_ops.dedup_candidates(vals, dpids)
             vals, pos = jax.lax.top_k(vals, min(k_pre, vals.shape[-1]))

@@ -101,7 +101,8 @@ class TreeXSearcher(base.Searcher):
                 "tx_upper_centers": self.partitioner.upper_centers,
                 "tx_upper_assign": self.partitioner.upper_assign}
 
-    def _select_candidates(self, queries, state, k_pre: int, leaves: int):
+    def _select_candidates(self, queries, state, k_pre: int, leaves: int,
+                           full_scan: bool = False):
         nq = queries.shape[0]
         partitioner = self.partitioner._replace(
             centers=state["tx_centers"],
