@@ -52,7 +52,7 @@ _ENCODE_CHUNK = 32768
 
 class TreeAHIndex(NamedTuple):
     """Device-resident index arrays (leaf-sorted slot layout)."""
-    codes: jax.Array  # (S, B) int8; S padded to a chunk multiple
+    codes: jax.Array  # (S, B) uint8 center ids; S padded to a chunk multiple
     slot_dpid: jax.Array  # (S,) int32, -1 padding sentinel
     slot_leaf: jax.Array  # (S,) int32, 0 for padding
 
@@ -381,7 +381,7 @@ class TreeAHSearcher(base.Searcher):
                 dpid_list.append(int(i))
                 self._dpid_slots.setdefault(int(i), []).append(slot)
         slot_arr = np.asarray(slot_list, np.int32)
-        code_arr = np.asarray(code_list, np.int8)
+        code_arr = np.asarray(code_list, np.uint8)
         leaf_arr = np.asarray(leaf_list, np.int32)
         dpid_arr = np.asarray(dpid_list, np.int32)
         h = self._host

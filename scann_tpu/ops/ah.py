@@ -128,7 +128,8 @@ def encode(vectors, model: AHModel):
                       preferred_element_type=jnp.float32)
     c_sq = jnp.sum(cb * cb, axis=-1)
     # argmin ||v - c||^2 == argmin (-2 v.c + ||c||^2)
-    return jnp.argmin(c_sq[None, :, :] - 2.0 * dots, axis=-1).astype(jnp.int8)
+    return jnp.argmin(c_sq[None, :, :] - 2.0 * dots,
+                      axis=-1).astype(jnp.uint8)
 
 
 _NOISE_SHAPING_ROUNDS = 10  # kMaxRounds, asymmetric_hashing_impl.cc:475
@@ -196,7 +197,7 @@ def encode_noise_shaped(vectors, originals, model: AHModel,
 
     steps = jnp.arange(_NOISE_SHAPING_ROUNDS * num_blocks)
     (codes, _), _ = jax.lax.scan(step, (codes0, p0), steps)
-    return codes.astype(jnp.int8)
+    return codes.astype(jnp.uint8)
 
 
 def _parallel_cost_multiplier(threshold, squared_norms, dims):

@@ -91,6 +91,51 @@ def similarity_to_user_distance(sim, measure):
     return -sim
 
 
+def cosine_distance(queries, database, precision=Precision.DEFAULT):
+    """1 - cos(q, x) (reference: one_to_one/cosine_distance.cc), batched."""
+    qn = queries / jnp.maximum(
+        jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-20)
+    dn = database / jnp.maximum(
+        jnp.linalg.norm(database, axis=-1, keepdims=True), 1e-20)
+    return 1.0 - _matmul(qn, dn, precision)
+
+
+def l1_distance(queries, database):
+    """Manhattan distance (reference: one_to_one/l1_distance.cc).  O(q*n*d)
+    elementwise — no matmul decomposition exists; chunk at the call site."""
+    return jnp.sum(jnp.abs(queries[:, None, :] - database[None, :, :]),
+                   axis=-1)
+
+
+def hamming_distance(queries, database):
+    """Bitwise Hamming over binarized (>0) vectors (reference:
+    one_to_one/hamming_distance.cc general-Hamming semantics)."""
+    qb = queries > 0
+    db = database > 0
+    return jnp.sum(qb[:, None, :] != db[None, :, :], axis=-1)
+
+
+def jaccard_distance(queries, database):
+    """1 - |min|/|max| nonnegative Jaccard (reference:
+    one_to_one/nonzero_intersect_distance.cc family)."""
+    mins = jnp.sum(jnp.minimum(queries[:, None, :], database[None, :, :]),
+                   axis=-1)
+    maxs = jnp.sum(jnp.maximum(queries[:, None, :], database[None, :, :]),
+                   axis=-1)
+    return 1.0 - mins / jnp.maximum(maxs, 1e-20)
+
+
+def limited_inner_product_distance(queries, database,
+                                   precision=Precision.DEFAULT):
+    """-<q, x> / (||q|| * max(||q||, ||x||)) (reference:
+    one_to_one/limited_inner_product.h LimitedInnerProductDistance)."""
+    dots = _matmul(queries, database, precision)
+    qn = jnp.linalg.norm(queries, axis=-1)[:, None]
+    dn = jnp.linalg.norm(database, axis=-1)[None, :]
+    denom = qn * jnp.maximum(qn, dn)
+    return -dots / jnp.maximum(denom, 1e-20)
+
+
 def one_to_many_gathered(queries, database, candidate_idx, measure,
                          db_sq_norms=None, query_sq_norms=None,
                          precision=Precision.HIGHEST):

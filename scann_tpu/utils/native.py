@@ -73,9 +73,10 @@ def have_native() -> bool:
 
 
 def pack4(codes: np.ndarray) -> np.ndarray:
-    """(n, B) int8 codes in [0,16) -> (n, ceil(B/2)) uint8, two per byte
+    """(n, B) codes in [0,16) -> (n, ceil(B/2)) uint8, two per byte
     (reference 4-bit pair packing, querying.h:73-105)."""
-    codes = np.ascontiguousarray(codes, np.int8)
+    codes = np.ascontiguousarray(codes).view(np.int8) \
+        if codes.dtype == np.uint8 else np.ascontiguousarray(codes, np.int8)
     n, b = codes.shape
     if b % 2:
         codes = np.pad(codes, ((0, 0), (0, 1)))
@@ -126,7 +127,9 @@ def sort_by_leaf(leaf: np.ndarray, num_leaves: int):
 
 
 def gather_rows_i8(src: np.ndarray, order: np.ndarray) -> np.ndarray:
-    src = np.ascontiguousarray(src, np.int8)
+    out_dtype = src.dtype
+    src = (np.ascontiguousarray(src).view(np.int8)
+           if src.dtype == np.uint8 else np.ascontiguousarray(src, np.int8))
     order = np.ascontiguousarray(order, np.int64)
     lib = _load()
     if lib is not None:
@@ -135,5 +138,5 @@ def gather_rows_i8(src: np.ndarray, order: np.ndarray) -> np.ndarray:
                                  _ptr(order, ctypes.c_int64),
                                  _ptr(out, ctypes.c_int8),
                                  order.shape[0], src.shape[1])
-        return out
-    return src[order]
+        return out.view(out_dtype)
+    return src[order].view(out_dtype)

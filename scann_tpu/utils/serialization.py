@@ -83,8 +83,11 @@ def save_searcher(searcher, artifacts_dir: str):
         # the same packed form, scann_assets.proto).
         from scann_tpu.utils import native
         codes_np = np.asarray(searcher.index.codes)
-        arrays["codes_packed"] = native.pack4(codes_np)
-        dtypes["codes_packed"] = "uint8"
+        if searcher.ah_cfg.clusters_per_block == 16:
+            arrays["codes_packed"] = native.pack4(codes_np)
+            dtypes["codes_packed"] = "uint8"
+        else:
+            arrays["codes"], dtypes["codes"] = codes_np, str(codes_np.dtype)
         meta["num_blocks"] = int(codes_np.shape[1])
         put("slot_dpid", searcher.index.slot_dpid)
         put("slot_leaf", searcher.index.slot_leaf)
@@ -167,7 +170,8 @@ def load_searcher(artifacts_dir: str):
         from scann_tpu.utils import native
         if "codes_packed" in arrays:
             codes = jnp.asarray(native.unpack4(
-                np.asarray(arrays["codes_packed"]), meta["num_blocks"]))
+                np.asarray(arrays["codes_packed"]),
+                meta["num_blocks"]).view(np.uint8))
         else:
             codes = arrays["codes"]
         s.index = tree_ah.TreeAHIndex(codes=codes,

@@ -1,0 +1,80 @@
+"""One-to-one distance zoo + dataset container tests (reference:
+scann/distance_measures/one_to_one/, scann/data_format/)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from scann_tpu.data.dataset import DenseDataset, MetadataGetter
+from scann_tpu.ops import distance as d
+
+
+def data(n=50, m=20, dim=8):
+    rng = np.random.default_rng(0)
+    return (rng.random((m, dim)).astype(np.float32),
+            rng.random((n, dim)).astype(np.float32))
+
+
+def test_cosine():
+    q, db = data()
+    got = np.asarray(d.cosine_distance(jnp.asarray(q), jnp.asarray(db)))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    dn = db / np.linalg.norm(db, axis=1, keepdims=True)
+    np.testing.assert_allclose(got, 1 - qn @ dn.T, rtol=1e-4, atol=1e-5)
+
+
+def test_l1():
+    q, db = data()
+    got = np.asarray(d.l1_distance(jnp.asarray(q), jnp.asarray(db)))
+    want = np.abs(q[:, None] - db[None]).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_hamming():
+    q, db = data()
+    q = (q > 0.5).astype(np.float32)
+    db = (db > 0.5).astype(np.float32)
+    got = np.asarray(d.hamming_distance(jnp.asarray(q), jnp.asarray(db)))
+    want = ((q[:, None] > 0) != (db[None] > 0)).sum(-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_jaccard():
+    q, db = data()
+    got = np.asarray(d.jaccard_distance(jnp.asarray(q), jnp.asarray(db)))
+    mins = np.minimum(q[:, None], db[None]).sum(-1)
+    maxs = np.maximum(q[:, None], db[None]).sum(-1)
+    np.testing.assert_allclose(got, 1 - mins / maxs, rtol=1e-5)
+
+
+def test_limited_inner_product():
+    q, db = data()
+    got = np.asarray(d.limited_inner_product_distance(
+        jnp.asarray(q), jnp.asarray(db)))
+    qn = np.linalg.norm(q, axis=1)[:, None]
+    dn = np.linalg.norm(db, axis=1)[None, :]
+    want = -(q @ db.T) / (qn * np.maximum(qn, dn))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_dense_dataset():
+    q, db = data()
+    ds = DenseDataset(db, docids=[f"d{i}" for i in range(len(db))])
+    assert len(ds) == len(db)
+    assert ds.dimensionality == db.shape[1]
+    assert ds.docid_for_index(3) == "d3"
+    ds.set_unit_l2_norm()
+    np.testing.assert_allclose(np.linalg.norm(ds.data, axis=1), 1.0,
+                               rtol=1e-5)
+    ds.append(q[0], docids=["new"])
+    assert len(ds) == len(db) + 1
+    assert abs(np.linalg.norm(ds.data[-1]) - 1.0) < 1e-5
+    with pytest.raises(ValueError):
+        ds.append(q[1])  # docids required
+
+
+def test_metadata_getter():
+    mg = MetadataGetter(payloads={0: "a", 1: "b"})
+    assert mg.get(1) == "b"
+    assert mg.batch_get(np.array([0, 1])) == ["a", "b"]
+    assert MetadataGetter().get(0) is None

@@ -232,3 +232,19 @@ def test_reconstruct_scoring_mode():
     s3.upsert("probe", q[0] * 2.0)
     idx, _ = s3.search(q[0])
     assert "probe" in idx
+
+
+def test_lut256():
+    """hash_type='lut256' (256 centers/block, reference INT8 lookup,
+    scann_builder.py:262-268)."""
+    db, q = make_data(n=4000)
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=8,
+               training_sample_size=4000)
+         .score_ah(4, anisotropic_quantization_threshold=0.2,
+                   hash_type="lut256")
+         .reorder(60).build())
+    assert s.model.clusters_per_block == 256
+    idx, _ = s.search_batched(q)
+    truth = exact_topk(db, q, 10, "dot_product")
+    assert recall_at_k(idx, truth) >= 0.9
