@@ -41,16 +41,20 @@ RECALL_TARGET = 0.95
 
 
 def make_glove_like(n, nq, d, seed=0):
-    """Mixture of unit-sphere topics + noise, L2-normalized (angular)."""
+    """Mixture of unit-sphere topics + noise, L2-normalized (angular).
+
+    Per-dim noise std 0.05 -> noise vector norm ~0.5 vs unit topic norm,
+    giving cluster structure comparable to real glove-100 (partition
+    pruning at 5% of leaves retains most true neighbors)."""
     rng = np.random.default_rng(seed)
-    n_topics = 2048
+    n_topics = 1024
     topics = rng.standard_normal((n_topics, d)).astype(np.float32)
     topics /= np.linalg.norm(topics, axis=1, keepdims=True)
 
     def draw(m, seed2):
         r = np.random.default_rng(seed2)
         a = r.integers(0, n_topics, m)
-        x = topics[a] + 0.55 * r.standard_normal((m, d)).astype(np.float32)
+        x = topics[a] + 0.05 * r.standard_normal((m, d)).astype(np.float32)
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         return x.astype(np.float32)
 

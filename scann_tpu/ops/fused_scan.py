@@ -62,8 +62,8 @@ def _kernel(q_ref, rows_ref, bias_ref, vals_ref, idx_ref, *, scale):
         preferred_element_type=jnp.float32)  # (QT, BS)
     scores = scale * scores + bias_ref[:].reshape(1, -1)
     grouped = scores.reshape(QT, BS // SUB, SUB)
-    vals_ref[:, 0, :] = jnp.max(grouped, axis=-1)
-    idx_ref[:, 0, :] = jnp.argmax(grouped, axis=-1).astype(jnp.int32)
+    vals_ref[0, :, :] = jnp.max(grouped, axis=-1)
+    idx_ref[0, :, :] = jnp.argmax(grouped, axis=-1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("measure_l2", "interpret"))
@@ -96,24 +96,26 @@ def fused_scan_groupmax(queries, rows, bias, *, measure_l2=False,
             pl.BlockSpec((BS,), lambda i, j: (j,),
                          memory_space=pltpu.VMEM),
         ],
+        # Outputs are (ns_b, Q, G) so the per-step block (1, QT, G) keeps
+        # its trailing two dims Mosaic-aligned (QT % 8 == 0, G == full dim).
         out_specs=[
-            pl.BlockSpec((QT, 1, groups_per_block),
-                         lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((QT, 1, groups_per_block),
-                         lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QT, groups_per_block),
+                         lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QT, groups_per_block),
+                         lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((q, ns_b, groups_per_block), jnp.float32),
-            jax.ShapeDtypeStruct((q, ns_b, groups_per_block), jnp.int32),
+            jax.ShapeDtypeStruct((ns_b, q, groups_per_block), jnp.float32),
+            jax.ShapeDtypeStruct((ns_b, q, groups_per_block), jnp.int32),
         ],
         interpret=interpret,
     )(queries, rows, bias)
-    # Group-local -> global slot ids.
+    # (ns_b, Q, G) -> (Q, ns_b*G); group-local -> global slot ids.
+    vals = jnp.transpose(vals, (1, 0, 2)).reshape(q, ns_b * groups_per_block)
+    idx = jnp.transpose(idx, (1, 0, 2)).reshape(q, ns_b * groups_per_block)
     group_base = (jnp.arange(ns_b * groups_per_block, dtype=jnp.int32)
-                  * SUB).reshape(1, ns_b, groups_per_block)
-    idx = idx + group_base
-    return (vals.reshape(q, ns_b * groups_per_block),
-            idx.reshape(q, ns_b * groups_per_block))
+                  * SUB)[None, :]
+    return vals, idx + group_base
 
 
 def build_bias(valid: np.ndarray, sq_norms=None) -> np.ndarray:
