@@ -56,14 +56,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(q_ref, rows_ref, bias_ref, vals_ref, idx_ref, *, scale):
+    # Compute scores transposed — (BS, QT) with queries on the lane dim —
+    # so the SUB-grouping splits the *sublane* dimension (free in Mosaic's
+    # tiled layout) and the reductions run along sublanes; grouping the
+    # lane dim instead would force a relayout copy of every score tile.
     scores = jax.lax.dot_general(
-        q_ref[:], rows_ref[:],
+        rows_ref[:], q_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (QT, BS)
-    scores = scale * scores + bias_ref[:].reshape(1, -1)
-    grouped = scores.reshape(QT, BS // SUB, SUB)
-    vals_ref[0, :, :] = jnp.max(grouped, axis=-1)
-    idx_ref[0, :, :] = jnp.argmax(grouped, axis=-1).astype(jnp.int32)
+        preferred_element_type=jnp.float32)  # (BS, QT)
+    scores = scale * scores + bias_ref[:].reshape(-1, 1)
+    grouped = scores.reshape(BS // SUB, SUB, QT)
+    vals_ref[0] = jnp.max(grouped, axis=1)  # (G, QT)
+    idx_ref[0] = jnp.argmax(grouped, axis=1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("measure_l2", "interpret"))
@@ -96,25 +100,31 @@ def fused_scan_groupmax(queries, rows, bias, *, measure_l2=False,
             pl.BlockSpec((BS,), lambda i, j: (j,),
                          memory_space=pltpu.VMEM),
         ],
-        # Outputs are (ns_b, Q, G) so the per-step block (1, QT, G) keeps
-        # its trailing two dims Mosaic-aligned (QT % 8 == 0, G == full dim).
+        # Outputs are (steps, G, QT): per-step blocks (1, G, QT) have
+        # Mosaic-aligned trailing dims (G % 8 == 0, QT % 128 == 0).
         out_specs=[
-            pl.BlockSpec((1, QT, groups_per_block),
-                         lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QT, groups_per_block),
-                         lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, groups_per_block, QT),
+                         lambda i, j: (i * ns_b + j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, groups_per_block, QT),
+                         lambda i, j: (i * ns_b + j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((ns_b, q, groups_per_block), jnp.float32),
-            jax.ShapeDtypeStruct((ns_b, q, groups_per_block), jnp.int32),
+            jax.ShapeDtypeStruct(((q // QT) * ns_b, groups_per_block, QT),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct(((q // QT) * ns_b, groups_per_block, QT),
+                                 jnp.int32),
         ],
         interpret=interpret,
     )(queries, rows, bias)
-    # (ns_b, Q, G) -> (Q, ns_b*G); group-local -> global slot ids.
-    vals = jnp.transpose(vals, (1, 0, 2)).reshape(q, ns_b * groups_per_block)
-    idx = jnp.transpose(idx, (1, 0, 2)).reshape(q, ns_b * groups_per_block)
-    group_base = (jnp.arange(ns_b * groups_per_block, dtype=jnp.int32)
-                  * SUB)[None, :]
+    # (q_tiles*ns_b, G, QT) -> (Q, ns_b*G); group-local -> global slot ids.
+    g = groups_per_block
+    vals = vals.reshape(q // QT, ns_b * g, QT)
+    idx = idx.reshape(q // QT, ns_b * g, QT)
+    vals = jnp.transpose(vals, (0, 2, 1)).reshape(q, ns_b * g)
+    idx = jnp.transpose(idx, (0, 2, 1)).reshape(q, ns_b * g)
+    group_base = (jnp.arange(ns_b * g, dtype=jnp.int32) * SUB)[None, :]
     return vals, idx + group_base
 
 
