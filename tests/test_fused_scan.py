@@ -108,3 +108,30 @@ def test_fused_path_in_searcher():
                   for i in range(len(q))])
     assert r >= r2 - 0.03, (r, r2)
     assert r >= 0.5, r
+
+
+def test_fused_gates_off_under_restrict():
+    """restrict_allowlist must fall back to the masked XLA path (the fused
+    kernel's group-max cannot apply per-query masks post-hoc)."""
+    import dataclasses
+    import scann_tpu
+    import scann_tpu.factory as factory
+    from scann_tpu.ops import fused_scan
+
+    rng = np.random.default_rng(1)
+    db = rng.standard_normal((80_000, 32)).astype(np.float32)
+    q = rng.standard_normal((fused_scan.QT, 32)).astype(np.float32)
+    b = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=16,
+               training_sample_size=8000)
+         .score_ah(2).reorder(60))
+    config = b.create_config()
+    config = dataclasses.replace(config, asymmetric_hash=dataclasses.replace(
+        config.asymmetric_hash, lookup_type="reconstruct"))
+    s = factory.create_searcher(db, config)
+    s._fused_interpret = True
+    allow = np.zeros(len(db), bool)
+    allow[:1000] = True
+    idx, _ = s.search_batched(q[:8], restrict_allowlist=allow)
+    valid = idx[idx >= 0]
+    assert len(valid) and valid.max() < 1000
