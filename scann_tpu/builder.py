@@ -126,8 +126,8 @@ class ScannBuilder:
     def score_ah(self, dimensions_per_block,
                  anisotropic_quantization_threshold=float("nan"),
                  training_sample_size=100000, min_cluster_size=100,
-                 hash_type="lut16",
-                 training_iterations=10) -> "ScannBuilder":
+                 hash_type="lut16", training_iterations=10,
+                 quantization_scheme="product") -> "ScannBuilder":
         """Configure asymmetric hashing (reference: scann_builder.py:241-320).
 
         Must call this or score_brute_force."""
@@ -140,7 +140,8 @@ class ScannBuilder:
                 anisotropic_quantization_threshold),
             training_sample_size=training_sample_size,
             hash_type=hash_type,
-            training_iterations=training_iterations)
+            training_iterations=training_iterations,
+            quantization_scheme=quantization_scheme)
         return self
 
     def score_brute_force(self, quantize=ReorderType.FLOAT32) -> "ScannBuilder":

@@ -95,6 +95,10 @@ class AsymmetricHashConfig:
     training_sample_size: int = 100000  # expected_sample_size
     hash_type: str = "lut16"  # lut16 (16 centers/block) | lut256
     training_iterations: int = 10  # max_clustering_iterations
+    # PRODUCT (disjoint dimension blocks) or STACKED (additive full-dim
+    # codebooks; reference quantization_scheme STACKED ->
+    # hashes/internal/stacked_quantizers.h).
+    quantization_scheme: str = "product"
     # None => resolved at build: residual quantization iff partitioned and
     # dot-product distance (scann_builder.py:428-432).
     residual_quantization: Optional[bool] = None

@@ -300,8 +300,11 @@ class Searcher:
             crowding_limit = int(per_crowding_attribute_num_neighbors)
         nq = queries.shape[0]
         bucket = _next_bucket(nq)
-        padded = np.zeros((bucket, queries.shape[1]), np.float32)
-        padded[:nq] = queries
+        # Upload the exact-size batch and pad on device: host->device
+        # bandwidth is the scarce resource (especially on tunneled TPUs).
+        q_dev = jnp.asarray(queries)
+        if bucket != nq:
+            q_dev = jnp.pad(q_dev, ((0, bucket - nq), (0, 0)))
         # The number of leaves searched is passed dynamically (the static
         # program ranks all centroids and masks the tail) so every
         # leaves_to_search override reuses one compiled program — centroid
@@ -326,7 +329,7 @@ class Searcher:
             state["restrict"] = jnp.asarray(allow)
         if crowding_limit > 0:
             state["crowding_attrs"] = self._crowding_attrs
-        idx, dist = fn(jnp.asarray(padded), state)
+        idx, dist = fn(q_dev, state)
         idx = np.asarray(idx[:nq])
         dist = np.asarray(dist[:nq])
         if self.docids is not None:

@@ -76,6 +76,13 @@ class TreeAHSearcher(base.Searcher):
             raise ValueError(
                 "residual quantization requires dot product distance "
                 "(reference: TreeAHHybridResidual)")
+        self.stacked = self.ah_cfg.quantization_scheme == "stacked"
+        if (self.stacked and self.measure == cfg.SQUARED_L2
+                and self.ah_cfg.lookup_type != "reconstruct"):
+            raise ValueError(
+                "stacked quantization under squared L2 requires "
+                "lookup_type='reconstruct' (additive ||x_hat||^2 cross "
+                "terms are not LUT-decomposable)")
         if artifacts is not None:
             self._restore(artifacts)
         else:
@@ -142,14 +149,25 @@ class TreeAHSearcher(base.Searcher):
         from scann_tpu.ops import kmeans as kmeans_ops
         sample_idx = np.asarray(kmeans_ops.sample_rows(
             k_sample, n, self.ah_cfg.training_sample_size))
-        codebook = jax.jit(
-            lambda k, s: ah_ops.train_ah_model(
-                k, s, self.ah_cfg.dimensions_per_block,
-                self.ah_cfg.clusters_per_block,
-                self.ah_cfg.training_iterations, dims=d).codebook)(
-                    k_train,
-                    jnp.asarray(primary_vecs[sample_idx], jnp.float32))
-        self.model = ah_ops.AHModel(codebook=codebook, dims=d)
+        if self.stacked:
+            from scann_tpu.ops import stacked as stacked_ops
+            num_stages = -(-d // self.ah_cfg.dimensions_per_block)
+            books = jax.jit(
+                lambda k, s: stacked_ops.train_stacked(
+                    k, s, num_stages, self.ah_cfg.clusters_per_block,
+                    self.ah_cfg.training_iterations).codebooks)(
+                        k_train,
+                        jnp.asarray(primary_vecs[sample_idx], jnp.float32))
+            self.model = stacked_ops.StackedModel(codebooks=books, dims=d)
+        else:
+            codebook = jax.jit(
+                lambda k, s: ah_ops.train_ah_model(
+                    k, s, self.ah_cfg.dimensions_per_block,
+                    self.ah_cfg.clusters_per_block,
+                    self.ah_cfg.training_iterations, dims=d).codebook)(
+                        k_train,
+                        jnp.asarray(primary_vecs[sample_idx], jnp.float32))
+            self.model = ah_ops.AHModel(codebook=codebook, dims=d)
         _phase("AH model trained")
 
         codes_primary = self._encode_dataset(primary_vecs, database)
@@ -178,12 +196,17 @@ class TreeAHSearcher(base.Searcher):
         threshold = self.ah_cfg.anisotropic_quantization_threshold
         noise_shaped = not math.isnan(threshold)
         def encode_and_err(v, o):
-            if noise_shaped:
+            if self.stacked:
+                from scann_tpu.ops import stacked as stacked_ops
+                codes = stacked_ops.encode_stacked(v, self.model)
+                recon = stacked_ops.reconstruct_stacked(codes, self.model)
+            elif noise_shaped:
                 codes = ah_ops.encode_noise_shaped(v, o, self.model,
                                                    threshold)
+                recon = ah_ops.reconstruct(codes, self.model)
             else:
                 codes = ah_ops.encode(v, self.model)
-            recon = ah_ops.reconstruct(codes, self.model)
+                recon = ah_ops.reconstruct(codes, self.model)
             err = jnp.sum((v - recon) ** 2)
             return codes, err
 
@@ -259,7 +282,11 @@ class TreeAHSearcher(base.Searcher):
         otherwise.  Same information as the float LUT path — a TPU memory/
         FLOP tradeoff (see AsymmetricHashConfig.lookup_type).  Rows are
         zero-padded to a 128-multiple feature dim for the fused kernel."""
-        recon = ah_ops.reconstruct(codes, self.model)
+        if self.stacked:
+            from scann_tpu.ops import stacked as stacked_ops
+            recon = stacked_ops.reconstruct_stacked(codes, self.model)
+        else:
+            recon = ah_ops.reconstruct(codes, self.model)
         if self.residual and self.partitioner is not None:
             recon = recon + jnp.take(self.partitioner.centers,
                                      jnp.maximum(slot_leaf, 0), axis=0)
@@ -336,7 +363,10 @@ class TreeAHSearcher(base.Searcher):
                 v = vecs
             vj = jnp.asarray(v, jnp.float32)
             oj = jnp.asarray(vecs, jnp.float32)
-            if noise_shaped:
+            if self.stacked:
+                from scann_tpu.ops import stacked as stacked_ops
+                c = stacked_ops.encode_stacked(vj, self.model)
+            elif noise_shaped:
                 c = ah_ops.encode_noise_shaped(vj, oj, self.model, threshold)
             else:
                 c = ah_ops.encode(vj, self.model)
@@ -455,7 +485,8 @@ class TreeAHSearcher(base.Searcher):
         st = {"codes": self.index.codes,
               "slot_dpid": self.index.slot_dpid,
               "slot_leaf": self.index.slot_leaf,
-              "codebook": self.model.codebook,
+              "codebook": (self.model.codebooks if self.stacked
+                           else self.model.codebook),
               "recon_rows": getattr(self, "_recon_rows", None),
               "recon_sq": getattr(self, "_recon_sq", None),
               "recon_bias": getattr(self, "_recon_bias", None)}
@@ -479,15 +510,25 @@ class TreeAHSearcher(base.Searcher):
                 and (jax.default_backend() == "tpu"
                      or getattr(self, "_fused_interpret", False))):
             return self._fused_select(queries, state, k_pre)
-        model = self.model._replace(codebook=state["codebook"])
+        if self.stacked:
+            model = self.model._replace(codebooks=state["codebook"])
+        else:
+            model = self.model._replace(codebook=state["codebook"])
         index = TreeAHIndex(codes=state["codes"],
                             slot_dpid=state["slot_dpid"],
                             slot_leaf=state["slot_leaf"])
         recon_mode = self._recon_mode
         luts = None
         if not recon_mode:
-            luts = ah_ops.build_luts(queries, model, self.measure,
-                                     self.ah_cfg.lookup_type)
+            if self.stacked:
+                from scann_tpu.ops import stacked as stacked_ops
+                raw = stacked_ops.build_stacked_luts(queries, model)
+                base = jnp.zeros((queries.shape[0],), jnp.float32)
+                luts = ah_ops.quantize_luts(raw, base,
+                                            self.ah_cfg.lookup_type)
+            else:
+                luts = ah_ops.build_luts(queries, model, self.measure,
+                                         self.ah_cfg.lookup_type)
         nq = queries.shape[0]
         num_leaves = (self.partitioner.num_leaves
                       if self.partitioner is not None else 1)

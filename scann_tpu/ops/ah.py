@@ -262,6 +262,13 @@ def build_luts(queries, model: AHModel, measure: str,
     else:
         raise ValueError(f"unsupported measure: {measure}")
 
+    return quantize_luts(raw, base, lookup_dtype)
+
+
+def quantize_luts(raw, base, lookup_dtype: str) -> LookupTables:
+    """Apply the per-query fixed-point conversion to raw (q, B, J) tables
+    (ConvertLookupToFixedPoint semantics, multiplier 127/max|entry|)."""
+    nq = raw.shape[0]
     if lookup_dtype == cfg.INT8:
         max_abs = jnp.maximum(
             jnp.max(jnp.abs(raw), axis=(1, 2)),

@@ -91,7 +91,9 @@ def save_searcher(searcher, artifacts_dir: str):
         meta["num_blocks"] = int(codes_np.shape[1])
         put("slot_dpid", searcher.index.slot_dpid)
         put("slot_leaf", searcher.index.slot_leaf)
-        put("codebook", searcher.model.codebook)
+        put("codebook", searcher.model.codebooks
+            if getattr(searcher, "stacked", False)
+            else searcher.model.codebook)
         put("datapoint_to_token", jnp.asarray(searcher.datapoint_to_token))
         meta["model_dims"] = searcher.model.dims
         meta["num_slots"] = searcher._num_slots
@@ -177,9 +179,16 @@ def load_searcher(artifacts_dir: str):
         s.index = tree_ah.TreeAHIndex(codes=codes,
                                       slot_dpid=arrays["slot_dpid"],
                                       slot_leaf=arrays["slot_leaf"])
-        from scann_tpu.ops import ah as ah_ops
-        s.model = ah_ops.AHModel(codebook=arrays["codebook"],
-                                 dims=meta["model_dims"])
+        s.stacked = (scann_config.asymmetric_hash.quantization_scheme
+                     == "stacked")
+        if s.stacked:
+            from scann_tpu.ops import stacked as stacked_ops
+            s.model = stacked_ops.StackedModel(
+                codebooks=arrays["codebook"], dims=meta["model_dims"])
+        else:
+            from scann_tpu.ops import ah as ah_ops
+            s.model = ah_ops.AHModel(codebook=arrays["codebook"],
+                                     dims=meta["model_dims"])
         s._num_slots = meta["num_slots"]
         s._chunk = meta["chunk"]
         s.datapoint_to_token = np.asarray(arrays["datapoint_to_token"])

@@ -248,3 +248,32 @@ def test_lut256():
     idx, _ = s.search_batched(q)
     truth = exact_topk(db, q, 10, "dot_product")
     assert recall_at_k(idx, truth) >= 0.9
+
+
+def test_stacked_quantization(tmp_path):
+    """quantization_scheme='stacked' (additive codebooks; reference
+    StackedQuantizers, hashes/internal/stacked_quantizers.h)."""
+    db, q = make_data()
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=8,
+               training_sample_size=4000)
+         .score_ah(2, quantization_scheme="stacked")
+         .reorder(100).build())
+    assert s.stacked
+    idx, _ = s.search_batched(q)
+    truth = exact_topk(db, q, 10, "dot_product")
+    assert recall_at_k(idx, truth) >= 0.9
+    # round trip
+    i1, d1 = s.search_batched(q)
+    s.serialize(str(tmp_path))
+    s2 = scann_tpu.load_searcher(str(tmp_path))
+    i2, d2 = s2.search_batched(q)
+    np.testing.assert_array_equal(i1, i2)
+
+    # L2 + stacked requires reconstruct lookup
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        (scann_tpu.builder(db, 10, "squared_l2")
+         .tree(num_leaves=16, num_leaves_to_search=8,
+               training_sample_size=4000)
+         .score_ah(2, quantization_scheme="stacked").build())
