@@ -43,10 +43,18 @@ class ReorderHelper:
 
     def __init__(self, database: np.ndarray, measure: str,
                  reorder_cfg: cfg.ReorderConfig):
+        import math as _math
         self.measure = measure
         self.config = reorder_cfg
         if reorder_cfg.quantize == cfg.INT8:
-            sq = quant_ops.scalar_quantize(jnp.asarray(database))
+            thr = reorder_cfg.anisotropic_quantization_threshold
+            if not _math.isnan(thr):
+                # Noise-shaped int8 reordering dataset (reference:
+                # exact_reordering fixed_point noise_shaping_threshold).
+                sq = jax.jit(lambda x: quant_ops.scalar_quantize_noise_shaped(
+                    x, thr))(jnp.asarray(database))
+            else:
+                sq = quant_ops.scalar_quantize(jnp.asarray(database))
             self._db = sq.data
             self._inv_mult = sq.inverse_multipliers
             self._sq_norms = sq.sq_norms

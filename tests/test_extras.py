@@ -185,3 +185,56 @@ def test_native_pack_and_sort():
     np.testing.assert_array_equal(order, np_order)
     g = native.gather_rows_i8(codes[:100], np.arange(99, -1, -1))
     np.testing.assert_array_equal(g, codes[:100][::-1])
+
+
+def test_noise_shaped_scalar_quantization():
+    """Noise-shaped int8 quantization must reduce the parallel residual
+    cost vs plain rounding (utils/noise_shaping_utils.h semantics) and not
+    hurt dot-product fidelity."""
+    import jax
+    import jax.numpy as jnp
+    from scann_tpu.ops import quantize as quant_ops
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((500, 24)).astype(np.float32)
+    plain = quant_ops.scalar_quantize(jnp.asarray(x))
+    shaped = jax.jit(lambda a: quant_ops.scalar_quantize_noise_shaped(
+        a, 0.2))(jnp.asarray(x))
+
+    def parallel_cost(sq):
+        deq = np.asarray(sq.data, np.float32) * np.asarray(
+            sq.inverse_multipliers)[None, :]
+        r = deq - x
+        norms = np.linalg.norm(x, axis=1)
+        par = np.abs((r * x).sum(1) / norms)
+        return par.mean()
+
+    assert parallel_cost(shaped) <= parallel_cost(plain) + 1e-6
+    # quantized values stay within one step of plain rounding
+    assert np.abs(np.asarray(shaped.data, np.int32)
+                  - np.asarray(plain.data, np.int32)).max() <= 1
+
+
+def test_reorder_with_noise_shaping_end_to_end():
+    # Noise shaping optimizes the error component parallel to the
+    # datapoint, which pays off when queries correlate with the data (the
+    # MIPS setting it was designed for, arXiv:1908.10396) — so use
+    # db-correlated queries here.
+    db, _ = make_data()
+    rng = np.random.default_rng(9)
+    q = (db[rng.integers(0, len(db), 32)]
+         + 0.1 * rng.standard_normal((32, db.shape[1])).astype(np.float32))
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+
+    def build(thr):
+        return (scann_tpu.builder(db, 10, "dot_product")
+                .tree(num_leaves=16, num_leaves_to_search=8,
+                      training_sample_size=4000)
+                .score_ah(2, anisotropic_quantization_threshold=0.2)
+                .reorder(80, quantize="int8",
+                         anisotropic_quantization_threshold=thr).build())
+
+    r_shaped = recall(build(0.2).search_batched(q)[0], truth)
+    r_plain = recall(build(float("nan")).search_batched(q)[0], truth)
+    assert r_shaped >= r_plain - 0.02, (r_shaped, r_plain)
+    assert r_shaped >= 0.9, r_shaped
