@@ -192,10 +192,15 @@ class TreeAHSearcher(base.Searcher):
 
     def _encode_dataset(self, vectors: np.ndarray, originals: np.ndarray
                         ) -> np.ndarray:
-        """Encode all vectors, chunked on the host to bound device memory."""
+        """Encode all vectors as ONE jitted lax.map over fixed-size chunks:
+        a single device program (memory bounded per chunk by map) instead
+        of a host loop of dispatches — the noise-shaping scan's 500
+        sequential steps stay on device."""
         threshold = self.ah_cfg.anisotropic_quantization_threshold
         noise_shaped = not math.isnan(threshold)
-        def encode_and_err(v, o):
+
+        def encode_and_err(args):
+            v, o = args
             if self.stacked:
                 from scann_tpu.ops import stacked as stacked_ops
                 codes = stacked_ops.encode_stacked(v, self.model)
@@ -207,18 +212,30 @@ class TreeAHSearcher(base.Searcher):
             else:
                 codes = ah_ops.encode(v, self.model)
                 recon = ah_ops.reconstruct(codes, self.model)
-            err = jnp.sum((v - recon) ** 2)
+            # Exclude padding rows (all-zero) from the quantization-error
+            # statistic.
+            live = jnp.any(v != 0.0, axis=1)
+            err = jnp.sum(jnp.sum((v - recon) ** 2, axis=1) * live)
             return codes, err
 
-        fn = jax.jit(encode_and_err)
-        out = []
-        err_sum = 0.0
-        for s in range(0, vectors.shape[0], _ENCODE_CHUNK):
-            v = jnp.asarray(vectors[s:s + _ENCODE_CHUNK], jnp.float32)
-            o = jnp.asarray(originals[s:s + _ENCODE_CHUNK], jnp.float32)
-            codes, err = fn(v, o)
-            out.append(np.asarray(codes))
-            err_sum += float(err)
+        n = vectors.shape[0]
+        chunk = min(_ENCODE_CHUNK, _round_up(n, 128))
+        pad = _round_up(n, chunk) - n
+
+        @jax.jit
+        def run(v, o):
+            if pad:
+                v = jnp.pad(v, ((0, pad), (0, 0)))
+                o = jnp.pad(o, ((0, pad), (0, 0)))
+            vc = v.reshape(-1, chunk, v.shape[1])
+            oc = o.reshape(-1, chunk, o.shape[1])
+            codes, errs = jax.lax.map(encode_and_err, (vc, oc))
+            return codes.reshape(-1, codes.shape[-1]), jnp.sum(errs)
+
+        codes_all, err = run(jnp.asarray(vectors, jnp.float32),
+                             jnp.asarray(originals, jnp.float32))
+        out = [np.asarray(codes_all[:n])]
+        err_sum = float(err)
         # Running mean squared quantization error across every encoded slot
         # (HealthStats.avg_quantization_error is its sqrt).
         prev_n = getattr(self, "_encoded_slots", 0)
