@@ -16,9 +16,9 @@ tree_ah_hybrid_residual.cc:631-846):
      Where the reference walks selected leaves per query
      (InvertCentersToSearch + LUT16 kernels, :610-786), the TPU design
      streams the whole code array: a dense scan keeps every matmul at full
-     MXU utilization and replaces pointer-chasing with masking.  A Pallas
-     gather kernel that skips unselected leaves is layered on top for
-     larger-than-HBM-bandwidth cases (ops/lut16_pallas.py).
+     MXU utilization and replaces pointer-chasing with masking.  Full
+     scans in reconstruct mode ride the fused Pallas matmul+group-max
+     kernel instead (ops/fused_scan.py).
   4. running global top-k merge across chunks (the global-topn path,
      :679-786), SOAR overretrieve + duplicate suppression
      (DeduplicateDatabaseSpilledResults :779-783)

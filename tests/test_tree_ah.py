@@ -277,3 +277,19 @@ def test_stacked_quantization(tmp_path):
          .tree(num_leaves=16, num_leaves_to_search=8,
                training_sample_size=4000)
          .score_ah(2, quantization_scheme="stacked").build())
+
+
+def test_tree_ah_batch_single_consistency():
+    """batch == single results (reference: test_batching,
+    scann_ops_pybind_test.py:93-106)."""
+    db, q = make_data(n=3000)
+    s = (scann_tpu.builder(db, 5, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=4,
+               training_sample_size=3000)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(40).build())
+    bi, bd = s.search_batched(q[:8])
+    for i in range(4):
+        si, sd = s.search(q[i])
+        np.testing.assert_array_equal(si, bi[i])
+        np.testing.assert_allclose(sd, bd[i], rtol=1e-6)
