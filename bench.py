@@ -16,6 +16,7 @@ workstation (docs/example.ipynb, BASELINE.md).
 
 import json
 import logging
+import os
 import sys
 import time
 
@@ -23,6 +24,13 @@ import numpy as np
 
 logging.basicConfig(stream=sys.stderr, level=logging.INFO,
                     format="%(message)s")
+
+# Persist compiled executables across bench runs (each fresh process would
+# otherwise pay minutes of (remote) compilation for the same programs).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
 def _log(msg):
