@@ -146,6 +146,10 @@ def main():
     searcher = factory.create_searcher(db, config)
     build_s = time.perf_counter() - t0
     _log(f"index built in {build_s:.1f}s (lookup={lookup})")
+    save_dir = os.environ.get("SCANN_TPU_BENCH_SAVE")
+    if save_dir:
+        searcher.serialize(save_dir)
+        _log(f"index serialized to {save_dir}")
 
     truth = exact_ground_truth(db, q, K)
     _log("ground truth ready")

@@ -550,8 +550,7 @@ class TreeAHSearcher(base.Searcher):
         num_leaves = (self.partitioner.num_leaves
                       if self.partitioner is not None else 1)
 
-        mask_dense = None
-        bias_dense = None
+        combo_dense = None  # per-(query, leaf) bias, -inf when unselected
         if self.partitioner is not None and num_leaves > 1:
             partitioner = self.partitioner._replace(
                 centers=state["centers"],
@@ -567,14 +566,19 @@ class TreeAHSearcher(base.Searcher):
             if state.get("leaves_dynamic") is not None:
                 col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
                 keep = col < state["leaves_dynamic"]
-            mask_dense = jnp.zeros((nq, num_leaves), bool
-                                   ).at[rows, leaf_ids].set(keep)
-            if self.residual:
-                # Per-leaf bias: similarity(q, c_leaf) under dot product
-                # (the reference's per-leaf distance_to_center bias,
-                # tree_ah_hybrid_residual.cc:693-701).
-                bias_dense = jnp.zeros((nq, num_leaves), jnp.float32
-                                       ).at[rows, leaf_ids].set(center_sims)
+            # One dense (query, leaf) table combining the selection mask
+            # and, under residual quantization, the per-leaf q.c bias (the
+            # reference's distance_to_center bias,
+            # tree_ah_hybrid_residual.cc:693-701): unselected leaves get
+            # -inf so a single gather per chunk does both jobs.
+            # No bias in reconstruct mode: the decoded rows already include
+            # the leaf center, so only the mask applies.
+            vals_scatter = (center_sims
+                            if self.residual and not recon_mode
+                            else jnp.zeros((nq, leaves), jnp.float32))
+            vals_scatter = jnp.where(keep, vals_scatter, -jnp.inf)
+            combo_dense = jnp.full((nq, num_leaves), -jnp.inf, jnp.float32
+                                   ).at[rows, leaf_ids].set(vals_scatter)
 
         soar = self.part_cfg.soar if self.part_cfg is not None else None
         k_fetch = k_pre
@@ -619,12 +623,9 @@ class TreeAHSearcher(base.Searcher):
                 codes_c = jax.lax.dynamic_slice_in_dim(index.codes, start,
                                                        chunk)
                 sim = lut16_ops.score_codes_chunk(codes_c, luts, cpb)
-                if bias_dense is not None:
-                    sim = sim + jnp.take(bias_dense, leaf_c, axis=1)
+            if combo_dense is not None:
+                sim = sim + jnp.take(combo_dense, leaf_c, axis=1)
             valid = (dpid_c >= 0)[None, :]
-            if mask_dense is not None:
-                valid = jnp.logical_and(valid,
-                                        jnp.take(mask_dense, leaf_c, axis=1))
             if state.get("restrict") is not None:
                 allow = jnp.take(state["restrict"],
                                  jnp.clip(dpid_c, 0,

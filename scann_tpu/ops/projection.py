@@ -38,6 +38,16 @@ def train_projection(database: np.ndarray, proj: cfg.ProjectionConfig,
         if proj.reduction_dim is None or proj.reduction_dim >= d:
             raise ValueError("truncate requires reduction_dim < dims")
         return Projector(matrix=None, out_dims=int(proj.reduction_dim))
+    if proj.projection_type == "random_orthogonal":
+        # Random rotation (reference: random_orthogonal_projection.cc):
+        # QR of a Gaussian matrix; optionally truncated to reduction_dim
+        # columns (a random orthonormal projection).
+        rng = np.random.default_rng(seed)
+        g = rng.standard_normal((d, d)).astype(np.float32)
+        q_mat, _ = np.linalg.qr(g)
+        m = int(proj.reduction_dim) if proj.reduction_dim else d
+        import jax.numpy as _jnp
+        return Projector(matrix=_jnp.asarray(q_mat[:, :m]), out_dims=m)
     if proj.projection_type != "pca":
         raise ValueError(f"unknown projection type {proj.projection_type}")
 

@@ -238,3 +238,24 @@ def test_reorder_with_noise_shaping_end_to_end():
     r_plain = recall(build(float("nan")).search_batched(q)[0], truth)
     assert r_shaped >= r_plain - 0.02, (r_shaped, r_plain)
     assert r_shaped >= 0.9, r_shaped
+
+
+def test_random_orthogonal_projection():
+    from scann_tpu import config as cfg_mod
+    from scann_tpu.ops import projection as proj_ops
+    db, q = make_data(d=32)
+    p = proj_ops.train_projection(
+        db, cfg_mod.ProjectionConfig(projection_type="random_orthogonal",
+                                     reduction_dim=None), seed=1)
+    R = np.asarray(p.matrix)
+    # orthonormal: R^T R = I, and full-rank rotation preserves dots
+    np.testing.assert_allclose(R.T @ R, np.eye(32), atol=1e-5)
+    xp = db[:50] @ R
+    qp = q[:5] @ R
+    np.testing.assert_allclose(qp @ xp.T, q[:5] @ db[:50].T,
+                               rtol=1e-3, atol=1e-3)
+    # truncated variant
+    p2 = proj_ops.train_projection(
+        db, cfg_mod.ProjectionConfig(projection_type="random_orthogonal",
+                                     reduction_dim=16), seed=1)
+    assert p2.out_dims == 16
