@@ -599,8 +599,8 @@ class TreeAHSearcher(base.Searcher):
             q_bf = q_pad.astype(jnp.bfloat16)
             q_sq = jnp.sum(queries * queries, axis=-1)
 
-        def body(carry, ci):
-            vals, slots = carry
+        def chunk_scores(ci):
+            """(masked) similarity of every query to one slot chunk."""
             start = ci * chunk
             leaf_c = jax.lax.dynamic_slice_in_dim(index.slot_leaf, start,
                                                   chunk)
@@ -631,15 +631,50 @@ class TreeAHSearcher(base.Searcher):
                                  jnp.clip(dpid_c, 0,
                                           state["restrict"].shape[0] - 1))
                 valid = jnp.logical_and(valid, allow[None, :])
-            cvals, cpos = topk_ops.chunk_top_k(
-                sim, min(k_fetch, chunk), valid=valid)
-            cslot = jnp.where(cpos >= 0, start + cpos, -1)
-            return topk_ops.merge_top_k(vals, slots, cvals, cslot,
-                                        k_fetch), None
+            return jnp.where(valid, sim, -jnp.inf), start
 
-        init = (jnp.full((nq, k_fetch), -jnp.inf, jnp.float32),
-                jnp.full((nq, k_fetch), -1, jnp.int32))
-        (vals, slots), _ = jax.lax.scan(body, init, jnp.arange(num_chunks))
+        group = 256
+        use_groupmax = (recon_mode and chunk % group == 0
+                        and (index.codes.shape[0] // group
+                             >= 4 * k_fetch))
+        if use_groupmax:
+            # Slots are randomly permuted in reconstruct mode, so keeping
+            # the max of each 256-slot group loses ~k^2*group/(2S) of the
+            # top-k (see ops/fused_scan.py) — one cheap linear reduction
+            # per chunk instead of a sort, and a single approx top-k at
+            # the end instead of per-chunk merges.
+            def body(_, ci):
+                sim, start = chunk_scores(ci)
+                g = sim.reshape(nq, chunk // group, group)
+                gv = jnp.max(g, axis=-1)
+                ga = jnp.argmax(g, axis=-1).astype(jnp.int32)
+                base = (start + jnp.arange(chunk // group, dtype=jnp.int32)
+                        * group)[None, :]
+                return None, (gv, base + ga)
+
+            _, (gvs, gss) = jax.lax.scan(body, None,
+                                         jnp.arange(num_chunks))
+            width = num_chunks * (chunk // group)
+            gvs = jnp.moveaxis(gvs, 0, 1).reshape(nq, width)
+            gss = jnp.moveaxis(gss, 0, 1).reshape(nq, width)
+            vals, pos = topk_ops.top_k(gvs, min(k_fetch, width),
+                                       approx=True, recall_target=0.97)
+            slots = jnp.take_along_axis(gss, pos, axis=-1)
+            slots = jnp.where(jnp.isneginf(vals), -1, slots)
+        else:
+            def body(carry, ci):
+                vals, slots = carry
+                sim, start = chunk_scores(ci)
+                cvals, cpos = topk_ops.chunk_top_k(
+                    sim, min(k_fetch, chunk))
+                cslot = jnp.where(cpos >= 0, start + cpos, -1)
+                return topk_ops.merge_top_k(vals, slots, cvals, cslot,
+                                            k_fetch), None
+
+            init = (jnp.full((nq, k_fetch), -jnp.inf, jnp.float32),
+                    jnp.full((nq, k_fetch), -1, jnp.int32))
+            (vals, slots), _ = jax.lax.scan(body, init,
+                                            jnp.arange(num_chunks))
         dpids = jnp.where(slots >= 0,
                           jnp.take(index.slot_dpid,
                                    jnp.maximum(slots, 0)), -1)
