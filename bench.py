@@ -88,6 +88,10 @@ def recall_at_k(idx, truth):
     return hits / (len(truth) * k)
 
 
+PRE_REORDER = 150  # query-time overretrieve (reference notebook sweeps
+# pre_reorder_num_neighbors the same way) for margin over the 0.95 target
+
+
 def _sustained_qps(searcher, q, leaves, reps=5):
     """Streaming throughput: enqueue `reps` batched searches back-to-back
     against device-resident queries and sync once.  This is how a serving
@@ -98,7 +102,7 @@ def _sustained_qps(searcher, q, leaves, reps=5):
     import jax
     import jax.numpy as jnp
 
-    k, k_pre, lv = searcher._resolve_params(None, None, leaves)
+    k, k_pre, lv = searcher._resolve_params(None, PRE_REORDER, leaves)
     num_leaves = searcher.part_cfg.num_leaves
     full_scan = lv >= num_leaves
     nq = q.shape[0]
@@ -158,10 +162,13 @@ def main():
     # One compiled program covers all masked leaves counts (dynamic
     # leaves); the full scan (leaves=2000) engages the fused Pallas kernel.
     for leaves in (100, 200, 400, 1000, 2000):
-        idx, _ = searcher.search_batched(q[:N_QUERY],
-                                         leaves_to_search=leaves)  # warmup
+        idx, _ = searcher.search_batched(
+            q[:N_QUERY], pre_reorder_num_neighbors=PRE_REORDER,
+            leaves_to_search=leaves)  # warmup
         t0 = time.perf_counter()
-        idx, _ = searcher.search_batched(q, leaves_to_search=leaves)
+        idx, _ = searcher.search_batched(
+            q, pre_reorder_num_neighbors=PRE_REORDER,
+            leaves_to_search=leaves)
         dt = time.perf_counter() - t0
         r = recall_at_k(idx, truth)
         qps = N_QUERY / dt
