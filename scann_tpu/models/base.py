@@ -307,7 +307,7 @@ class Searcher:
                     "per_crowding_attribute_num_neighbors")
             crowding_limit = int(per_crowding_attribute_num_neighbors)
         nq = queries.shape[0]
-        bucket = _next_bucket(nq)
+        bucket = max(_next_bucket(nq), getattr(self, "_min_bucket", 8))
         # Upload the exact-size batch and pad on device: host->device
         # bandwidth is the scarce resource (especially on tunneled TPUs).
         q_dev = jnp.asarray(queries)

@@ -189,6 +189,13 @@ class TreeAHSearcher(base.Searcher):
         _phase("slots laid out")
         self._build_recon()
         _phase("recon rows built")
+        if self._recon_mode:
+            # Small batches pad up to the fused kernel's query tile: the
+            # scan is bandwidth-bound, so a 256-query tile costs barely
+            # more than 8 queries and single-query latency rides the fast
+            # path.
+            from scann_tpu.ops import fused_scan
+            self._min_bucket = fused_scan.QT
 
     def _encode_dataset(self, vectors: np.ndarray, originals: np.ndarray
                         ) -> np.ndarray:

@@ -198,6 +198,9 @@ def load_searcher(artifacts_dir: str):
                    "dpid": np.asarray(s.index.slot_dpid)}
         s._dpid_slots = None
         s._build_recon()
+        if s.ah_cfg.lookup_type == "reconstruct":
+            from scann_tpu.ops import fused_scan
+            s._min_bucket = fused_scan.QT
         return s
     if tname == "TreeXSearcher":
         from scann_tpu.models import tree_x
