@@ -135,7 +135,6 @@ class TreeAHSearcher(base.Searcher):
                                    else tokens[:, None])
 
         # Vectors to quantize: residuals for tree-AH-residual, raw otherwise.
-        x = jnp.asarray(database, jnp.float32)
         if self.residual and self.partitioner is not None:
             primary_vecs = np.asarray(
                 self.partitioner.residualize(database, tokens))
