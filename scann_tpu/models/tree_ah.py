@@ -27,6 +27,7 @@ tree_ah_hybrid_residual.cc:631-846):
 
 from __future__ import annotations
 
+import functools
 import logging
 import math
 import time
@@ -299,12 +300,17 @@ class TreeAHSearcher(base.Searcher):
         return _round_up(self.dims if self.projector is None
                          else self.projector.out_dims, 128)
 
-    def _decode_slots(self, codes, slot_leaf, slot_dpid):
+    def _decode_slots(self, codes, slot_leaf, slot_dpid, mean=None):
         """Decode packed codes into bf16 approximate rows: x_hat =
         c_leaf + recon(codes) under residual quantization, recon(codes)
         otherwise.  Same information as the float LUT path — a TPU memory/
         FLOP tradeoff (see AsymmetricHashConfig.lookup_type).  Rows are
-        zero-padded to a 128-multiple feature dim for the fused kernel."""
+        zero-padded to a 128-multiple feature dim for the fused kernel.
+
+        Under squared L2 the rows are mean-centered before the bf16 cast
+        (L2 is translation-invariant): on un-normalized data the neighbor
+        gaps are tiny relative to the raw dot-product magnitudes, and bf16
+        relative rounding on the uncentered products would swamp them."""
         if self.stacked:
             from scann_tpu.ops import stacked as stacked_ops
             recon = stacked_ops.reconstruct_stacked(codes, self.model)
@@ -313,6 +319,8 @@ class TreeAHSearcher(base.Searcher):
         if self.residual and self.partitioner is not None:
             recon = recon + jnp.take(self.partitioner.centers,
                                      jnp.maximum(slot_leaf, 0), axis=0)
+        if mean is not None:
+            recon = recon - mean[None, :]
         recon = jnp.where((slot_dpid >= 0)[:, None], recon, 0.0)
         pad = self._recon_dim - recon.shape[1]
         if pad:
@@ -320,13 +328,42 @@ class TreeAHSearcher(base.Searcher):
         sq = jnp.sum(recon * recon, axis=-1)
         return recon.astype(jnp.bfloat16), sq
 
+    def _decode_mean(self):
+        """Mean of the decoded rows over live slots (deterministic from
+        the codes, so reload reproduces it exactly)."""
+        h = self._host
+
+        def chunk_sum(s):
+            r, _ = self._decode_slots(
+                jnp.asarray(h["codes"][s:s + _ENCODE_CHUNK]),
+                jnp.asarray(h["leaf"][s:s + _ENCODE_CHUNK]),
+                jnp.asarray(h["dpid"][s:s + _ENCODE_CHUNK]))
+            live = (h["dpid"][s:s + _ENCODE_CHUNK] >= 0).sum()
+            return np.asarray(jnp.sum(r.astype(jnp.float32), axis=0)), live
+
+        total = np.zeros((self._recon_dim,), np.float64)
+        count = 0
+        for s in range(0, h["codes"].shape[0], _ENCODE_CHUNK):
+            t, c = chunk_sum(s)
+            total += t
+            count += int(c)
+        mean = (total / max(count, 1)).astype(np.float32)
+        d = (self.dims if self.projector is None
+             else self.projector.out_dims)
+        mean[d:] = 0.0
+        return jnp.asarray(mean[:d])
+
     def _build_recon(self):
         self._recon_rows = None
         self._recon_sq = None
         self._recon_bias = None
+        self._recon_mean = None
         if not self._recon_mode:
             return
-        fn = jax.jit(self._decode_slots)
+        if self.measure == cfg.SQUARED_L2:
+            self._recon_mean = self._decode_mean()
+        fn = jax.jit(functools.partial(self._decode_slots,
+                                       mean=self._recon_mean))
         rows, sqs = [], []
         h = self._host
         for s in range(0, h["codes"].shape[0], _ENCODE_CHUNK):
@@ -450,7 +487,8 @@ class TreeAHSearcher(base.Searcher):
                 jnp.asarray(leaf_arr)))
         self._num_slots = int(np.sum(h["dpid"] >= 0))
         if self._recon_mode:
-            r, q = jax.jit(self._decode_slots)(
+            r, q = jax.jit(functools.partial(
+                self._decode_slots, mean=self._recon_mean))(
                 jnp.asarray(code_arr), jnp.asarray(leaf_arr),
                 jnp.asarray(dpid_arr))
             self._recon_rows = self._recon_rows.at[sidx].set(r)
@@ -512,7 +550,8 @@ class TreeAHSearcher(base.Searcher):
                            else self.model.codebook),
               "recon_rows": getattr(self, "_recon_rows", None),
               "recon_sq": getattr(self, "_recon_sq", None),
-              "recon_bias": getattr(self, "_recon_bias", None)}
+              "recon_bias": getattr(self, "_recon_bias", None),
+              "recon_mean": getattr(self, "_recon_mean", None)}
         if self.partitioner is not None:
             st["centers"] = self.partitioner.centers
             st["centers_int8"] = self.partitioner.centers_int8
@@ -599,11 +638,14 @@ class TreeAHSearcher(base.Searcher):
         num_chunks = index.codes.shape[0] // chunk
         cpb = self.ah_cfg.clusters_per_block
         if recon_mode:
-            dpad = state["recon_rows"].shape[1] - queries.shape[1]
-            q_pad = (jnp.pad(queries, ((0, 0), (0, dpad))) if dpad
-                     else queries)
+            q_c = queries
+            if state.get("recon_mean") is not None:
+                q_c = queries - state["recon_mean"][None, :]
+            dpad = state["recon_rows"].shape[1] - q_c.shape[1]
+            q_pad = (jnp.pad(q_c, ((0, 0), (0, dpad))) if dpad
+                     else q_c)
             q_bf = q_pad.astype(jnp.bfloat16)
-            q_sq = jnp.sum(queries * queries, axis=-1)
+            q_sq = jnp.sum(q_c * q_c, axis=-1)
 
         def chunk_scores(ci):
             """(masked) similarity of every query to one slot chunk."""
@@ -697,9 +739,12 @@ class TreeAHSearcher(base.Searcher):
         (ops/fused_scan.py): one MXU matmul + grouped VPU max per tile, no
         materialized score matrix."""
         from scann_tpu.ops import fused_scan
+        q_c = queries
+        if state.get("recon_mean") is not None:
+            q_c = queries - state["recon_mean"][None, :]
         d_pad = state["recon_rows"].shape[1]
-        pad = d_pad - queries.shape[1]
-        q = jnp.pad(queries, ((0, 0), (0, pad))) if pad else queries
+        pad = d_pad - q_c.shape[1]
+        q = jnp.pad(q_c, ((0, 0), (0, pad))) if pad else q_c
         vals, slots = fused_scan.fused_scan_groupmax(
             q.astype(jnp.bfloat16), state["recon_rows"],
             state["recon_bias"],
@@ -718,9 +763,10 @@ class TreeAHSearcher(base.Searcher):
         vals = jnp.where(dead, -jnp.inf, vals)
         dpids = jnp.where(dead, -1, dpids)
         if self.measure == cfg.SQUARED_L2:
-            # Restore the rank-invariant -||q||^2 term so returned
-            # distances are true squared distances.
-            vals = vals - jnp.sum(queries * queries, axis=-1)[:, None]
+            # Restore the rank-invariant -||q||^2 term (of the centered
+            # query — L2 is translation-invariant) so returned distances
+            # are true squared distances.
+            vals = vals - jnp.sum(q_c * q_c, axis=-1)[:, None]
         if soar is not None:
             vals, dpids = topk_ops.dedup_candidates(vals, dpids)
             vals, pos = jax.lax.top_k(vals, min(k_pre, vals.shape[-1]))
