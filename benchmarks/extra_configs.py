@@ -20,15 +20,22 @@ import numpy as np
 
 
 def make_sift_like(n=1_000_000, nq=10_000, d=128, seed=0):
-    """SIFT-ish: non-negative, heavy cluster structure, un-normalized."""
+    """SIFT-ish: non-negative, un-normalized, *hierarchical* cluster
+    structure (topics -> subtopics -> points) so nearest neighbors are
+    genuinely close — flat noise-only mixtures make the true top-10
+    near-equidistant at 1M scale, which no fixed-bit quantizer (ours or
+    the reference's) can rank."""
     rng = np.random.default_rng(seed)
-    n_topics = 1024
+    n_topics, subs_per_topic = 1024, 40
     topics = rng.gamma(2.0, 20.0, (n_topics, d)).astype(np.float32)
+    sub_offsets = 6.0 * rng.standard_normal(
+        (n_topics * subs_per_topic, d)).astype(np.float32)
 
     def draw(m, s2):
         r = np.random.default_rng(s2)
-        a = r.integers(0, n_topics, m)
-        x = topics[a] + 6.0 * r.standard_normal((m, d)).astype(np.float32)
+        sub = r.integers(0, n_topics * subs_per_topic, m)
+        x = (topics[sub // subs_per_topic] + sub_offsets[sub]
+             + 1.5 * r.standard_normal((m, d)).astype(np.float32))
         return np.maximum(x, 0.0).astype(np.float32)
 
     return draw(n, seed + 1), draw(nq, seed + 2)
