@@ -284,7 +284,7 @@ class TreeAHSearcher(base.Searcher):
             leaf = np.pad(leaf, (0, pad))
             dpid = np.pad(dpid, (0, pad), constant_values=-1)
         self._host = {"codes": codes, "leaf": leaf, "dpid": dpid}
-        self._dpid_slots = None  # built lazily on first mutation
+        self._slot_table = None  # built lazily on first mutation
         return TreeAHIndex(codes=jnp.asarray(codes),
                            slot_dpid=jnp.asarray(dpid),
                            slot_leaf=jnp.asarray(leaf))
@@ -388,15 +388,42 @@ class TreeAHSearcher(base.Searcher):
 
     # ----------------------------------------------------------- mutation
     def _ensure_mutable_maps(self):
-        if getattr(self, "_dpid_slots", None) is None:
+        """Vectorized dpid -> slots table ((n, 2) int64, -1 empty; two
+        columns cover SOAR's dual assignment) — a python dict-of-lists over
+        millions of slots took minutes to build."""
+        if getattr(self, "_slot_table", None) is None:
             self._host = {k: (v if v.flags.writeable else v.copy())
                           for k, v in self._host.items()}
             dp = self._host["dpid"]
-            self._dpid_slots = {}
-            for slot in np.nonzero(dp >= 0)[0]:
-                self._dpid_slots.setdefault(int(dp[slot]), []).append(
-                    int(slot))
+            live = np.nonzero(dp >= 0)[0]
+            d_live = dp[live].astype(np.int64)
+            order = np.argsort(d_live, kind="stable")
+            ds, ss = d_live[order], live[order]
+            n_max = int(ds.max()) + 1 if len(ds) else 0
+            table = np.full((n_max, 2), -1, np.int64)
+            is_first = np.concatenate([[True], ds[1:] != ds[:-1]])
+            table[ds[is_first], 0] = ss[is_first]
+            table[ds[~is_first], 1] = ss[~is_first]
+            self._slot_table = table
             self._free_slots = list(np.nonzero(dp < 0)[0][::-1])
+
+    def _table_pop(self, i: int):
+        """Return and clear the slots currently holding datapoint i."""
+        if i >= len(self._slot_table):
+            return []
+        row = self._slot_table[i]
+        slots = [int(x) for x in row if x >= 0]
+        self._slot_table[i] = -1
+        return slots
+
+    def _table_add(self, i: int, slot: int):
+        if i >= len(self._slot_table):
+            grow = max(i + 1 - len(self._slot_table),
+                       len(self._slot_table) // 5 + 1)
+            self._slot_table = np.concatenate(
+                [self._slot_table, np.full((grow, 2), -1, np.int64)])
+        row = self._slot_table[i]
+        self._slot_table[i, 0 if row[0] < 0 else 1] = slot
 
     def _encode_rows(self, vecs: np.ndarray):
         """Tokenize + residualize + encode a small batch of vectors with
@@ -455,7 +482,7 @@ class TreeAHSearcher(base.Searcher):
         tokens, codes_per_col = self._encode_rows(vecs)
         # Free any existing slots for updated ids, then allocate fresh.
         for i in ids:
-            for slot in self._dpid_slots.pop(int(i), []):
+            for slot in self._table_pop(int(i)):
                 self._host["dpid"][slot] = -1
                 self._free_slots.append(slot)
         needed = len(ids) * tokens.shape[1]
@@ -469,7 +496,7 @@ class TreeAHSearcher(base.Searcher):
                 code_list.append(codes_per_col[col][r])
                 leaf_list.append(tokens[r, col])
                 dpid_list.append(int(i))
-                self._dpid_slots.setdefault(int(i), []).append(slot)
+                self._table_add(int(i), int(slot))
         slot_arr = np.asarray(slot_list, np.int32)
         code_arr = np.asarray(code_list, np.uint8)
         leaf_arr = np.asarray(leaf_list, np.int32)
@@ -517,7 +544,7 @@ class TreeAHSearcher(base.Searcher):
         self._ensure_mutable_maps()
         slots = []
         for i in ids:
-            slots.extend(self._dpid_slots.pop(int(i), []))
+            slots.extend(self._table_pop(int(i)))
         if not slots:
             return
         slot_arr = np.asarray(slots, np.int32)

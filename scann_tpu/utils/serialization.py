@@ -196,7 +196,7 @@ def load_searcher(artifacts_dir: str):
         s._host = {"codes": np.asarray(s.index.codes),
                    "leaf": np.asarray(s.index.slot_leaf),
                    "dpid": np.asarray(s.index.slot_dpid)}
-        s._dpid_slots = None
+        s._slot_table = None
         s._build_recon()
         if s.ah_cfg.lookup_type == "reconstruct":
             from scann_tpu.ops import fused_scan
