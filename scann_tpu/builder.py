@@ -12,7 +12,6 @@ reference so existing ScaNN call sites port unchanged.
 from __future__ import annotations
 
 import enum
-import math
 from typing import Optional
 
 import numpy as np

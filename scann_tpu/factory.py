@@ -10,8 +10,6 @@ reordering attached around it.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from scann_tpu import config as cfg

@@ -30,10 +30,8 @@ automatically, like ScannNumpy (scann_npy.cc:126-135).
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -17,8 +17,6 @@ scann_ops/cc/scann.cc.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -25,14 +25,12 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from scann_tpu import config as cfg
 from scann_tpu.models import tree_ah as tree_ah_mod
 from scann_tpu.ops import ah as ah_ops
 from scann_tpu.ops import distance as dist_ops

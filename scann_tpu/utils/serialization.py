@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 
