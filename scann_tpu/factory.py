@@ -15,9 +15,10 @@ import numpy as np
 from scann_tpu import config as cfg
 
 
-def create_searcher(database, scann_config: cfg.ScannConfig, docids=None,
-                    artifacts=None):
-    """Build (or, given pre-trained artifacts, restore) a searcher."""
+def create_searcher(database, scann_config: cfg.ScannConfig, docids=None):
+    """Build a searcher from a config (restoring a serialized index goes
+    through scann_tpu.load_searcher, matching the reference split between
+    create_searcher and load_searcher, scann_ops_pybind.py:226-273)."""
     database = np.asarray(database, dtype=np.float32)
     if database.ndim != 2:
         raise ValueError(f"database must be 2d, got shape {database.shape}")
@@ -30,16 +31,14 @@ def create_searcher(database, scann_config: cfg.ScannConfig, docids=None,
         if scann_config.asymmetric_hash is not None:
             from scann_tpu.models import tree_ah
             return tree_ah.TreeAHSearcher(database, scann_config,
-                                          docids=docids, artifacts=artifacts)
+                                          docids=docids)
         from scann_tpu.models import tree_x
-        return tree_x.TreeXSearcher(database, scann_config, docids=docids,
-                                    artifacts=artifacts)
+        return tree_x.TreeXSearcher(database, scann_config, docids=docids)
     if scann_config.asymmetric_hash is not None:
         # Pure AH (no partitioning): modelled as tree-AH with a single leaf
         # (the reference routes this through asymmetric_hashing2::Searcher).
         from scann_tpu.models import tree_ah
-        return tree_ah.TreeAHSearcher(database, scann_config, docids=docids,
-                                      artifacts=artifacts)
+        return tree_ah.TreeAHSearcher(database, scann_config, docids=docids)
     from scann_tpu.models import brute_force
     return brute_force.BruteForceSearcher(database, scann_config,
                                           docids=docids)

@@ -57,7 +57,8 @@ class BruteForceSearcher(base.Searcher):
 
     # ----------------------------------------------------------- mutation
     def _apply_upsert(self, ids: np.ndarray, vecs: np.ndarray):
-        vecs = np.asarray(self._project_database(vecs))
+        raw = np.asarray(vecs, np.float32)
+        vecs = np.asarray(self._project_database(raw))
         cap = self._db.shape[0]
         need = int(ids.max()) + 1
         if need > cap:
@@ -88,7 +89,7 @@ class BruteForceSearcher(base.Searcher):
         self._valid = self._valid.at[idx].set(True)
         if self.reorder_helper is not None:
             self.reorder_helper.ensure_capacity(need)
-            self.reorder_helper.update_rows(ids, vecs)
+            self.reorder_helper.update_rows(ids, raw)
 
     def _apply_delete(self, ids: np.ndarray):
         self._valid = self._valid.at[jnp.asarray(ids, jnp.int32)].set(False)

@@ -66,7 +66,7 @@ class TreeAHSearcher(base.Searcher):
     """Partitioned (or single-leaf) asymmetric hashing searcher."""
 
     def __init__(self, database: np.ndarray, scann_config: cfg.ScannConfig,
-                 docids=None, artifacts=None):
+                 docids=None):
         super().__init__(database, scann_config, docids)
         self.part_cfg = scann_config.partitioning
         self.ah_cfg = scann_config.asymmetric_hash
@@ -84,10 +84,7 @@ class TreeAHSearcher(base.Searcher):
                 "stacked quantization under squared L2 requires "
                 "lookup_type='reconstruct' (additive ||x_hat||^2 cross "
                 "terms are not LUT-decomposable)")
-        if artifacts is not None:
-            self._restore(artifacts)
-        else:
-            self._build(database)
+        self._build(database)
 
     # ------------------------------------------------------------- build
     def _build(self, database: np.ndarray):
@@ -478,7 +475,12 @@ class TreeAHSearcher(base.Searcher):
 
     def _apply_upsert(self, ids: np.ndarray, vecs: np.ndarray):
         self._ensure_mutable_maps()
-        vecs = np.asarray(self._project_database(vecs))
+        # Tokenize/encode in the projected index space, but keep the raw
+        # vectors for exact reordering: the reorder helper stores
+        # pre-projection rows (built before projection in
+        # base.Searcher.__init__).
+        raw = np.asarray(vecs, np.float32)
+        vecs = np.asarray(self._project_database(raw))
         tokens, codes_per_col = self._encode_rows(vecs)
         # Free any existing slots for updated ids, then allocate fresh.
         for i in ids:
@@ -526,7 +528,7 @@ class TreeAHSearcher(base.Searcher):
         self._grow_token_map(ids, tokens)
         if self.reorder_helper is not None:
             self.reorder_helper.ensure_capacity(int(ids.max()) + 1)
-            self.reorder_helper.update_rows(ids, vecs)
+            self.reorder_helper.update_rows(ids, raw)
 
     def _grow_token_map(self, ids, tokens):
         t = self.datapoint_to_token
@@ -557,11 +559,6 @@ class TreeAHSearcher(base.Searcher):
             self._recon_bias = self._recon_bias.at[
                 jnp.asarray(slot_arr)].set(fused_scan._PAD_PENALTY)
         self._num_slots = int(np.sum(self._host["dpid"] >= 0))
-
-    # ------------------------------------------------------------ restore
-    def _restore(self, artifacts: dict):
-        from scann_tpu.utils import serialization
-        serialization.restore_tree_ah(self, artifacts)
 
     # ------------------------------------------------------------- query
     def _default_leaves(self) -> int:
@@ -659,7 +656,11 @@ class TreeAHSearcher(base.Searcher):
             # (NumNeighborsWithSpillingMultiplier,
             # tree_ah_hybrid_residual.h:263-267).
             k_fetch = int(math.ceil(k_pre * soar.overretrieve_factor))
-        k_fetch = min(k_fetch, self._num_slots)
+        # Clamp to the (static) slot capacity, not the live-slot count:
+        # upserts into free padding slots change _num_slots without a shape
+        # change, and a trace-time live-count clamp would go stale in cached
+        # compiled programs.  Overshoot comes back as -inf/invalid.
+        k_fetch = min(k_fetch, state["slot_dpid"].shape[0])
 
         chunk = self._chunk
         num_chunks = index.codes.shape[0] // chunk

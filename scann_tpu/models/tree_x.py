@@ -31,16 +31,12 @@ class TreeXSearcher(base.Searcher):
     """Partitioned exact scoring (tree + score_brute_force)."""
 
     def __init__(self, database: np.ndarray, scann_config: cfg.ScannConfig,
-                 docids=None, artifacts=None):
+                 docids=None):
         super().__init__(database, scann_config, docids)
         self.part_cfg = scann_config.partitioning
         self.measure = scann_config.distance_measure
         bf = scann_config.brute_force or cfg.BruteForceConfig()
         self.quantize_mode = bf.quantize
-        if artifacts is not None:
-            from scann_tpu.utils import serialization
-            serialization.restore_tree_x(self, artifacts)
-            return
         self._build(database)
 
     def _build(self, database: np.ndarray):
@@ -134,7 +130,7 @@ class TreeXSearcher(base.Searcher):
 
         chunk = self._chunk
         num_chunks = rows.shape[0] // chunk
-        k_fetch = min(k_pre, self._num_slots)
+        k_fetch = min(k_pre, state["tx_dpid"].shape[0])
 
         def body(carry, ci):
             vals, slots = carry

@@ -90,7 +90,9 @@ class ShardedTreeAHSearcher:
         self._shard_slots = slots_padded
 
         b = codes.shape[1]
-        sh_codes = np.zeros((self.n_shards, slots_padded, b), np.int8)
+        # uint8 to match TreeAHIndex.codes: lut256 codes 128-255 would wrap
+        # negative as int8 and never match the one-hot iota.
+        sh_codes = np.zeros((self.n_shards, slots_padded, b), np.uint8)
         sh_leaf = np.zeros((self.n_shards, slots_padded), np.int32)
         sh_dpid = np.full((self.n_shards, slots_padded), -1, np.int32)
         d = database.shape[1]

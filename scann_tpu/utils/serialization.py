@@ -96,6 +96,10 @@ def save_searcher(searcher, artifacts_dir: str):
         meta["model_dims"] = searcher.model.dims
         meta["num_slots"] = searcher._num_slots
         meta["chunk"] = searcher._chunk
+        # Health-stats state (avg_quantization_error survives reload).
+        meta["quantization_error_sq"] = getattr(
+            searcher, "_quantization_error_sq", 0.0)
+        meta["encoded_slots"] = getattr(searcher, "_encoded_slots", 0)
         if searcher.partitioner is not None:
             put("centers", searcher.partitioner.centers)
             put("centers_int8", searcher.partitioner.centers_int8)
@@ -189,6 +193,8 @@ def load_searcher(artifacts_dir: str):
                                      dims=meta["model_dims"])
         s._num_slots = meta["num_slots"]
         s._chunk = meta["chunk"]
+        s._quantization_error_sq = meta.get("quantization_error_sq", 0.0)
+        s._encoded_slots = meta.get("encoded_slots", 0)
         s.datapoint_to_token = np.asarray(arrays["datapoint_to_token"])
         s.partitioner = _load_partitioner(arrays, scann_config)
         s._host = {"codes": np.asarray(s.index.codes),
@@ -228,6 +234,7 @@ def _init_base(s, scann_config, meta, arrays, docids):
     s.dims = meta["dims"]
     s.docids = docids
     s._compiled = {}
+    s._crowding_attrs = None
     s._mut = None
     if "mut_vectors" in arrays:
         from scann_tpu import mutation
@@ -271,13 +278,3 @@ def _load_partitioner(arrays, scann_config):
         upper_centers=arrays.get("upper_centers"),
         upper_assign=arrays.get("upper_assign"),
         upper_leaves_to_search=upper_l)
-
-
-def restore_tree_ah(searcher, artifacts):
-    raise NotImplementedError(
-        "use scann_tpu.load_searcher(artifacts_dir) to restore")
-
-
-def restore_tree_x(searcher, artifacts):
-    raise NotImplementedError(
-        "use scann_tpu.load_searcher(artifacts_dir) to restore")

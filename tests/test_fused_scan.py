@@ -57,7 +57,7 @@ def test_fused_scan_l2_and_padding():
             ).astype(np.float32)
     sim = 2.0 * dots + bias[None, :]
     grouped = sim.reshape(Q, -1, fused_scan.SUB)
-    np.testing.assert_allclose(vals, grouped.max(-1), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(vals, grouped.max(-1), rtol=1e-5, atol=1e-4)
     # Top-1 per group matches the true (exact-f32) nearest in that group
     # almost always; and the best overall candidate is the true nearest.
     d2 = ((qs[:, None, :] - rows[None, :, :]) ** 2).sum(-1)
