@@ -92,32 +92,45 @@ PRE_REORDER = 150  # query-time overretrieve (reference notebook sweeps
 # pre_reorder_num_neighbors the same way) for margin over the 0.95 target
 
 
-def _sustained_qps(searcher, q, leaves, reps=5):
+def _sustained_qps(searcher, q, leaves, reps=10):
     """Streaming throughput: enqueue `reps` batched searches back-to-back
-    against device-resident queries and sync once.  This is how a serving
-    pipeline runs (async dispatch overlaps host work with device compute);
-    it excludes the per-call host-link stall, which on this tunneled-TPU
-    environment is ~350 ms/call of pure transfer that a local TPU host
-    does at PCIe speed."""
-    import jax
+    against device-resident queries and force-materialize only the final
+    output (device executes in stream order, so all reps completed).  This
+    is how a serving pipeline runs (async dispatch overlaps host work with
+    device compute); it excludes the per-call host-link transfer of this
+    tunneled-TPU environment, which a local TPU host does at PCIe speed.
+    NB: jax.block_until_ready is unreliable through the tunnel (returns
+    before execution finishes), hence the np.asarray sync."""
     import jax.numpy as jnp
 
     k, k_pre, lv = searcher._resolve_params(None, PRE_REORDER, leaves)
     num_leaves = searcher.part_cfg.num_leaves
     full_scan = lv >= num_leaves
+    pruned = (not full_scan
+              and getattr(searcher, "_pruned_available", False))
+    # The pruned plan's scratch scales with batch x leaves; stream in the
+    # same sub-batches search_batched would use.
     nq = q.shape[0]
-    bucket = 1
+    if pruned:
+        nq = min(nq, 4096)
+    bucket = 8
     while bucket < nq:
         bucket *= 2
-    fn = searcher._get_compiled(bucket, k, k_pre, num_leaves, 0, full_scan)
+    if full_scan:
+        bucket = max(bucket, getattr(searcher, "_min_bucket", 8))
+    leaves_bucket = (min(lv, num_leaves) if pruned else num_leaves)
+    fn = searcher._get_compiled(bucket, k, k_pre, leaves_bucket, 0,
+                                full_scan)
     state = searcher._state()
-    state["leaves_dynamic"] = jnp.int32(min(lv, num_leaves))
-    q_dev = jnp.pad(jnp.asarray(q), ((0, bucket - nq), (0, 0)))
+    if not pruned:
+        state["leaves_dynamic"] = jnp.int32(min(lv, num_leaves))
+    q_dev = jnp.pad(jnp.asarray(q[:nq]), ((0, bucket - nq), (0, 0)))
     out = fn(q_dev, state)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[0])  # warm + honest sync
     t0 = time.perf_counter()
-    outs = [fn(q_dev, state) for _ in range(reps)]
-    jax.block_until_ready(outs)
+    for _i in range(reps):
+        out = fn(q_dev, state)
+    _ = np.asarray(out[0])
     return reps * nq / (time.perf_counter() - t0)
 
 
@@ -159,9 +172,9 @@ def main():
     _log("ground truth ready")
 
     best = None
-    # One compiled program covers all masked leaves counts (dynamic
-    # leaves); the full scan (leaves=2000) engages the fused Pallas kernel.
-    for leaves in (100, 200, 400, 1000, 2000):
+    # leaves < 2000 rides the pruned leaf-gather path (cost scales with
+    # leaves_to_search); the full scan (leaves=2000) the fused Pallas scan.
+    for leaves in (50, 100, 200, 400, 2000):
         idx, _ = searcher.search_batched(
             q[:N_QUERY], pre_reorder_num_neighbors=PRE_REORDER,
             leaves_to_search=leaves)  # warmup

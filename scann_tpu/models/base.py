@@ -32,6 +32,11 @@ def _next_bucket(n: int) -> int:
     return b
 
 
+# Device-batch cap for the pruned leaf-gather path (its work-plan scratch
+# arrays scale with batch * leaves_to_search).
+_PRUNED_MAX_BATCH = 4096
+
+
 class ReorderHelper:
     """Exact/int8/bf16 reordering of candidate lists.
 
@@ -307,26 +312,48 @@ class Searcher:
                     "per_crowding_attribute_num_neighbors")
             crowding_limit = int(per_crowding_attribute_num_neighbors)
         nq = queries.shape[0]
-        bucket = max(_next_bucket(nq), getattr(self, "_min_bucket", 8))
+        num_leaves = getattr(getattr(self, "part_cfg", None), "num_leaves",
+                             0)
+        full_scan = leaves == 0 or leaves >= (num_leaves or 1 << 30)
+        pruned = (not full_scan and restrict_allowlist is None
+                  and getattr(self, "_pruned_available", False))
+        if pruned and nq > _PRUNED_MAX_BATCH:
+            # The pruned plan's scratch capacity grows with batch * leaves;
+            # cap the device batch and loop (calls pipeline on device).
+            outs = [self.search_batched(
+                queries[i:i + _PRUNED_MAX_BATCH], final_num_neighbors,
+                pre_reorder_num_neighbors, leaves_to_search,
+                restrict_allowlist,
+                per_crowding_attribute_num_neighbors)
+                for i in range(0, nq, _PRUNED_MAX_BATCH)]
+            idx_parts = [o[0] for o in outs]
+            dist = np.concatenate([o[1] for o in outs], axis=0)
+            if self.docids is not None:
+                return [row for part in idx_parts for row in part], dist
+            return np.concatenate(idx_parts, axis=0), dist
+        bucket = _next_bucket(nq)
+        if full_scan:
+            # Only the fused full-scan kernel needs its query-tile padding;
+            # the pruned path's cost scales with the true batch.
+            bucket = max(bucket, getattr(self, "_min_bucket", 8))
         # Upload the exact-size batch and pad on device: host->device
         # bandwidth is the scarce resource (especially on tunneled TPUs).
         q_dev = jnp.asarray(queries)
         if bucket != nq:
             q_dev = jnp.pad(q_dev, ((0, bucket - nq), (0, 0)))
-        # The number of leaves searched is passed dynamically (the static
-        # program ranks all centroids and masks the tail) so every
-        # leaves_to_search override reuses one compiled program — centroid
-        # ranking is a negligible matmul + sort next to leaf scoring.
+        # Leaves bucketing: on the pruned path the leaf count is a static
+        # parameter of the program (cost scales with it); on the dense
+        # masked path every leaves_to_search override reuses one compiled
+        # program (the static program ranks all centroids and masks the
+        # tail dynamically).
         leaves_bucket = leaves
-        num_leaves = getattr(getattr(self, "part_cfg", None), "num_leaves",
-                             0)
         if leaves > 0:
-            leaves_bucket = num_leaves or leaves
-        full_scan = leaves == 0 or leaves >= (num_leaves or 1 << 30)
+            leaves_bucket = (min(leaves, num_leaves) if pruned
+                             else (num_leaves or leaves))
         fn = self._get_compiled(bucket, k, k_pre, leaves_bucket,
                                 crowding_limit, full_scan)
         state = self._state()
-        if leaves > 0:
+        if leaves > 0 and not pruned:
             state["leaves_dynamic"] = jnp.int32(min(leaves, leaves_bucket))
         if restrict_allowlist is not None:
             allow = np.asarray(restrict_allowlist, bool)

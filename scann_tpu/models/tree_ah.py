@@ -355,6 +355,7 @@ class TreeAHSearcher(base.Searcher):
         self._recon_sq = None
         self._recon_bias = None
         self._recon_mean = None
+        self._invalidate_pruned()
         if not self._recon_mode:
             return
         if self.measure == cfg.SQUARED_L2:
@@ -373,6 +374,69 @@ class TreeAHSearcher(base.Searcher):
         self._recon_sq = jnp.concatenate(sqs, axis=0)
         self._recon_bias = self._make_bias(self._recon_sq,
                                            jnp.asarray(h["dpid"]))
+
+    # -------------------------------------------------- pruned leaf layout
+    @property
+    def _pruned_available(self) -> bool:
+        """True when the leaf-gathered pruned scoring path applies (the
+        TPU counterpart of the reference's leaf-major pruned search,
+        tree_ah_hybrid_residual.cc:610-786)."""
+        return (self._recon_mode and self.partitioner is not None
+                and self.partitioner.num_leaves > 1)
+
+    def _invalidate_pruned(self):
+        # Drop cached programs: the pruned plan bakes in static tile counts
+        # (max_ntiles) that can change without an array-shape change.
+        if getattr(self, "_compiled", None):
+            self._compiled = {}
+        self._p_rows = None
+        self._p_bias = None
+        self._p_dpid = None
+        self._p_tile_start = None
+        self._p_ntiles = None
+        self._p_max_ntiles = 0
+        self._p_num_tiles = 0
+
+    def _ensure_pruned(self):
+        """(Re)build the tile-major per-leaf layout for pruned scoring.
+        Rebuilt lazily after mutations (slot identities differ from the
+        randomly-permuted full-scan layout)."""
+        if not self._pruned_available or self._p_rows is not None:
+            return
+        from scann_tpu.ops import pruned_scan
+        h = self._host
+        live = np.nonzero(h["dpid"] >= 0)[0]
+        leaf_live = h["leaf"][live].astype(np.int64)
+        num_leaves = self.partitioner.num_leaves
+        order, tile_start, ntiles, num_tiles = pruned_scan.build_layout_host(
+            leaf_live, num_leaves, seed=self.config.seed)
+        # order indexes into `live`; -1 entries are intra-leaf padding.
+        src = np.where(order >= 0, live[np.maximum(order, 0)], -1)
+        codes = np.where((src >= 0)[:, None], h["codes"][np.maximum(src, 0)],
+                         0).astype(h["codes"].dtype)
+        leaf = np.where(src >= 0, h["leaf"][np.maximum(src, 0)], 0)
+        dpid = np.where(src >= 0, h["dpid"][np.maximum(src, 0)], -1)
+        fn = jax.jit(functools.partial(self._decode_slots,
+                                       mean=self._recon_mean))
+        rows, sqs = [], []
+        step = _ENCODE_CHUNK
+        for s in range(0, codes.shape[0], step):
+            r, q = fn(jnp.asarray(codes[s:s + step]),
+                      jnp.asarray(leaf[s:s + step]),
+                      jnp.asarray(dpid[s:s + step]))
+            rows.append(r)
+            sqs.append(q)
+        rows = jnp.concatenate(rows, axis=0)
+        sq = jnp.concatenate(sqs, axis=0)
+        bias = self._make_bias(sq, jnp.asarray(dpid))
+        d = rows.shape[1]
+        self._p_rows = rows.reshape(num_tiles, pruned_scan.TILE, d)
+        self._p_bias = bias.reshape(num_tiles, pruned_scan.TILE)
+        self._p_dpid = jnp.asarray(dpid.astype(np.int32))
+        self._p_tile_start = jnp.asarray(tile_start)
+        self._p_ntiles = jnp.asarray(ntiles)
+        self._p_max_ntiles = int(ntiles.max())
+        self._p_num_tiles = num_tiles
 
     def _make_bias(self, sq, dpid):
         """Per-slot additive bias for the fused kernel: -||x||^2 under L2
@@ -524,6 +588,7 @@ class TreeAHSearcher(base.Searcher):
             self._recon_sq = self._recon_sq.at[sidx].set(q)
             self._recon_bias = self._recon_bias.at[sidx].set(
                 self._make_bias(q, jnp.asarray(dpid_arr)))
+        self._invalidate_pruned()
         # Keep token map + rescoring data in sync.
         self._grow_token_map(ids, tokens)
         if self.reorder_helper is not None:
@@ -558,6 +623,7 @@ class TreeAHSearcher(base.Searcher):
             from scann_tpu.ops import fused_scan
             self._recon_bias = self._recon_bias.at[
                 jnp.asarray(slot_arr)].set(fused_scan._PAD_PENALTY)
+        self._invalidate_pruned()
         self._num_slots = int(np.sum(self._host["dpid"] >= 0))
 
     # ------------------------------------------------------------- query
@@ -567,6 +633,7 @@ class TreeAHSearcher(base.Searcher):
         return self.part_cfg.num_leaves_to_search
 
     def _extra_state(self):
+        self._ensure_pruned()
         st = {"codes": self.index.codes,
               "slot_dpid": self.index.slot_dpid,
               "slot_leaf": self.index.slot_leaf,
@@ -575,7 +642,12 @@ class TreeAHSearcher(base.Searcher):
               "recon_rows": getattr(self, "_recon_rows", None),
               "recon_sq": getattr(self, "_recon_sq", None),
               "recon_bias": getattr(self, "_recon_bias", None),
-              "recon_mean": getattr(self, "_recon_mean", None)}
+              "recon_mean": getattr(self, "_recon_mean", None),
+              "p_rows": getattr(self, "_p_rows", None),
+              "p_bias": getattr(self, "_p_bias", None),
+              "p_dpid": getattr(self, "_p_dpid", None),
+              "p_tile_start": getattr(self, "_p_tile_start", None),
+              "p_ntiles": getattr(self, "_p_ntiles", None)}
         if self.partitioner is not None:
             st["centers"] = self.partitioner.centers
             st["centers_int8"] = self.partitioner.centers_int8
@@ -587,6 +659,11 @@ class TreeAHSearcher(base.Searcher):
     def _select_candidates(self, queries, state, k_pre: int, leaves: int,
                            full_scan: bool = False):
         from scann_tpu.ops import fused_scan
+        if (not full_scan and state.get("p_rows") is not None
+                and state.get("restrict") is None
+                and self.partitioner is not None
+                and leaves < self.partitioner.num_leaves):
+            return self._pruned_select(queries, state, k_pre, leaves)
         if (self._recon_mode and full_scan
                 and state.get("restrict") is None
                 and queries.shape[0] % fused_scan.QT == 0
@@ -761,6 +838,81 @@ class TreeAHSearcher(base.Searcher):
             vals, pos = jax.lax.top_k(vals, min(k_pre, vals.shape[-1]))
             dpids = jnp.take_along_axis(dpids, pos, axis=-1)
         return vals, dpids
+
+    def _pruned_select(self, queries, state, k_pre: int, leaves: int):
+        """Leaf-gathered pruned candidate selection (ops/pruned_scan.py):
+        tokenization picks top-``leaves`` leaves per query, the batch is
+        inverted to leaf-major work items, and only the selected leaves'
+        tiles are read — cost O(B * leaves * avg_leaf) instead of O(B * N)
+        (the reference's InvertCentersToSearch + per-leaf scoring,
+        tree_ah_hybrid_residual.cc:610-786)."""
+        from scann_tpu.ops import pruned_scan
+        partitioner = self.partitioner._replace(
+            centers=state["centers"],
+            centers_int8=state["centers_int8"],
+            centers_inv_mult=state["centers_inv_mult"],
+            upper_centers=state["upper_centers"],
+            upper_assign=state["upper_assign"])
+        num_leaves = partitioner.num_leaves
+        leaves = max(1, min(leaves, num_leaves))
+        leaf_ids, _ = partitioner.tokenize_queries(queries, leaves)
+        nq = queries.shape[0]
+        valid_sel = jnp.ones((nq, leaves), bool)
+        if state.get("leaves_dynamic") is not None:
+            col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
+            valid_sel = col < state["leaves_dynamic"]
+
+        q_c = queries
+        if state.get("recon_mean") is not None:
+            q_c = queries - state["recon_mean"][None, :]
+        d_pad = state["p_rows"].shape[-1]
+        pad = d_pad - q_c.shape[1]
+        q_bf = (jnp.pad(q_c, ((0, 0), (0, pad))) if pad
+                else q_c).astype(jnp.bfloat16)
+
+        g_pad, w_pad = pruned_scan.plan_capacities(
+            nq, leaves, num_leaves, self._p_num_tiles, self._p_max_ntiles)
+        plan = pruned_scan.invert(
+            leaf_ids, valid_sel, state["p_tile_start"], state["p_ntiles"],
+            self._p_max_ntiles, g_pad, w_pad)
+        qg_rows = jnp.take(q_bf, plan.qg_query, axis=0)  # (G_pad, QG, d)
+        l2 = self.measure == cfg.SQUARED_L2
+        interp = getattr(self, "_pruned_interpret", False)
+        soar = self.part_cfg.soar if self.part_cfg is not None else None
+        k_fetch = k_pre
+        if soar is not None:
+            k_fetch = int(math.ceil(k_pre * soar.overretrieve_factor))
+        # Survivors per group scale with the expected density of wanted
+        # candidates per SUBP group in the worst (all-in-one-leaf) case; at
+        # high density the default capacity silently drops concentrated
+        # top candidates (see pruned_scan.KPG).
+        avg_leaf = max(1, self._num_slots // num_leaves)
+        density = k_fetch * pruned_scan.SUBP / avg_leaf
+        kpg = 16 if density > 5.0 else pruned_scan.KPG
+        if jax.default_backend() == "tpu" or interp:
+            packed = pruned_scan.score_work_pallas(
+                plan, qg_rows, state["p_rows"], state["p_bias"],
+                measure_l2=l2, interpret=interp, kpg=kpg)
+        else:
+            packed = pruned_scan.score_work_xla(
+                plan, qg_rows, state["p_rows"], state["p_bias"],
+                measure_l2=l2, kpg=kpg)
+        cand_vals, cand_slots = pruned_scan.merge_candidates(
+            plan, packed, leaf_ids, valid_sel, state["p_tile_start"],
+            state["p_ntiles"], self._p_max_ntiles, k_fetch)
+        dpids = jnp.where(cand_slots >= 0,
+                          jnp.take(state["p_dpid"],
+                                   jnp.maximum(cand_slots, 0)), -1)
+        if l2:
+            # Restore the rank-invariant -||q||^2 term of the centered query
+            # (see _fused_select).
+            cand_vals = cand_vals - jnp.sum(q_c * q_c, axis=-1)[:, None]
+        if soar is not None:
+            cand_vals, dpids = topk_ops.dedup_candidates(cand_vals, dpids)
+            cand_vals, pos = jax.lax.top_k(cand_vals,
+                                           min(k_pre, cand_vals.shape[-1]))
+            dpids = jnp.take_along_axis(dpids, pos, axis=-1)
+        return cand_vals, dpids
 
     def _fused_select(self, queries, state, k_pre: int):
         """Full-scan candidate selection through the fused Pallas kernel

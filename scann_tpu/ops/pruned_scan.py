@@ -1,0 +1,480 @@
+"""Pruned (leaf-gathered) scoring: cost scales with leaves_to_search.
+
+TPU-native equivalent of the reference's leaf-major pruned search
+(InvertCentersToSearch + per-leaf LUT16 scoring,
+scann/tree_x_hybrid/tree_ah_hybrid_residual.cc:610-622,679-786): instead of
+scanning every slot and masking (the dense path, which reads the whole index
+regardless of leaves_to_search), queries are inverted to leaf-major order and
+only the selected leaves' slots are touched.
+
+Design (all shapes static so the whole thing lives in one jit program):
+
+  * Layout: slots are sorted by leaf and each leaf padded to a multiple of
+    ``TILE`` slots, so leaf l occupies tiles
+    [tile_start[l], tile_start[l] + ntiles[l]).  Rows/bias/dpid are stored
+    tile-major: rows (num_tiles, TILE, d).  Within a leaf slots are randomly
+    permuted so the per-SUBP group-max loses top-k candidates only to rare
+    collisions (same contract as ops/fused_scan.py, absorbed by reorder
+    overretrieve).
+  * Invert: the (B, L) per-query leaf selections group into query-groups of
+    <= QG queries per leaf (the TPU analogue of the reference's leaf-major
+    query lists); each (query-group, leaf-tile) is one work item, addressed
+    analytically as w = group * max_ntiles + tile.  The only O(B*L)
+    primitives are two stable sorts (to leaf-major order and back) plus
+    log-depth prefix fills and contiguous-slice gathers; large XLA scatters
+    (~150 ns/element, serial on TPU), per-element gathers, and quadratic
+    reduce_window cumsums are all avoided deliberately.
+  * Score: one Pallas kernel, grid over work items, with scalar-prefetched
+    (tile, query-group, active) indices driving the block index maps: each
+    step is a (TILE, d) x (d, QG) MXU matmul + bias + a grouped VPU
+    top-kpg over SUBP-slot groups.  Each survivor packs its own
+    (tile, argmax) identity into its f32 mantissa tail, so downstream maxes
+    and gathers move one int32 per candidate.  An XLA gather+matmul
+    fallback covers CPU and non-TPU backends bit-identically.
+  * Merge: rank-stratified — the HOT_LEAVES best-ranked leaves per query
+    fetch full survivor lists (contiguous kgp-wide slices); colder leaves
+    first collapse their tiles by a pure vectorized float max in work-major
+    layout and then fetch one GP-wide slice per pair -> approx top-k.
+
+HBM traffic per batch is O(sum over selected leaves of leaf bytes) instead
+of O(num_queries / QT * index bytes): cost finally *decreases* with
+leaves_to_search (VERDICT.md round-1 finding #1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 512  # slots per leaf tile (leaves pad to a multiple of this)
+SUBP = 32   # slots per candidate group
+KPG = 8     # survivors kept per group: unlike the full-scan kernel, pruned
+# candidates concentrate inside the selected leaves (a query's whole top
+# k_pre can live in ONE leaf), so the per-tile survivor capacity
+# KPG * TILE/SUBP must reach ~k_pre or concentrated top candidates are
+# silently dropped.  8 * 16 = 128 survivors/tile keeps recall at the dense
+# path's level (measured: 0.973 vs 0.975 on worst-case clustered data)
+# while still reducing score output 4x.
+GP = TILE // SUBP  # candidate groups per tile
+QG = 128    # queries per work group (MXU lane dim)
+_IDX_BITS = 5      # SUBP <= 32: argmax packs into the f32 mantissa tail
+_IDX_MASK = (1 << _IDX_BITS) - 1
+_TILE_BITS = 3     # tile-within-leaf packs above the argmax (mnt <= 8), so
+# a float max across a leaf's tiles keeps the winner's identity in its own
+# bit pattern (the <= 2^-15 relative perturbation is invisible to ranking)
+_TILE_MASK = (1 << _TILE_BITS) - 1
+MAX_NTILES = 1 << _TILE_BITS  # leaves larger than MAX_NTILES * TILE slots
+# are not supported by the pruned path (callers fall back to dense)
+
+_SENTINEL = jnp.int32(1 << 30)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class PrunedLayout(NamedTuple):
+    """Host-side metadata of the tile-major leaf layout."""
+    num_tiles: int
+    max_ntiles: int
+
+
+class WorkPlan(NamedTuple):
+    """Inverted (leaf-major) work decomposition for one query batch.
+
+    The work layout is UNCOMPACTED: work item w = gid * max_ntiles + t
+    covers tile t of group gid's leaf.  Items with t >= ntiles(leaf) are
+    inactive; their tile index clamps to the group's last tile so Mosaic's
+    revisiting elides the redundant copy and @pl.when skips the compute.
+    The analytic w(gid, t) removes every large scatter from the plan
+    (XLA scatter is serial on TPU: ~30 ms for 205k elements).
+    """
+    qg_query: jax.Array   # (G_pad, QG) int32 query row per group slot
+    qg_leaf: jax.Array    # (G_pad,) int32 leaf of each group
+    work_tile: jax.Array  # (G_pad * mnt,) int32 leaf-tile per work item
+    work_qg: jax.Array    # (G_pad * mnt,) int32 query-group per work item
+    work_active: jax.Array  # (G_pad * mnt,) int32 1 if live
+    pair_gid: jax.Array   # (B, L) int32 group of each (query, leaf) pair
+    pair_row: jax.Array   # (B, L) int32 row of the query within its group
+
+
+def plan_capacities(batch: int, num_sel: int, num_leaves: int,
+                    num_tiles: int, max_ntiles: int):
+    """Static capacities: groups are at most B*L/QG full ones plus one
+    partial per active leaf; work items are g_pad * max_ntiles (uncompacted
+    layout)."""
+    p = batch * num_sel
+    g_pad = p // QG + min(num_leaves, p) + 1
+    return g_pad, g_pad * max_ntiles
+
+
+def _prefix_sum_axis0(x):
+    """Inclusive prefix sum along axis 0 via log-depth shift-adds (XLA's
+    cumsum lowers to a quadratic reduce_window on TPU)."""
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        x = x + jnp.pad(x, ((shift, 0),) + ((0, 0),) * (x.ndim - 1))[:n]
+        shift *= 2
+    return x
+
+
+def _forward_fill_max(x):
+    """Running max along a 1-D array via log-depth shifted maxima."""
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        x = jnp.maximum(x, jnp.pad(x, (shift, 0),
+                                   constant_values=-(1 << 30))[:n])
+        shift *= 2
+    return x
+
+
+def _cumsum1d(x):
+    """Log-depth 1-D prefix sum via a 2-D reshape (jnp.cumsum lowers to a
+    quadratic reduce_window on TPU for long arrays)."""
+    n = x.shape[0]
+    if n <= 4096:
+        return jnp.cumsum(x)
+    w = 512
+    pad = _round_up(n, w) - n
+    x2 = jnp.pad(x, (0, pad)).reshape(-1, w)
+    within = jnp.cumsum(x2, axis=1)
+    offs = _prefix_sum_axis0(within[:, -1]) - within[:, -1]
+    return (within + offs[:, None]).reshape(-1)[:n]
+
+
+def invert(sel, valid_sel, tile_start, ntiles, max_ntiles: int,
+           g_pad: int, w_pad: int) -> WorkPlan:
+    """Build the leaf-major work plan from per-query leaf selections.
+
+    sel: (B, L) int32 selected leaf ids (top-L per query, distinct within a
+    row); valid_sel (B, L) bool (False columns — e.g. beyond a dynamic
+    leaves_to_search — produce no work).  tile_start/ntiles: (num_leaves,)
+    int32 layout tables.
+
+    TPU cost discipline: the only O(B*L) primitives are two stable sorts
+    (pairs to leaf-major order, and the inverse back to pair-major) plus
+    log-depth prefix fills and contiguous-slice gathers.  Large scatters
+    (serial on TPU, ~150 ns/element), per-element gathers, and dense
+    compare-reductions are all avoided.
+    """
+    b, l = sel.shape
+    nl = tile_start.shape[0]
+    p = b * l
+    sort_key = jnp.where(valid_sel, sel, _SENTINEL).reshape(-1)
+    key_s, pos_s = jax.lax.sort(
+        (sort_key, jnp.arange(p, dtype=jnp.int32)), num_keys=1)
+    q_s = pos_s // l
+    valid_s = key_s < _SENTINEL
+
+    # Rank of each pair within its leaf run.
+    pos_iota = jnp.arange(p, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    run_start = _forward_fill_max(jnp.where(is_start, pos_iota, 0))
+    rank = pos_iota - run_start
+    row = rank % QG
+
+    # Per-leaf tables from the sorted keys (vectorized binary search).
+    lb = jnp.searchsorted(key_s, jnp.arange(nl, dtype=jnp.int32),
+                          side="left").astype(jnp.int32)
+    ub = jnp.searchsorted(key_s, jnp.arange(nl, dtype=jnp.int32),
+                          side="right").astype(jnp.int32)
+    counts = ub - lb
+    ngroups = (counts + QG - 1) // QG
+    gbase = _cumsum1d(ngroups) - ngroups        # exclusive
+    g_total = gbase[-1] + ngroups[-1]
+
+    # Group id per sorted pair; back to pair-major via the inverse sort.
+    leaf_clip = jnp.minimum(key_s, nl - 1)
+    gid = jnp.take(gbase, leaf_clip) + rank // QG
+    packed_gr = jnp.where(valid_s, gid * QG + row, 0)
+    _, gr_pair = jax.lax.sort((pos_s, packed_gr), num_keys=1)
+    pair_gid = (gr_pair // QG).reshape(b, l)
+    pair_row = (gr_pair % QG).reshape(b, l)
+
+    # Leaf of each group: scatter leaf+1 at each leaf's first group (only
+    # num_leaves updates — small scatters are fine), then forward-fill
+    # (group order is leaf-ascending).
+    base_safe = jnp.where(ngroups > 0, gbase, g_pad)
+    leaf_mark = jnp.zeros((g_pad,), jnp.int32).at[base_safe].set(
+        jnp.arange(nl, dtype=jnp.int32) + 1, mode="drop",
+        unique_indices=True)
+    qg_leaf = jnp.maximum(_forward_fill_max(leaf_mark) - 1, 0)
+    g_active = jnp.arange(g_pad, dtype=jnp.int32) < g_total
+
+    # Query ids per group: contiguous slices of the leaf-sorted query list.
+    group_pos = (jnp.take(lb, qg_leaf)
+                 + (jnp.arange(g_pad, dtype=jnp.int32)
+                    - jnp.take(gbase, qg_leaf)) * QG)
+    gather_pos = jnp.clip(group_pos[:, None]
+                          + jnp.arange(QG, dtype=jnp.int32)[None, :],
+                          0, p - 1)
+    qg_query = jnp.take(q_s, gather_pos.reshape(-1),
+                        mode="clip").reshape(g_pad, QG)
+
+    # Uncompacted work layout: w = gid * mnt + t.
+    g_nt = jnp.where(g_active, jnp.take(ntiles, qg_leaf), 0)
+    t_iota = jnp.arange(max_ntiles, dtype=jnp.int32)[None, :]
+    g_tile0 = jnp.take(tile_start, qg_leaf)
+    # Inactive tiles clamp to the group's last live tile (copy elision).
+    t_eff = jnp.minimum(t_iota, jnp.maximum(g_nt[:, None] - 1, 0))
+    work_tile = (g_tile0[:, None] + t_eff).reshape(-1)
+    work_qg = jnp.broadcast_to(
+        jnp.arange(g_pad, dtype=jnp.int32)[:, None],
+        (g_pad, max_ntiles)).reshape(-1)
+    work_active = (t_iota < g_nt[:, None]).astype(jnp.int32).reshape(-1)
+    return WorkPlan(qg_query, qg_leaf, work_tile, work_qg, work_active,
+                    pair_gid, pair_row)
+
+
+_ID_BITS = _IDX_BITS + _TILE_BITS
+_ID_MASK = (1 << _ID_BITS) - 1
+
+
+def _pack(v, a, t):
+    """Pack (tile-within-leaf, within-group argmax) into the low mantissa
+    bits of the f32 score: one output array, one merge gather, and a
+    cross-tile float max keeps the winner's identity for free.  The
+    <= 2^-15 relative perturbation is invisible to candidate ranking (and
+    exact reordering replaces the values anyway)."""
+    bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+    return jnp.bitwise_or(jnp.bitwise_and(bits, ~_ID_MASK),
+                          (t << _IDX_BITS) | a)
+
+
+def _unpack(packed):
+    """-> (value, argmax-in-group, tile-within-leaf)."""
+    arg = jnp.bitwise_and(packed, _IDX_MASK)
+    t = jnp.bitwise_and(packed >> _IDX_BITS, _TILE_MASK)
+    v = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(packed, ~_ID_MASK), jnp.float32)
+    return v, arg, t
+
+
+def _kernel(work_tile_ref, work_qg_ref, work_active_ref,
+            qg_rows_ref, rows_ref, bias_ref, out_ref, *, scale, mnt, kpg):
+    w = pl.program_id(0)
+
+    @pl.when(work_active_ref[w] == 1)
+    def _():
+        # (TILE, d) x (QG, d)^T -> (TILE, QG): queries on the lane dim so
+        # the SUBP grouping splits sublanes (free in Mosaic's layout).
+        scores = jax.lax.dot_general(
+            rows_ref[0], qg_rows_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        scores = scale * scores + bias_ref[0]  # bias block (TILE, 1)
+        grouped = scores.reshape(GP, SUBP, QG)
+        v, a = _group_top(grouped, axis=1, cat_axis=0, kpg=kpg)
+        # Transposed output (QG, KGP): a pair's candidates land contiguous,
+        # so the merge is a wide-slice gather instead of scalar gathers.
+        out_ref[0] = jnp.transpose(_pack(v, a, w % mnt), (1, 0))
+
+
+def _group_top(grouped, axis: int, cat_axis: int, kpg: int = KPG):
+    """Top-kpg (value, argmax) per SUBP group via kpg mask-and-max passes;
+    outputs stacked on the group axis (kpg * GP wide)."""
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, grouped.shape, axis)
+    vs, as_ = [], []
+    for _ in range(kpg):
+        v = jnp.max(grouped, axis=axis)
+        a = jnp.argmax(grouped, axis=axis).astype(jnp.int32)
+        vs.append(v)
+        as_.append(a)
+        grouped = jnp.where(sub_iota == jnp.expand_dims(a, axis),
+                            -jnp.inf, grouped)
+    return (jnp.concatenate(vs, axis=cat_axis),
+            jnp.concatenate(as_, axis=cat_axis))
+
+
+def score_work_pallas(plan: WorkPlan, qg_rows, rows3, bias2, *,
+                      measure_l2: bool, interpret: bool = False,
+                      kpg: int = KPG):
+    """Score all work items on TPU.  qg_rows: (G_pad, QG, d) bf16 gathered
+    query blocks; rows3: (num_tiles, TILE, d) bf16; bias2: (num_tiles, TILE)
+    f32.  Returns packed scores (W_pad, QG, KPG*GP) int32 (see _pack)."""
+    w_pad = plan.work_tile.shape[0]
+    mnt = w_pad // plan.qg_query.shape[0]
+    d = rows3.shape[-1]
+    # Trailing singleton so the bias block is (TILE, 1) — Mosaic requires
+    # the last two block dims be (8k, 128k) or match the array dims.
+    bias3 = bias2.reshape(bias2.shape[0], TILE, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(w_pad,),
+        in_specs=[
+            pl.BlockSpec((1, QG, d), lambda w, wt, wq, wa: (wq[w], 0, 0)),
+            pl.BlockSpec((1, TILE, d), lambda w, wt, wq, wa: (wt[w], 0, 0)),
+            pl.BlockSpec((1, TILE, 1), lambda w, wt, wq, wa: (wt[w], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, QG, kpg * GP), lambda w, wt, wq, wa: (w, 0, 0)),
+        ],
+    )
+    (packed,) = pl.pallas_call(
+        functools.partial(_kernel, scale=2.0 if measure_l2 else 1.0,
+                          mnt=mnt, kpg=kpg),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((w_pad, QG, kpg * GP), jnp.int32),
+        ],
+        interpret=interpret,
+    )(plan.work_tile, plan.work_qg, plan.work_active, qg_rows, rows3, bias3)
+    return packed
+
+
+_XLA_WORK_CHUNK = 128
+
+
+def score_work_xla(plan: WorkPlan, qg_rows, rows3, bias2, *,
+                   measure_l2: bool, kpg: int = KPG):
+    """Gather + batched-matmul fallback with identical outputs (CPU tests,
+    non-TPU backends).  Chunked with lax.map to bound live gather memory."""
+    w_pad = plan.work_tile.shape[0]
+    mnt = w_pad // plan.qg_query.shape[0]
+    scale = 2.0 if measure_l2 else 1.0
+    pad = _round_up(w_pad, _XLA_WORK_CHUNK) - w_pad
+    wt = jnp.pad(plan.work_tile, (0, pad))
+    wq = jnp.pad(plan.work_qg, (0, pad))
+    wi = jnp.arange(w_pad + pad, dtype=jnp.int32) % mnt
+
+    def chunk(args):
+        wt_c, wq_c, wi_c = args
+        r = jnp.take(rows3, wt_c, axis=0)       # (C, TILE, d)
+        q = jnp.take(qg_rows, wq_c, axis=0)     # (C, QG, d)
+        b = jnp.take(bias2, wt_c, axis=0)       # (C, TILE)
+        s = jax.lax.dot_general(
+            r, q, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (C, TILE, QG)
+        s = scale * s + b[:, :, None]
+        g = s.reshape(s.shape[0], GP, SUBP, QG)
+        v, a = _group_top(g, axis=2, cat_axis=1, kpg=kpg)
+        return jnp.transpose(_pack(v, a, wi_c[:, None, None]), (0, 2, 1))
+
+    n_chunks = (w_pad + pad) // _XLA_WORK_CHUNK
+    packed = jax.lax.map(
+        chunk, (wt.reshape(n_chunks, -1), wq.reshape(n_chunks, -1),
+                wi.reshape(n_chunks, -1)))
+    return packed.reshape(-1, QG, kpg * GP)[:w_pad]
+
+
+HOT_LEAVES = 8  # leaves (per query, by tokenization rank) gathered at full
+# survivor width; colder leaves contribute only each group's top-1.  A
+# query's candidate mass concentrates in its best-ranked leaves, so the
+# deep survivor lists are only needed there — this cuts the merge gather
+# volume ~4x (the reference has no analogue: its FastTopNeighbors sees
+# every leaf score exactly once).
+
+
+def merge_candidates(plan: WorkPlan, packed, sel, valid_sel, tile_start,
+                     ntiles, max_ntiles: int, k_fetch: int,
+                     pair_bias=None, hot: int = HOT_LEAVES):
+    """Assemble per-query candidates from packed work outputs, take top-k.
+
+    packed: (W_pad, QG, KPG*GP) int32 packed scores (see _pack).  Returns
+    (cand_vals (B, k), cand_slots (B, k)) where slots index the tile-major
+    pruned layout (slot = tile * TILE + offset); dead candidates have -inf
+    values and slot -1.  pair_bias: optional (B, L) additive per-(query,
+    leaf) term (the residual q.c bias for LUT scoring).
+
+    Two strata bound the gather cost: hot leaves fetch the full per-tile
+    survivor lists; cold leaves fetch one GP-wide slice per *pair* — the
+    tile dimension is collapsed beforehand by a vectorized float max in
+    work-major layout (each packed float carries its own (tile, argmax)
+    identity in its mantissa tail, so the max needs no separate argmax).
+    """
+    b, l = sel.shape
+    w_pad = packed.shape[0]
+    g_pad = plan.qg_query.shape[0]
+    kgp = packed.shape[-1]
+    hot = min(hot, l)
+    t_iota = jnp.arange(max_ntiles, dtype=jnp.int32)
+
+    def finish(vals, arg, t, sel_s, cols):
+        tile0 = jnp.take(tile_start, sel_s)[:, :, None, None]
+        slots = (tile0 + t[..., None] if t.ndim < arg.ndim else tile0 + t)
+        slots = slots * TILE \
+            + (jnp.arange(arg.shape[-1], dtype=jnp.int32) % GP) * SUBP + arg
+        if pair_bias is not None:
+            vals = vals + pair_bias[:, cols][:, :, None, None]
+        return vals.reshape(b, -1), slots.reshape(b, -1)
+
+    # Hot stratum: full survivor width per (pair, tile).
+    sel_h = sel[:, :hot]
+    w_blt = (plan.pair_gid[:, :hot, None] * max_ntiles
+             + t_iota[None, None, :])
+    live_h = jnp.logical_and(
+        t_iota[None, None, :] < jnp.take(ntiles, sel_h)[:, :, None],
+        valid_sel[:, :hot, None])
+    row_h = jnp.broadcast_to(plan.pair_row[:, :hot, None], w_blt.shape)
+    cand_h = packed[jnp.clip(w_blt, 0, w_pad - 1), row_h]  # (B,hot,mnt,kgp)
+    v_h, a_h, t_h = _unpack(cand_h)
+    v_h = jnp.where(live_h[..., None], v_h, -jnp.inf)
+    cand_vals, slots = finish(v_h, a_h, t_h, sel_h, slice(0, hot))
+
+    if hot < l:
+        # Cold stratum: collapse tiles by float max in work-major layout
+        # (no gather), then one GP-slice per pair.
+        cold = packed.reshape(g_pad, max_ntiles, QG, kgp)[..., :GP]
+        cold_f = jax.lax.bitcast_convert_type(cold, jnp.float32)
+        act = plan.work_active.reshape(g_pad, max_ntiles)
+        cold_f = jnp.where(act[:, :, None, None] == 1, cold_f, -jnp.inf)
+        cold_red = jnp.max(cold_f, axis=1)           # (g_pad, QG, GP)
+        sel_c = sel[:, hot:]
+        cand_c = cold_red[plan.pair_gid[:, hot:], plan.pair_row[:, hot:]]
+        cand_ci = jax.lax.bitcast_convert_type(cand_c, jnp.int32)
+        v_c, a_c, t_c = _unpack(cand_ci)
+        v_c = jnp.where(jnp.logical_and(valid_sel[:, hot:, None],
+                                        jnp.isfinite(v_c)),
+                        v_c, -jnp.inf)[:, :, None, :]
+        v2, s2 = finish(v_c, a_c[:, :, None, :], t_c[:, :, None, :],
+                        sel_c, slice(hot, l))
+        cand_vals = jnp.concatenate([cand_vals, v2], axis=-1)
+        slots = jnp.concatenate([slots, s2], axis=-1)
+    k = min(k_fetch, cand_vals.shape[-1])
+    if cand_vals.shape[-1] > 4 * k and cand_vals.shape[-1] >= 1024:
+        top_vals, pos = jax.lax.approx_max_k(cand_vals, k,
+                                             recall_target=0.97)
+    else:
+        top_vals, pos = jax.lax.top_k(cand_vals, k)
+    top_slots = jnp.take_along_axis(slots, pos, axis=-1)
+    top_slots = jnp.where(top_vals < -1e20, -1, top_slots)
+    top_vals = jnp.where(top_vals < -1e20, -jnp.inf, top_vals)
+    return top_vals, top_slots
+
+
+def build_layout_host(leaf: np.ndarray, num_leaves: int, seed: int = 0):
+    """Host-side tile-major layout: returns (order, tile_start, ntiles,
+    num_tiles, slot_of_order) where ``order`` lists source slot indices in
+    tile-major order with -1 for intra-leaf padding.
+
+    leaf: (S,) int32 leaf id per source slot (only live slots).  Slots are
+    grouped by leaf, randomly permuted within the leaf (the group-max
+    collision contract), and each leaf padded to a multiple of TILE.
+    """
+    rng = np.random.default_rng(seed)
+    order_by_leaf = np.argsort(leaf, kind="stable")
+    counts = np.bincount(leaf, minlength=num_leaves)
+    ntiles = np.maximum(1, -(-counts // TILE)).astype(np.int32)
+    # Leaves with zero members still get one (fully padded) tile so that
+    # tile indices stay valid for any selected leaf.
+    tile_start = np.concatenate([[0], np.cumsum(ntiles)[:-1]]).astype(
+        np.int32)
+    num_tiles = int(ntiles.sum())
+    order = np.full((num_tiles * TILE,), -1, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    for lf in range(num_leaves):
+        members = order_by_leaf[starts[lf]:starts[lf] + counts[lf]]
+        if len(members) > 1:
+            members = members[rng.permutation(len(members))]
+        base = tile_start[lf] * TILE
+        order[base:base + len(members)] = members
+    return order, tile_start, ntiles, num_tiles

@@ -1,0 +1,200 @@
+"""Pruned (leaf-gathered) scoring path tests.
+
+The pruned path (ops/pruned_scan.py) is the TPU counterpart of the
+reference's leaf-major pruned search (InvertCentersToSearch + per-leaf
+scoring, tree_ah_hybrid_residual.cc:610-786): its cost scales with
+leaves_to_search instead of index size.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import scann_tpu
+import scann_tpu.factory as factory
+from scann_tpu.ops import pruned_scan as ps
+
+
+def _build(db, leaves=8, num_leaves=64, reorder=60, soar=False, l2=False):
+    measure = "squared_l2" if l2 else "dot_product"
+    b = (scann_tpu.builder(db, 10, measure)
+         .tree(num_leaves=num_leaves, num_leaves_to_search=leaves,
+               training_sample_size=20000,
+               **({"soar_lambda": 1.5} if soar else {}))
+         .score_ah(2, anisotropic_quantization_threshold=(
+             float("nan") if l2 else 0.2))
+         .reorder(reorder))
+    config = b.create_config()
+    config = dataclasses.replace(config, asymmetric_hash=dataclasses.replace(
+        config.asymmetric_hash, lookup_type="reconstruct"))
+    return factory.create_searcher(db, config)
+
+
+def _clustered(n=60000, d=48, nq=50, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((64, d)).astype(np.float32)
+    db = (centers[rng.integers(0, 64, n)]
+          + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    return db, q
+
+
+def _recall(idx, truth):
+    return np.mean([len(set(idx[i]) & set(truth[i])) / truth.shape[1]
+                    for i in range(len(truth))])
+
+
+def test_pruned_oracle_exact_candidates():
+    """invert + score + merge returns exactly the per-group survivors of
+    the selected leaves (brute-force oracle over the packed semantics)."""
+    rng = np.random.default_rng(3)
+    num_leaves, B, L, d = 12, 96, 5, 128
+    sizes = rng.integers(100, 1200, num_leaves)
+    leaf = np.repeat(np.arange(num_leaves), sizes).astype(np.int64)
+    order, tile_start, ntiles, num_tiles = ps.build_layout_host(
+        leaf, num_leaves, seed=0)
+    rows_flat = np.zeros((num_tiles * ps.TILE, d), np.float32)
+    live = order >= 0
+    src_rows = rng.standard_normal((len(leaf), d)).astype(np.float32)
+    rows_flat[live] = src_rows[order[live]]
+    bias = np.where(live, 0.0, -1e30).astype(np.float32)
+    rows3 = jnp.asarray(rows_flat.reshape(num_tiles, ps.TILE, d),
+                        jnp.bfloat16)
+    bias2 = jnp.asarray(bias.reshape(num_tiles, ps.TILE))
+    q = rng.standard_normal((B, d)).astype(np.float32)
+    sel = np.stack([rng.choice(num_leaves, L, replace=False)
+                    for _ in range(B)]).astype(np.int32)
+    valid = np.ones((B, L), bool)
+    mnt = int(ntiles.max())
+    g_pad, w_pad = ps.plan_capacities(B, L, num_leaves, num_tiles, mnt)
+    plan = ps.invert(jnp.asarray(sel), jnp.asarray(valid),
+                     jnp.asarray(tile_start), jnp.asarray(ntiles), mnt,
+                     g_pad, w_pad)
+    q_bf = jnp.asarray(q, jnp.bfloat16)
+    qg_rows = jnp.take(q_bf, plan.qg_query, axis=0)
+    packed = ps.score_work_xla(plan, qg_rows, rows3, bias2,
+                               measure_l2=False)
+    K = L * mnt * ps.KPG * ps.GP
+    cv, cs = ps.merge_candidates(plan, packed, jnp.asarray(sel),
+                                 jnp.asarray(valid),
+                                 jnp.asarray(tile_start),
+                                 jnp.asarray(ntiles), mnt, K)
+    cv, cs = np.asarray(cv), np.asarray(cs)
+    scores_all = np.asarray(jax.lax.dot_general(
+        q_bf, rows3.reshape(-1, d),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)) + bias[None, :]
+    for b in range(0, B, 31):
+        want = {}
+        for lf in sel[b]:
+            for t in range(ntiles[lf]):
+                base = (tile_start[lf] + t) * ps.TILE
+                for g in range(ps.GP):
+                    seg = scores_all[b, base + g * ps.SUBP:
+                                     base + (g + 1) * ps.SUBP]
+                    for a in np.argsort(-seg)[:ps.KPG]:
+                        if seg[a] > -1e20:
+                            want[base + g * ps.SUBP + a] = seg[a]
+        got = {int(s): float(v) for s, v in zip(cs[b], cv[b]) if s >= 0}
+        miss = set(want) - set(got)
+        extra = set(got) - set(want)
+        # Accumulation-order ties may swap equal-valued survivors.
+        for m in list(miss):
+            if extra and min(abs(want[m] - got[e]) for e in extra) < 1e-3:
+                miss.discard(m)
+        assert not miss, (b, len(miss))
+        for s_, v in got.items():
+            assert abs(v - scores_all[b, s_]) <= max(1e-3,
+                                                     1e-4 * abs(v)), (b, s_)
+
+
+def test_pruned_matches_dense_recall():
+    db, q = _clustered()
+    s = _build(db)
+    assert s._pruned_available
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    idx_p, _ = s.search_batched(q, leaves_to_search=8)
+    # Dense masked path for comparison (gate pruned off).
+    s2 = _build(db)
+    s2._ensure_pruned = lambda: None
+    s2._invalidate_pruned()
+    idx_d, _ = s2.search_batched(q, leaves_to_search=8)
+    rp, rd = _recall(idx_p, truth), _recall(idx_d, truth)
+    assert rp >= rd - 0.03, (rp, rd)
+
+
+def test_pruned_pallas_interpret_parity():
+    db, q = _clustered(n=40000)
+    s = _build(db, num_leaves=32)
+    idx_x, _ = s.search_batched(q, leaves_to_search=6)
+    s._pruned_interpret = True
+    s._compiled = {}
+    idx_i, _ = s.search_batched(q, leaves_to_search=6)
+    agree = np.mean([len(set(idx_x[i]) & set(idx_i[i])) / 10
+                     for i in range(len(q))])
+    assert agree >= 0.999, agree
+
+
+def test_pruned_monotonic_in_leaves():
+    db, q = _clustered()
+    s = _build(db)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    r_prev = 0.0
+    for leaves in (4, 16, 48):
+        idx, _ = s.search_batched(q, leaves_to_search=leaves)
+        r = _recall(idx, truth)
+        assert r >= r_prev - 0.02, (leaves, r, r_prev)
+        r_prev = r
+    assert r_prev >= 0.85, r_prev
+
+
+def test_pruned_soar_and_l2():
+    db, q = _clustered()
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    s = _build(db, soar=True)
+    idx, _ = s.search_batched(q, leaves_to_search=6)
+    r_soar = _recall(idx, truth)
+    # Parity with the dense masked path under SOAR's dual slots + dedup.
+    s._ensure_pruned = lambda: None
+    s._invalidate_pruned()
+    idx_d, _ = s.search_batched(q, leaves_to_search=6)
+    assert r_soar >= _recall(idx_d, truth) - 0.03, r_soar
+    # L2: truth by distance
+    s2 = _build(db, l2=True)
+    d2 = (q ** 2).sum(1)[:, None] - 2 * q @ db.T + (db ** 2).sum(1)[None]
+    truth2 = np.argsort(d2, axis=1)[:, :10]
+    idx2, dist2 = s2.search_batched(q, leaves_to_search=8)
+    r2 = _recall(idx2, truth2)
+    s2._ensure_pruned = lambda: None
+    s2._invalidate_pruned()
+    s2._compiled = {}
+    idx2d, _ = s2.search_batched(q, leaves_to_search=8)
+    assert r2 >= _recall(idx2d, truth2) - 0.03, r2
+    assert np.all(dist2[:, 0] >= -1e-3)  # true squared distances
+
+
+def test_pruned_invalidated_by_mutation():
+    db, q = _clustered(n=30000)
+    docids = [str(i) for i in range(len(db))]
+    s = _build(db, num_leaves=16)
+    s.docids = docids
+    from scann_tpu import mutation
+    s._mut = mutation.MutationState(db, docids)
+    idx0, _ = s.search_batched(q[:8], leaves_to_search=4)
+    new = np.random.default_rng(5).standard_normal((3, db.shape[1])
+                                                   ).astype(np.float32)
+    s.upsert(["n0", "n1", "n2"], new)
+    idx1, _ = s.search_batched(new, leaves_to_search=16)
+    found = {row[0] for row in idx1}
+    assert found == {"n0", "n1", "n2"}, found
+
+
+def test_pruned_single_query():
+    db, q = _clustered(n=30000)
+    s = _build(db, num_leaves=16)
+    i1, d1 = s.search(q[0], leaves_to_search=4)
+    assert len(i1) == 10 and np.isfinite(d1[i1 >= 0]).all()
