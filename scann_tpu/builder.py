@@ -71,16 +71,19 @@ class ScannBuilder:
     def tree(self, num_leaves, num_leaves_to_search,
              training_sample_size=100000, min_partition_size=50,
              training_iterations=12, spherical=False, quantize_centroids=False,
-             random_init=True, incremental_threshold=None, avq=None,
+             random_init=True, incremental_threshold=None,
+             incremental_mode="online", avq=None,
              soar_lambda=None, overretrieve_factor=None) -> "ScannBuilder":
         """Configure partitioning (reference: scann_builder.py:163-239)."""
         if self._partitioning is not None:
             raise ValueError("tree has already been configured")
-        if avq is not None and self.distance_measure != cfg.DOT_PRODUCT:
+        if (avq is not None and cfg.internal_measure(self.distance_measure)
+                != cfg.DOT_PRODUCT):
             raise ValueError("AVQ only applies to dot product distance.")
         soar = None
         if soar_lambda is not None:
-            if self.distance_measure != cfg.DOT_PRODUCT:
+            if (cfg.internal_measure(self.distance_measure)
+                    != cfg.DOT_PRODUCT):
                 raise ValueError("SOAR requires dot product distance.")
             soar = cfg.SoarConfig(
                 lambda_=soar_lambda,
@@ -97,6 +100,7 @@ class ScannBuilder:
             quantize_centroids=quantize_centroids,
             random_init=random_init,
             incremental_threshold=incremental_threshold,
+            incremental_mode=incremental_mode,
             avq=avq,
             soar=soar)
         return self
@@ -177,6 +181,20 @@ class ScannBuilder:
             pca_truncation_threshold=pca_truncation_threshold)
         return self
 
+    def opq(self, num_blocks=None) -> "ScannBuilder":
+        """Configure eigenvalue-OPQ rotation (reference:
+        projection/eigenvalue_opq_projection.cc): PCA rotation with
+        eigenvalues greedily balanced across the AH blocks so every block
+        carries a comparable share of variance.  num_blocks defaults to
+        the AH chunking (dims / dimensions_per_block)."""
+        if self._projection is not None:
+            raise ValueError("projection has already been configured")
+        self._projection = cfg.ProjectionConfig(
+            projection_type="eigenvalue_opq", reduction_dim=None,
+            pca_significance_threshold=None, pca_truncation_threshold=None,
+            opq_num_blocks=num_blocks)
+        return self
+
     def truncate(self, reduction_dim) -> "ScannBuilder":
         """Configure truncation (reference: scann_builder.py:115-131)."""
         if self._projection is not None:
@@ -199,10 +217,11 @@ class ScannBuilder:
 
     def create_config(self) -> cfg.ScannConfig:
         """Resolve implicit rules and return the typed config."""
-        if self.distance_measure not in (cfg.DOT_PRODUCT, cfg.SQUARED_L2):
+        if self.distance_measure not in (cfg.DOT_PRODUCT, cfg.SQUARED_L2,
+                                         cfg.COSINE):
             raise ValueError(
                 "distance_measure must be one of ['dot_product',"
-                " 'squared_l2']")
+                " 'squared_l2', 'cosine']")
         if self._autopilot is not None:
             return cfg.ScannConfig(
                 num_neighbors=self.num_neighbors,
@@ -213,7 +232,8 @@ class ScannBuilder:
             # Residual quantization auto-on for partitioned dot product
             # (reference: scann_builder.py:428-432).
             residual = (self._partitioning is not None
-                        and self.distance_measure == cfg.DOT_PRODUCT)
+                        and cfg.internal_measure(self.distance_measure)
+                        == cfg.DOT_PRODUCT)
             ah = cfg.AsymmetricHashConfig(
                 **{**ah.__dict__, "residual_quantization": residual})
         partitioning = self._partitioning
@@ -222,6 +242,15 @@ class ScannBuilder:
                 raise ValueError("upper_tree requires tree() to be set")
             partitioning = cfg.PartitioningConfig(
                 **{**partitioning.__dict__, "upper_tree": self._upper_tree})
+        projection = self._projection
+        if (projection is not None
+                and projection.projection_type == "eigenvalue_opq"
+                and projection.opq_num_blocks is None and ah is not None):
+            import dataclasses as _dc
+            projection = _dc.replace(
+                projection,
+                opq_num_blocks=-(-self.db.shape[1]
+                                 // ah.dimensions_per_block))
         return cfg.ScannConfig(
             num_neighbors=self.num_neighbors,
             distance_measure=self.distance_measure,
@@ -229,7 +258,7 @@ class ScannBuilder:
             asymmetric_hash=ah,
             brute_force=self._bf,
             reordering=self._reorder,
-            projection=self._projection,
+            projection=projection,
             seed=self.seed)
 
     def build(self, docids=None):

@@ -19,7 +19,14 @@ from typing import Any, Optional
 
 DOT_PRODUCT = "dot_product"
 SQUARED_L2 = "squared_l2"
-_ALLOWED_MEASURES = (DOT_PRODUCT, SQUARED_L2)
+COSINE = "cosine"
+_ALLOWED_MEASURES = (DOT_PRODUCT, SQUARED_L2, COSINE)
+
+
+def internal_measure(measure: str) -> str:
+    """Cosine runs as dot product over L2-normalized data (the reference
+    treats angular data the same way; returned distances are 1 - cos)."""
+    return DOT_PRODUCT if measure == COSINE else measure
 
 FLOAT32 = "float32"
 INT8 = "int8"
@@ -74,6 +81,11 @@ class PartitioningConfig:
     avq: Optional[float] = None  # AVQ eta; dot product only
     soar: Optional[SoarConfig] = None
     incremental_threshold: Optional[float] = None
+    # "online": threshold crossings trigger a full retrain (reference
+    # ONLINE mode); "online_incremental": split oversized partitions and
+    # reassign only their members (reference ONLINE_INCREMENTAL,
+    # tree_x_hybrid/mutator.h SplitPartition/Reassign :560-737).
+    incremental_mode: str = "online"
     upper_tree: Optional[UpperTreeConfig] = None
 
     def __post_init__(self):
@@ -150,10 +162,14 @@ class ProjectionConfig:
     TRUNCATE variants from ScannBuilder.pca/truncate,
     scann_builder.py:90-131)."""
 
-    projection_type: str = "truncate"  # pca | truncate
+    # pca | truncate | random_orthogonal | eigenvalue_opq
+    projection_type: str = "truncate"
     reduction_dim: Optional[int] = None
     pca_significance_threshold: Optional[float] = 0.8
     pca_truncation_threshold: Optional[float] = 0.6
+    # eigenvalue_opq: AH blocks the rotation feeds (resolved by the
+    # builder from dimensions_per_block when unset).
+    opq_num_blocks: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

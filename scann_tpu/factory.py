@@ -22,6 +22,11 @@ def create_searcher(database, scann_config: cfg.ScannConfig, docids=None):
     database = np.asarray(database, dtype=np.float32)
     if database.ndim != 2:
         raise ValueError(f"database must be 2d, got shape {database.shape}")
+    if scann_config.distance_measure == cfg.COSINE:
+        # Cosine = dot product over unit vectors (queries normalize at
+        # search time, base.Searcher.search_batched).
+        norms = np.linalg.norm(database, axis=1, keepdims=True)
+        database = database / np.maximum(norms, 1e-20)
     if scann_config.autopilot is not None:
         from scann_tpu.utils import autopilot as autopilot_mod
         scann_config = autopilot_mod.autopilot_rewrite(

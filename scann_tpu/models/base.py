@@ -157,7 +157,8 @@ class Searcher:
             # (the reference attaches exact_reordering outside the
             # projection, reordering_helper_factory.cc).
             self.reorder_helper = ReorderHelper(
-                database, scann_config.distance_measure,
+                database, cfg.internal_measure(
+                    scann_config.distance_measure),
                 scann_config.reordering)
         self.projector = None
         if scann_config.projection is not None:
@@ -170,13 +171,19 @@ class Searcher:
 
     def set_crowding(self, attributes):
         """Attach per-datapoint crowding attributes (reference:
-        EnableCrowding, base/single_machine_base.h:126-163).  Attributes
-        must be int32; result caps are then requested per search via
-        ``per_crowding_attribute_num_neighbors``."""
+        EnableCrowding, base/single_machine_base.h:126-163; multi-
+        dimensional variant utils/crowding_multi_dimensional.h:30).
+        attributes: (n_points,) int32 or (n_points, num_dims) int32;
+        result caps are then requested per search via
+        ``per_crowding_attribute_num_neighbors`` (an int, or one int per
+        dimension)."""
         attributes = np.asarray(attributes, np.int32)
-        if attributes.shape != (self.n_points,):
+        if attributes.ndim == 1:
+            attributes = attributes[:, None]
+        if attributes.ndim != 2 or attributes.shape[0] != self.n_points:
             raise ValueError(
-                f"crowding attributes must have shape ({self.n_points},)")
+                f"crowding attributes must have shape ({self.n_points},) "
+                f"or ({self.n_points}, num_dims)")
         self._crowding_attrs = jnp.asarray(attributes)
 
     def _project_database(self, database: np.ndarray) -> np.ndarray:
@@ -217,7 +224,7 @@ class Searcher:
 
     # ------------------------------------------------------------ pipeline
     def _search_impl(self, queries, state, k: int, k_pre: int, leaves: int,
-                     crowding_limit: int = 0, full_scan: bool = False):
+                     crowding_limit=(), full_scan: bool = False):
         # Candidate selection runs in the (possibly projected) index space;
         # exact reordering below uses the raw queries.
         q_proj = self._project_queries(queries, state)
@@ -230,11 +237,11 @@ class Searcher:
                 sim, pos = jax.lax.top_k(sim, k_pre)
                 idx = jnp.take_along_axis(idx, pos, axis=-1)
             sim = self.reorder_helper.rescore(queries, idx, state["reorder"])
-        if crowding_limit > 0 and state.get("crowding_attrs") is not None:
+        if crowding_limit and state.get("crowding_attrs") is not None:
             attrs = jnp.take(state["crowding_attrs"],
-                             jnp.maximum(idx, 0), axis=0)
-            sim, idx = topk_ops.crowding_filter(sim, idx, attrs,
-                                                crowding_limit)
+                             jnp.maximum(idx, 0), axis=0)  # (q, k, A)
+            sim, idx = topk_ops.crowding_filter_multi(sim, idx, attrs,
+                                                      crowding_limit)
         kk = min(k, sim.shape[-1])
         vals, pos = jax.lax.top_k(sim, kk)
         idx = jnp.take_along_axis(idx, pos, axis=-1)
@@ -251,7 +258,7 @@ class Searcher:
         return idx, dist
 
     def _get_compiled(self, batch: int, k: int, k_pre: int, leaves: int,
-                      crowding_limit: int = 0, full_scan: bool = False):
+                      crowding_limit=(), full_scan: bool = False):
         key = (batch, k, k_pre, leaves, crowding_limit, full_scan)
         fn = self._compiled.get(key)
         if fn is None:
@@ -283,7 +290,8 @@ class Searcher:
     def search_batched(self, queries, final_num_neighbors=None,
                        pre_reorder_num_neighbors=None, leaves_to_search=None,
                        restrict_allowlist=None,
-                       per_crowding_attribute_num_neighbors=None):
+                       per_crowding_attribute_num_neighbors=None,
+                       pre_tokenized_leaves=None):
         """Batched search; mirrors ScannSearcher.search_batched
         (scann_ops_pybind.py:67-90).  Returns (indices, distances) numpy
         arrays of shape (num_queries, k).
@@ -294,27 +302,59 @@ class Searcher:
         per_crowding_attribute_num_neighbors: optional cap on results per
         crowding attribute (requires set_crowding; reference:
         SearchParameters::per_crowding_attribute_post_reordering_num_
-        neighbors, base/search_parameters.h)."""
+        neighbors, base/search_parameters.h).
+        pre_tokenized_leaves: optional (num_queries, L) int32 of leaf ids
+        to search per query, skipping query tokenization; -1 entries mean
+        "search fewer leaves for this query" (reference:
+        TreeXOptionalParameters::EnablePreTokenization,
+        tree_x_hybrid/tree_x_params.h:35-45 — this is also the per-query
+        leaves_to_search override)."""
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim != 2:
             raise ValueError(f"queries must be 2d, got shape {queries.shape}")
+        if self.config.distance_measure == cfg.COSINE:
+            norms = np.linalg.norm(queries, axis=1, keepdims=True)
+            queries = queries / np.maximum(norms, 1e-20)
         if queries.shape[1] != self.query_dims:
             raise ValueError(
                 f"query dimensionality {queries.shape[1]} does not match "
                 f"database dimensionality {self.query_dims}")
         k, k_pre, leaves = self._resolve_params(
             final_num_neighbors, pre_reorder_num_neighbors, leaves_to_search)
-        crowding_limit = 0
+        crowding_limit = ()
         if per_crowding_attribute_num_neighbors is not None:
             if self._crowding_attrs is None:
                 raise ValueError(
                     "call set_crowding(attributes) before searching with "
                     "per_crowding_attribute_num_neighbors")
-            crowding_limit = int(per_crowding_attribute_num_neighbors)
+            lim = per_crowding_attribute_num_neighbors
+            num_dims = self._crowding_attrs.shape[1]
+            if np.isscalar(lim):
+                crowding_limit = (int(lim),) * num_dims
+            else:
+                crowding_limit = tuple(int(x) for x in lim)
+                if len(crowding_limit) != num_dims:
+                    raise ValueError(
+                        f"expected {num_dims} crowding limits, got "
+                        f"{len(crowding_limit)}")
         nq = queries.shape[0]
         num_leaves = getattr(getattr(self, "part_cfg", None), "num_leaves",
                              0)
-        full_scan = leaves == 0 or leaves >= (num_leaves or 1 << 30)
+        pre_tok = None
+        if pre_tokenized_leaves is not None:
+            if num_leaves == 0:
+                raise ValueError(
+                    "pre_tokenized_leaves requires a partitioned searcher")
+            pre_tok = np.asarray(pre_tokenized_leaves, np.int32)
+            if pre_tok.ndim != 2 or pre_tok.shape[0] != nq:
+                raise ValueError(
+                    f"pre_tokenized_leaves must be (num_queries, L), got "
+                    f"{pre_tok.shape}")
+            if pre_tok.max() >= num_leaves:
+                raise ValueError("pre_tokenized leaf id out of range")
+            leaves = pre_tok.shape[1]
+        full_scan = (pre_tok is None
+                     and (leaves == 0 or leaves >= (num_leaves or 1 << 30)))
         pruned = (not full_scan and restrict_allowlist is None
                   and getattr(self, "_pruned_available", False))
         if pruned and nq > _PRUNED_MAX_BATCH:
@@ -324,7 +364,9 @@ class Searcher:
                 queries[i:i + _PRUNED_MAX_BATCH], final_num_neighbors,
                 pre_reorder_num_neighbors, leaves_to_search,
                 restrict_allowlist,
-                per_crowding_attribute_num_neighbors)
+                per_crowding_attribute_num_neighbors,
+                (None if pre_tok is None
+                 else pre_tok[i:i + _PRUNED_MAX_BATCH]))
                 for i in range(0, nq, _PRUNED_MAX_BATCH)]
             idx_parts = [o[0] for o in outs]
             dist = np.concatenate([o[1] for o in outs], axis=0)
@@ -348,12 +390,19 @@ class Searcher:
         # tail dynamically).
         leaves_bucket = leaves
         if leaves > 0:
-            leaves_bucket = (min(leaves, num_leaves) if pruned
+            leaves_bucket = (min(leaves, num_leaves)
+                             if (pruned or pre_tok is not None)
                              else (num_leaves or leaves))
         fn = self._get_compiled(bucket, k, k_pre, leaves_bucket,
                                 crowding_limit, full_scan)
         state = self._state()
-        if leaves > 0 and not pruned:
+        if pre_tok is not None:
+            pt = pre_tok
+            if bucket != nq:
+                pt = np.pad(pt, ((0, bucket - nq), (0, 0)),
+                            constant_values=-1)
+            state["pre_tokenized"] = jnp.asarray(pt)
+        elif leaves > 0 and not pruned:
             state["leaves_dynamic"] = jnp.int32(min(leaves, leaves_bucket))
         if restrict_allowlist is not None:
             allow = np.asarray(restrict_allowlist, bool)
@@ -362,7 +411,7 @@ class Searcher:
                     f"restrict_allowlist must have shape "
                     f"({self.n_points},)")
             state["restrict"] = jnp.asarray(allow)
-        if crowding_limit > 0:
+        if crowding_limit:
             state["crowding_attrs"] = self._crowding_attrs
         idx, dist = fn(q_dev, state)
         idx = np.asarray(idx[:nq])
@@ -421,6 +470,9 @@ class Searcher:
         vecs = np.asarray(database, np.float32)
         if vecs.ndim == 1:
             vecs = vecs[None, :]
+        if self.config.distance_measure == cfg.COSINE:
+            vecs = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-20)
         st = self._mutation_state()
         existing = mutation.resolve_upsert_ids(st, docids, len(vecs),
                                                self.docids)
@@ -440,7 +492,16 @@ class Searcher:
         part_cfg = getattr(self, "part_cfg", None)
         if mutation.incremental_threshold_exceeded(part_cfg, st,
                                                    self.n_points):
-            self.rebalance()
+            if (getattr(part_cfg, "incremental_mode", "online")
+                    == "online_incremental"
+                    and hasattr(self, "incremental_maintenance")):
+                # Per-partition maintenance (split oversized + reassign)
+                # instead of a full O(N) retrain (reference
+                # ONLINE_INCREMENTAL, mutator.h:560-737).
+                self.incremental_maintenance()
+                st.mutations_since_rebuild = 0
+            else:
+                self.rebalance()
 
     def delete(self, docids):
         """Remove datapoints by docid (reference: ScannSearcher.delete ->

@@ -98,7 +98,8 @@ class BruteForceSearcher(base.Searcher):
         db = state["bf_db"]
         inv_mult = state["bf_inv_mult"]
         sq_norms = state["bf_sq_norms"]
-        measure = self.config.distance_measure
+        measure = cfg.internal_measure(
+            self.config.distance_measure)
         if self.quantize_mode == cfg.INT8:
             # Reference folds the inverse multipliers into the query and runs
             # the int8 x float asymmetric kernel
@@ -154,7 +155,8 @@ class BruteForceSearcher(base.Searcher):
                 valid_padded, jnp.pad(r, (0, pad_n - r.shape[0]),
                                       constant_values=False))
 
-        measure = self.config.distance_measure
+        measure = cfg.internal_measure(
+            self.config.distance_measure)
         inv_mult = state["bf_inv_mult"]
         q = queries
         q_sq = None

@@ -71,7 +71,8 @@ class TreeAHSearcher(base.Searcher):
         self.part_cfg = scann_config.partitioning
         self.ah_cfg = scann_config.asymmetric_hash
         assert self.ah_cfg is not None
-        self.measure = scann_config.distance_measure
+        self.measure = cfg.internal_measure(
+            scann_config.distance_measure)
         self.residual = bool(self.ah_cfg.residual_quantization)
         if self.residual and self.measure != cfg.DOT_PRODUCT:
             raise ValueError(
@@ -107,13 +108,32 @@ class TreeAHSearcher(base.Searcher):
             self.partitioner = kmeans_tree.KMeansTreePartitioner.train(
                 database, self.part_cfg, self.measure, seed)
             _phase("partitioner trained")
+            # Max-size bound per partition: keeps the pruned kernel's
+            # per-leaf tile count within MAX_NTILES and evens per-leaf
+            # search cost (see kmeans_tree.cap_partition_sizes).
+            from scann_tpu.ops import pruned_scan
+            nl = self.part_cfg.num_leaves
+            avg_slots = (2 if soar is not None else 1) * n / max(nl, 1)
+            cap_slots = int(min(pruned_scan.MAX_NTILES * pruned_scan.TILE,
+                                max(2.0 * avg_slots,
+                                    2 * pruned_scan.TILE)))
+            centers_np = np.asarray(self.partitioner.centers)
             if soar is not None:
-                tokens2 = np.asarray(
-                    self.partitioner.tokenize_database_soar(database, soar))
+                tokens2 = np.array(
+                    self.partitioner.tokenize_database_soar(database, soar),
+                    copy=True)
+                tokens2[:, 0] = kmeans_tree.cap_partition_sizes(
+                    database, tokens2[:, 0], centers_np, cap_slots // 2)
+                tokens2[:, 1] = kmeans_tree.cap_partition_sizes(
+                    database, tokens2[:, 1], centers_np, cap_slots,
+                    base_counts=np.bincount(tokens2[:, 0], minlength=nl),
+                    forbid=tokens2[:, 0])
                 tokens = tokens2[:, 0]
             else:
                 tokens = np.asarray(
                     self.partitioner.tokenize_database(database))
+                tokens = kmeans_tree.cap_partition_sizes(
+                    database, tokens, centers_np, cap_slots)
                 tokens2 = None
             if self.part_cfg.avq is not None:
                 # AVQ adjusts centers after tokenization; residuals are then
@@ -282,6 +302,10 @@ class TreeAHSearcher(base.Searcher):
             dpid = np.pad(dpid, (0, pad), constant_values=-1)
         self._host = {"codes": codes, "leaf": leaf, "dpid": dpid}
         self._slot_table = None  # built lazily on first mutation
+        # Per-partition mutation pressure (reference: mutation_stats_,
+        # tree_x_hybrid/mutator.h CheckReassignment).
+        self._leaf_mutations = np.zeros((num_leaves,), np.int64)
+        self._in_maintenance = False
         return TreeAHIndex(codes=jnp.asarray(codes),
                            slot_dpid=jnp.asarray(dpid),
                            slot_leaf=jnp.asarray(leaf))
@@ -410,6 +434,14 @@ class TreeAHSearcher(base.Searcher):
         num_leaves = self.partitioner.num_leaves
         order, tile_start, ntiles, num_tiles = pruned_scan.build_layout_host(
             leaf_live, num_leaves, seed=self.config.seed)
+        if int(ntiles.max()) > pruned_scan.MAX_NTILES:
+            # A pathological leaf outgrew the kernel's tile-id budget
+            # (e.g. heavy skewed upserts before maintenance ran); keep the
+            # dense masked path until the next rebuild/maintenance.
+            logging.getLogger("scann_tpu").warning(
+                "pruned layout disabled: max leaf needs %d tiles (> %d)",
+                int(ntiles.max()), pruned_scan.MAX_NTILES)
+            return
         # order indexes into `live`; -1 entries are intra-leaf padding.
         src = np.where(order >= 0, live[np.maximum(order, 0)], -1)
         codes = np.where((src >= 0)[:, None], h["codes"][np.maximum(src, 0)],
@@ -594,6 +626,9 @@ class TreeAHSearcher(base.Searcher):
         if self.reorder_helper is not None:
             self.reorder_helper.ensure_capacity(int(ids.max()) + 1)
             self.reorder_helper.update_rows(ids, raw)
+        if (not getattr(self, "_in_maintenance", False)
+                and getattr(self, "_leaf_mutations", None) is not None):
+            np.add.at(self._leaf_mutations, leaf_arr, 1)
 
     def _grow_token_map(self, ids, tokens):
         t = self.datapoint_to_token
@@ -625,6 +660,88 @@ class TreeAHSearcher(base.Searcher):
                 jnp.asarray(slot_arr)].set(fused_scan._PAD_PENALTY)
         self._invalidate_pruned()
         self._num_slots = int(np.sum(self._host["dpid"] >= 0))
+
+    # -------------------------------------------- incremental maintenance
+    def incremental_maintenance(self, max_splits: int = 4) -> int:
+        """Per-partition maintenance instead of a full O(N) retrain
+        (reference ONLINE_INCREMENTAL: TreeXHybridMutator::SplitPartition /
+        Reassign / IncrementalMaintenance, tree_x_hybrid/mutator.h:560-737):
+        the most oversized partitions split in two (a local 2-means over
+        their members, matching the role of the reference's perturbed-
+        centroid split + reassign) and only their members re-tokenize.
+        The AH codebook and every untouched leaf's slots are unchanged.
+        Returns the number of partitions split."""
+        if self.partitioner is None or getattr(self, "_mut", None) is None:
+            return 0
+        st = self._mut
+        t = self.datapoint_to_token
+        na = min(len(st.alive), len(t))
+        prim = np.where(st.alive[:na], t[:na, 0], -1)
+        counts = np.bincount(prim[prim >= 0],
+                             minlength=self.partitioner.num_leaves)
+        avg = max(1.0, counts.mean())
+        oversized = np.nonzero(counts > 2.0 * avg)[0]
+        oversized = oversized[np.argsort(-counts[oversized])][:max_splits]
+        splits = 0
+        for tok in oversized:
+            if self._split_partition(int(tok)):
+                splits += 1
+        self._leaf_mutations[:] = 0
+        return splits
+
+    def _split_partition(self, token: int) -> bool:
+        """Split one partition: 2-means over its members, replace its
+        center with one half, append the other as a new leaf, and
+        reassign only this partition's members."""
+        import dataclasses
+        st = self._mut
+        t = self.datapoint_to_token
+        na = min(len(st.alive), len(t))
+        members = np.nonzero(np.logical_and(st.alive[:na],
+                                            t[:na, 0] == token))[0]
+        if len(members) < 4:
+            return False
+        proj = np.asarray(self._project_database(st.vectors[members]))
+        from scann_tpu.ops import kmeans as kmeans_ops
+        res = jax.jit(functools.partial(
+            kmeans_ops.kmeans, k=2, iterations=5, init="kmeans++"))(
+            jax.random.PRNGKey(self.config.seed + 131 + token),
+            jnp.asarray(proj, jnp.float32))
+        c2 = np.asarray(res.centers)
+        centers = np.array(np.asarray(self.partitioner.centers), copy=True)
+        centers[token] = c2[0]
+        centers = np.concatenate([centers, c2[1:2]], axis=0)
+        centers_int8 = inv_mult = None
+        if self.partitioner.centers_int8 is not None:
+            from scann_tpu.ops import quantize as quant_ops
+            sq = quant_ops.scalar_quantize(jnp.asarray(centers))
+            centers_int8, inv_mult = sq.data, sq.inverse_multipliers
+        upper_assign = self.partitioner.upper_assign
+        if upper_assign is not None:
+            up_scores = np.asarray(jnp.sum(
+                (jnp.asarray(self.partitioner.upper_centers)
+                 - jnp.asarray(c2[1])[None, :]) ** 2, axis=-1))
+            upper_assign = jnp.concatenate(
+                [upper_assign,
+                 jnp.asarray([int(np.argmin(up_scores))], jnp.int32)])
+        self.partitioner = self.partitioner._replace(
+            centers=jnp.asarray(centers), centers_int8=centers_int8,
+            centers_inv_mult=inv_mult, upper_assign=upper_assign)
+        self.part_cfg = dataclasses.replace(
+            self.part_cfg, num_leaves=centers.shape[0])
+        self.config = dataclasses.replace(self.config,
+                                          partitioning=self.part_cfg)
+        self._leaf_mutations = np.concatenate(
+            [self._leaf_mutations, np.zeros((1,), np.int64)])
+        # Reassign only this partition's members (reference Reassign,
+        # mutator.h:710-737: re-tokenize + UpdateDatapoint each).
+        self._in_maintenance = True
+        try:
+            self._apply_upsert(members.astype(np.int64),
+                               st.vectors[members])
+        finally:
+            self._in_maintenance = False
+        return True
 
     # ------------------------------------------------------------- query
     def _default_leaves(self) -> int:
@@ -705,13 +822,23 @@ class TreeAHSearcher(base.Searcher):
                 upper_centers=state["upper_centers"],
                 upper_assign=state["upper_assign"])
             leaves = max(1, min(leaves, num_leaves))
-            leaf_ids, center_sims = partitioner.tokenize_queries(
-                queries, leaves)
             rows = jnp.arange(nq)[:, None]
-            keep = jnp.ones((nq, leaves), bool)
-            if state.get("leaves_dynamic") is not None:
-                col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
-                keep = col < state["leaves_dynamic"]
+            if state.get("pre_tokenized") is not None:
+                # Per-query explicit leaf lists (reference:
+                # TreeXOptionalParameters::EnablePreTokenization).
+                pt = state["pre_tokenized"]
+                leaf_ids = jnp.maximum(pt, 0)
+                keep = pt >= 0
+                c_sel = jnp.take(partitioner.centers, leaf_ids, axis=0)
+                center_sims = jnp.einsum("nd,nld->nl", queries, c_sel)
+            else:
+                leaf_ids, center_sims = partitioner.tokenize_queries(
+                    queries, leaves)
+                keep = jnp.ones((nq, leaves), bool)
+                if state.get("leaves_dynamic") is not None:
+                    col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves),
+                                                   1)
+                    keep = col < state["leaves_dynamic"]
             # One dense (query, leaf) table combining the selection mask
             # and, under residual quantization, the per-leaf q.c bias (the
             # reference's distance_to_center bias,
@@ -855,12 +982,17 @@ class TreeAHSearcher(base.Searcher):
             upper_assign=state["upper_assign"])
         num_leaves = partitioner.num_leaves
         leaves = max(1, min(leaves, num_leaves))
-        leaf_ids, _ = partitioner.tokenize_queries(queries, leaves)
         nq = queries.shape[0]
-        valid_sel = jnp.ones((nq, leaves), bool)
-        if state.get("leaves_dynamic") is not None:
-            col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
-            valid_sel = col < state["leaves_dynamic"]
+        if state.get("pre_tokenized") is not None:
+            pt = state["pre_tokenized"]
+            leaf_ids = jnp.maximum(pt, 0)
+            valid_sel = pt >= 0
+        else:
+            leaf_ids, _ = partitioner.tokenize_queries(queries, leaves)
+            valid_sel = jnp.ones((nq, leaves), bool)
+            if state.get("leaves_dynamic") is not None:
+                col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
+                valid_sel = col < state["leaves_dynamic"]
 
         q_c = queries
         if state.get("recon_mean") is not None:

@@ -34,7 +34,8 @@ class TreeXSearcher(base.Searcher):
                  docids=None):
         super().__init__(database, scann_config, docids)
         self.part_cfg = scann_config.partitioning
-        self.measure = scann_config.distance_measure
+        self.measure = cfg.internal_measure(
+            scann_config.distance_measure)
         bf = scann_config.brute_force or cfg.BruteForceConfig()
         self.quantize_mode = bf.quantize
         self._build(database)
@@ -108,12 +109,17 @@ class TreeXSearcher(base.Searcher):
             upper_assign=state["tx_upper_assign"])
         num_leaves = partitioner.num_leaves
         leaves = max(1, min(leaves, num_leaves))
-        leaf_ids, _ = partitioner.tokenize_queries(queries, leaves)
         rows_iota = jnp.arange(nq)[:, None]
-        keep = jnp.ones((nq, leaves), bool)
-        if state.get("leaves_dynamic") is not None:
-            col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
-            keep = col < state["leaves_dynamic"]
+        if state.get("pre_tokenized") is not None:
+            pt = state["pre_tokenized"]
+            leaf_ids = jnp.maximum(pt, 0)
+            keep = pt >= 0
+        else:
+            leaf_ids, _ = partitioner.tokenize_queries(queries, leaves)
+            keep = jnp.ones((nq, leaves), bool)
+            if state.get("leaves_dynamic") is not None:
+                col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
+                keep = col < state["leaves_dynamic"]
         mask_dense = jnp.zeros((nq, num_leaves), bool
                                ).at[rows_iota, leaf_ids].set(keep)
 

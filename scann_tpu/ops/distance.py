@@ -83,9 +83,11 @@ def similarity_to_user_distance(sim, measure):
 
     Matches the reference pybind behavior: dot_product returns dot products
     (descending best-first), squared_l2 returns squared distances (ascending
-    best-first)."""
+    best-first), cosine returns 1 - cos (ascending best-first)."""
     if measure == cfg.DOT_PRODUCT:
         return sim
+    if measure == cfg.COSINE:
+        return 1.0 - sim
     return -sim
 
 

@@ -48,7 +48,7 @@ def train_projection(database: np.ndarray, proj: cfg.ProjectionConfig,
         m = int(proj.reduction_dim) if proj.reduction_dim else d
         import jax.numpy as _jnp
         return Projector(matrix=_jnp.asarray(q_mat[:, :m]), out_dims=m)
-    if proj.projection_type != "pca":
+    if proj.projection_type not in ("pca", "eigenvalue_opq"):
         raise ValueError(f"unknown projection type {proj.projection_type}")
 
     rng = np.random.default_rng(seed)
@@ -68,6 +68,27 @@ def train_projection(database: np.ndarray, proj: cfg.ProjectionConfig,
     evals, evecs = pca(sample)
     evals = np.maximum(np.asarray(evals), 0.0)
     evecs = np.asarray(evecs)
+    if proj.projection_type == "eigenvalue_opq":
+        # Eigenvalue-OPQ (reference: eigenvalue_opq_projection.cc
+        # GroupEigenvalues): distribute eigen-directions across the AH
+        # blocks so each block carries a comparable share of variance —
+        # greedy assignment of each eigenvalue (descending) to the
+        # currently-lightest block.  Deviation: blocks are equal-sized
+        # (our chunking is fixed dims_per_block; the reference emits
+        # variable chunk sizes), so the greedy runs with per-block
+        # capacity d/num_blocks.
+        num_blocks = proj.opq_num_blocks or max(1, d // 2)
+        cap = -(-d // num_blocks)
+        totals = np.zeros(num_blocks)
+        fill = [[] for _ in range(num_blocks)]
+        for i in np.argsort(-evals):
+            open_blocks = [b for b in range(num_blocks)
+                           if len(fill[b]) < cap]
+            b = min(open_blocks, key=lambda bb: totals[bb])
+            fill[b].append(i)
+            totals[b] += evals[i]
+        order = np.concatenate([np.asarray(f, np.int64) for f in fill])
+        return Projector(matrix=jnp.asarray(evecs[:, order]), out_dims=d)
     if proj.reduction_dim is not None:
         m = int(proj.reduction_dim)
     else:

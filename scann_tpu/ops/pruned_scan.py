@@ -65,9 +65,9 @@ GP = TILE // SUBP  # candidate groups per tile
 QG = 128    # queries per work group (MXU lane dim)
 _IDX_BITS = 5      # SUBP <= 32: argmax packs into the f32 mantissa tail
 _IDX_MASK = (1 << _IDX_BITS) - 1
-_TILE_BITS = 3     # tile-within-leaf packs above the argmax (mnt <= 8), so
+_TILE_BITS = 4     # tile-within-leaf packs above the argmax (mnt <= 16), so
 # a float max across a leaf's tiles keeps the winner's identity in its own
-# bit pattern (the <= 2^-15 relative perturbation is invisible to ranking)
+# bit pattern (the <= 2^-14 relative perturbation is invisible to ranking)
 _TILE_MASK = (1 << _TILE_BITS) - 1
 MAX_NTILES = 1 << _TILE_BITS  # leaves larger than MAX_NTILES * TILE slots
 # are not supported by the pruned path (callers fall back to dense)
@@ -259,7 +259,7 @@ def _unpack(packed):
     return v, arg, t
 
 
-def _kernel(work_tile_ref, work_qg_ref, work_active_ref,
+def _kernel(work_tile_ref, work_active_ref,
             qg_rows_ref, rows_ref, bias_ref, out_ref, *, scale, mnt, kpg):
     w = pl.program_id(0)
 
@@ -307,16 +307,19 @@ def score_work_pallas(plan: WorkPlan, qg_rows, rows3, bias2, *,
     # Trailing singleton so the bias block is (TILE, 1) — Mosaic requires
     # the last two block dims be (8k, 128k) or match the array dims.
     bias3 = bias2.reshape(bias2.shape[0], TILE, 1)
+    # The query-group index is analytic (w // mnt), so only (tile, active)
+    # need scalar-prefetch SMEM — at large work counts the prefetched
+    # arrays are the SMEM budget (1 MB total on v5e).
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(w_pad,),
         in_specs=[
-            pl.BlockSpec((1, QG, d), lambda w, wt, wq, wa: (wq[w], 0, 0)),
-            pl.BlockSpec((1, TILE, d), lambda w, wt, wq, wa: (wt[w], 0, 0)),
-            pl.BlockSpec((1, TILE, 1), lambda w, wt, wq, wa: (wt[w], 0, 0)),
+            pl.BlockSpec((1, QG, d), lambda w, wt, wa: (w // mnt, 0, 0)),
+            pl.BlockSpec((1, TILE, d), lambda w, wt, wa: (wt[w], 0, 0)),
+            pl.BlockSpec((1, TILE, 1), lambda w, wt, wa: (wt[w], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, QG, kpg * GP), lambda w, wt, wq, wa: (w, 0, 0)),
+            pl.BlockSpec((1, QG, kpg * GP), lambda w, wt, wa: (w, 0, 0)),
         ],
     )
     (packed,) = pl.pallas_call(
@@ -327,7 +330,7 @@ def score_work_pallas(plan: WorkPlan, qg_rows, rows3, bias2, *,
             jax.ShapeDtypeStruct((w_pad, QG, kpg * GP), jnp.int32),
         ],
         interpret=interpret,
-    )(plan.work_tile, plan.work_qg, plan.work_active, qg_rows, rows3, bias3)
+    )(plan.work_tile, plan.work_active, qg_rows, rows3, bias3)
     return packed
 
 

@@ -84,6 +84,30 @@ def sort_results(vals, idx):
             jnp.take_along_axis(idx, order, axis=-1))
 
 
+def crowding_rank(vals, idx, attrs):
+    """Score-descending rank of every candidate within its equal-attribute
+    group, returned in ORIGINAL positions (invalid candidates rank last).
+
+    Vectorized as: sort by score desc (stable), then by attribute
+    (stable); the rank within the equal-attribute run is the crowding
+    rank; the inverse permutation maps ranks back.
+    """
+    masked = jnp.where(idx == INVALID_INDEX, -jnp.inf, vals)
+    order1 = jnp.argsort(-masked, axis=-1, stable=True)
+    a1 = jnp.take_along_axis(attrs, order1, axis=-1)
+    order2 = jnp.argsort(a1, axis=-1, stable=True)
+    perm = jnp.take_along_axis(order1, order2, axis=-1)
+    a = jnp.take_along_axis(attrs, perm, axis=-1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    run_break = jnp.concatenate(
+        [jnp.ones_like(a[..., :1], bool), a[..., 1:] != a[..., :-1]],
+        axis=-1)
+    run_start = jax.lax.cummax(jnp.where(run_break, pos, 0), axis=a.ndim - 1)
+    rank = pos - run_start
+    inv = jnp.argsort(perm, axis=-1)
+    return jnp.take_along_axis(rank, inv, axis=-1)
+
+
 def crowding_filter(vals, idx, attrs, limit: int):
     """Cap the number of results sharing a crowding attribute.
 
@@ -91,30 +115,35 @@ def crowding_filter(vals, idx, attrs, limit: int):
     candidate (invalid candidates may carry any value).  Keeps the best
     ``limit`` per attribute per row, masking the rest to -inf (reference:
     crowding top-N in utils/top_n_amortized_constant.h, enabled through
-    EnableCrowding, single_machine_base.h:126-163).
-
-    Vectorized as: sort by score desc (stable), then by attribute
-    (stable); the rank of a candidate within its equal-attribute run is
-    its crowding rank.
+    EnableCrowding, single_machine_base.h:126-163).  Output stays in the
+    input's positions.
     """
-    order1 = jnp.argsort(-vals, axis=-1, stable=True)
-    v = jnp.take_along_axis(vals, order1, axis=-1)
-    d = jnp.take_along_axis(idx, order1, axis=-1)
-    a = jnp.take_along_axis(attrs, order1, axis=-1)
-    order2 = jnp.argsort(a, axis=-1, stable=True)
-    v = jnp.take_along_axis(v, order2, axis=-1)
-    d = jnp.take_along_axis(d, order2, axis=-1)
-    a = jnp.take_along_axis(a, order2, axis=-1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
-    run_break = jnp.concatenate(
-        [jnp.ones_like(a[..., :1], bool), a[..., 1:] != a[..., :-1]],
-        axis=-1)
-    run_start = jax.lax.cummax(jnp.where(run_break, pos, 0), axis=a.ndim - 1)
-    rank = pos - run_start
-    drop = jnp.logical_or(rank >= limit, d == INVALID_INDEX)
-    v = jnp.where(drop, -jnp.inf, v)
-    d = jnp.where(drop, INVALID_INDEX, d)
-    return v, d
+    rank = crowding_rank(vals, idx, attrs)
+    drop = jnp.logical_or(rank >= limit, idx == INVALID_INDEX)
+    return (jnp.where(drop, -jnp.inf, vals),
+            jnp.where(drop, INVALID_INDEX, idx))
+
+
+def crowding_filter_multi(vals, idx, attrs, limits):
+    """Multi-dimensional crowding (reference: CrowdingMultiDimensional,
+    utils/crowding_multi_dimensional.h:30: stream results in score order,
+    keep one iff every dimension's quota for its attribute has room).
+
+    attrs: (q, k, A) int32; limits: length-A ints.  Vectorized as the
+    intersection of the per-dimension rank filters: a result survives iff
+    its score-rank within its attribute run is under that dimension's
+    quota for ALL dimensions.  This never violates a quota; it is
+    conservative relative to the reference's sequential stream (an item
+    dropped by one dimension still counts against the others' quotas), so
+    adversarial interactions can leave a quota slot unfilled.
+    """
+    num_dims = attrs.shape[-1]
+    keep = idx != INVALID_INDEX
+    for a in range(num_dims):
+        rank = crowding_rank(vals, idx, attrs[..., a])
+        keep = jnp.logical_and(keep, rank < int(limits[a]))
+    return (jnp.where(keep, vals, -jnp.inf),
+            jnp.where(keep, idx, INVALID_INDEX))
 
 
 def dedup_candidates(vals, idx):

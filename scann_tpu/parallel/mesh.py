@@ -1,41 +1,56 @@
-"""Multi-chip sharded search over a jax.sharding.Mesh.
+"""Multi-chip sharded tree-AH: build, search, serialize over a Mesh.
 
 This layer has no reference equivalent: the reference is single-machine
 (SURVEY.md §2.10) and scales out only by whole-index replication behind
 TF-Serving.  Here a large index shards its *leaves* across an ICI mesh axis
 ("shard") while query batches shard across a data axis ("data"):
 
-  * centers (a few MB) are replicated; every device tokenizes its query
-    shard against all centers.
-  * each device scores only the leaf slots it owns (a contiguous leaf
-    range), using the same masked dense-chunk scan as single-chip tree-AH.
-  * each device exactly rescores its own local candidates (the reordering
-    dataset is sharded with the leaves, so no cross-device row gathers).
-  * per-device top-k candidate lists all_gather over the shard axis and a
-    final static top-k merges them — the only cross-chip communication is
-    (k_pre * shards) candidate pairs per query, riding ICI.
+  * build (build_sharded): centers train by data-parallel Lloyd iterations
+    (local assignment + psum of per-center sums/counts over the mesh,
+    sharded_kmeans_step); tokenize + residualize + AH-encode stream through
+    one jitted program per row chunk with rows sharded on the data axis;
+    slots then regroup to their leaf-owner shards (contiguous leaf ranges)
+    and each shard lays out its slots leaf-sorted.
+  * search: centers (a few MB) are replicated; every device tokenizes the
+    query shard against all centers, scores only the leaf slots it owns
+    (LUT16 one-hot scoring over the local codes), rescores its own local
+    candidates against a *compressed* (int8) local row shard — reference-
+    style memory: 0.5 B/dim codes + 1 B/dim rescore rows, no f32 copies —
+    and the per-device top-k candidate lists all_gather over the shard
+    axis for a final static top-k.  The only cross-chip communication is
+    (k * shards) candidate pairs per query, riding ICI.
 
-Every candidate the single-chip searcher would rescore is also rescored here
-(the global AH top-k_pre is a subset of the union of per-shard top-k_pre),
-so sharded recall is >= single-chip recall; results can differ only where
-the wider per-shard candidate pool surfaces a strictly better neighbor.
+Every candidate the single-chip searcher would rescore is also rescored
+here (the global AH top-k_pre is a subset of the union of per-shard
+top-k_pre), so sharded recall is >= single-chip recall.
 """
 
 from __future__ import annotations
 
 import functools
+import json
+import logging
 import math
+import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from scann_tpu.models import tree_ah as tree_ah_mod
+from scann_tpu import config as cfg
 from scann_tpu.ops import ah as ah_ops
 from scann_tpu.ops import distance as dist_ops
+from scann_tpu.ops import kmeans as kmeans_ops
 from scann_tpu.ops import lut16 as lut16_ops
+from scann_tpu.ops import quantize as quant_ops
 from scann_tpu.ops import topk as topk_ops
+
+_logger = logging.getLogger("scann_tpu")
+
+# Rows per sharded tokenize+encode pass (bounds device memory during build).
+_BUILD_CHUNK = 1 << 18
 
 
 def _round_up(x: int, m: int) -> int:
@@ -43,91 +58,84 @@ def _round_up(x: int, m: int) -> int:
 
 
 class ShardedTreeAHSearcher:
-    """Leaf-sharded tree-AH searcher; built from a single-host index."""
+    """Leaf-sharded tree-AH searcher over a 2-D ("data", "shard") mesh.
 
-    def __init__(self, searcher: tree_ah_mod.TreeAHSearcher,
-                 database: np.ndarray, mesh: Mesh,
+    Construct via build_sharded() (multi-chip build), from_searcher()
+    (re-shard a single-host index), or load_sharded().
+    """
+
+    def __init__(self, scann_config: cfg.ScannConfig, mesh: Mesh,
+                 codebook, centers, host_parts: dict,
                  shard_axis: str = "shard", data_axis: str = "data"):
-        if searcher.partitioner is None:
-            raise ValueError("sharded search requires a partitioned index")
+        self.config = scann_config
+        self.part_cfg = scann_config.partitioning
+        self.ah_cfg = scann_config.asymmetric_hash
+        self.measure = cfg.internal_measure(
+            scann_config.distance_measure)
+        self.user_measure = scann_config.distance_measure
         self.mesh = mesh
         self.shard_axis = shard_axis
         self.data_axis = data_axis
         self.n_shards = mesh.shape[shard_axis]
         self.n_data = mesh.shape[data_axis]
-        self.searcher = searcher
-        self.config = searcher.config
-        self.measure = searcher.measure
-        self.model = searcher.model
-        self.part_cfg = searcher.part_cfg
-        self.ah_cfg = searcher.ah_cfg
+        self.model = ah_ops.AHModel(codebook=jnp.asarray(codebook),
+                                    dims=int(host_parts["dims"]))
+        self.num_leaves = int(host_parts["num_leaves"])
+        self._shard_chunk = int(host_parts["chunk"])
+        self._shard_slots = int(host_parts["codes"].shape[1])
+        self._host_parts = host_parts
         self._compiled = {}
-        self._shard_index(searcher, database)
 
-    # -------------------------------------------------------------- build
-    def _shard_index(self, s: tree_ah_mod.TreeAHSearcher,
-                     database: np.ndarray):
-        """Repartition the leaf-sorted slot arrays into equal-size
-        contiguous-leaf shards (leaves assigned round-robin by contiguous
-        range: owner(leaf) = leaf // ceil(L / n_shards))."""
-        num_leaves = s.partitioner.num_leaves
-        leaves_per_shard = -(-num_leaves // self.n_shards)
-        codes = np.asarray(s.index.codes)
-        slot_leaf = np.asarray(s.index.slot_leaf)
-        slot_dpid = np.asarray(s.index.slot_dpid)
-        valid = slot_dpid >= 0
-        owner = np.where(valid, slot_leaf // leaves_per_shard, -1)
-
-        per_shard = []
-        max_slots = 0
-        for sh in range(self.n_shards):
-            sel = np.nonzero(owner == sh)[0]
-            per_shard.append(sel)
-            max_slots = max(max_slots, len(sel))
-        chunk = min(65536, _round_up(max(max_slots, 128), 128))
-        slots_padded = _round_up(max(max_slots, chunk), chunk)
-        self._shard_chunk = chunk
-        self._shard_slots = slots_padded
-
-        b = codes.shape[1]
-        # uint8 to match TreeAHIndex.codes: lut256 codes 128-255 would wrap
-        # negative as int8 and never match the one-hot iota.
-        sh_codes = np.zeros((self.n_shards, slots_padded, b), np.uint8)
-        sh_leaf = np.zeros((self.n_shards, slots_padded), np.int32)
-        sh_dpid = np.full((self.n_shards, slots_padded), -1, np.int32)
-        d = database.shape[1]
-        sh_rows = np.zeros((self.n_shards, slots_padded, d), np.float32)
-        for sh, sel in enumerate(per_shard):
-            m = len(sel)
-            sh_codes[sh, :m] = codes[sel]
-            sh_leaf[sh, :m] = slot_leaf[sel]
-            sh_dpid[sh, :m] = slot_dpid[sel]
-            sh_rows[sh, :m] = database[slot_dpid[sel]]
-
-        mesh = self.mesh
-        shard_spec3 = NamedSharding(mesh, P(self.shard_axis, None, None))
-        shard_spec2 = NamedSharding(mesh, P(self.shard_axis, None))
+        shard3 = NamedSharding(mesh, P(shard_axis, None, None))
+        shard2 = NamedSharding(mesh, P(shard_axis, None))
         repl = NamedSharding(mesh, P())
-        dev = functools.partial(jax.device_put)
+        hp = host_parts
         self.state = {
-            "codes": dev(jnp.asarray(sh_codes), shard_spec3),
-            "slot_leaf": dev(jnp.asarray(sh_leaf), shard_spec2),
-            "slot_dpid": dev(jnp.asarray(sh_dpid), shard_spec2),
-            "rows": dev(jnp.asarray(sh_rows), shard_spec3),
-            "codebook": dev(self.model.codebook, repl),
-            "centers": dev(s.partitioner.centers, repl),
+            "codes": jax.device_put(jnp.asarray(hp["codes"]), shard3),
+            "slot_leaf": jax.device_put(jnp.asarray(hp["slot_leaf"]),
+                                        shard2),
+            "slot_dpid": jax.device_put(jnp.asarray(hp["slot_dpid"]),
+                                        shard2),
+            "rows_i8": jax.device_put(jnp.asarray(hp["rows_i8"]), shard3),
+            "rows_sq": jax.device_put(jnp.asarray(hp["rows_sq"]), shard2),
+            "inv_mult": jax.device_put(jnp.asarray(hp["inv_mult"]), repl),
+            "codebook": jax.device_put(self.model.codebook, repl),
+            "centers": jax.device_put(jnp.asarray(centers), repl),
         }
 
-    # -------------------------------------------------------------- query
+    # ---------------------------------------------------------- builders
+    @classmethod
+    def from_searcher(cls, searcher, database: np.ndarray, mesh: Mesh,
+                      shard_axis: str = "shard", data_axis: str = "data"):
+        """Re-shard a fully-built single-host TreeAHSearcher (the database
+        rows are compressed to int8 for the per-shard rescore)."""
+        if searcher.partitioner is None:
+            raise ValueError("sharded search requires a partitioned index")
+        n_shards = mesh.shape[shard_axis]
+        codes = np.asarray(searcher.index.codes)
+        slot_leaf = np.asarray(searcher.index.slot_leaf)
+        slot_dpid = np.asarray(searcher.index.slot_dpid)
+        num_leaves = searcher.partitioner.num_leaves
+        host_parts = _layout_shards(
+            codes, slot_leaf, slot_dpid, database, num_leaves, n_shards,
+            dims=searcher.model.dims)
+        return cls(searcher.config, mesh,
+                   np.asarray(searcher.model.codebook),
+                   np.asarray(searcher.partitioner.centers), host_parts,
+                   shard_axis, data_axis)
+
+    # ------------------------------------------------------------ search
     def _search_fn(self, k: int, k_pre: int, leaves: int):
         measure = self.measure
+        user_measure = self.user_measure
         model_dims = self.model.dims
         cpb = self.ah_cfg.clusters_per_block
-        num_leaves = self.searcher.partitioner.num_leaves
+        num_leaves = self.num_leaves
         leaves = max(1, min(leaves, num_leaves))
-        residual = self.searcher.residual
+        residual = bool(self.ah_cfg.residual_quantization)
         soar = self.part_cfg.soar if self.part_cfg else None
-        lookup = self.ah_cfg.lookup_type
+        lookup = ("int8" if self.ah_cfg.lookup_type == "reconstruct"
+                  else self.ah_cfg.lookup_type)
         chunk = self._shard_chunk
         slots = self._shard_slots
         k_fetch = int(math.ceil(k_pre * soar.overretrieve_factor)
@@ -135,13 +143,14 @@ class ShardedTreeAHSearcher:
         k_fetch = min(k_fetch, slots)
         shard_axis, data_axis = self.shard_axis, self.data_axis
 
-        def local_step(queries, codes, slot_leaf, slot_dpid, rows, codebook,
-                       centers):
+        def local_step(queries, codes, slot_leaf, slot_dpid, rows_i8,
+                       rows_sq, inv_mult, codebook, centers):
             # queries: (q_local, d); codes: (1, S, B) local shard block.
             codes = codes[0]
             slot_leaf = slot_leaf[0]
             slot_dpid = slot_dpid[0]
-            rows = rows[0]
+            rows_i8 = rows_i8[0]
+            rows_sq = rows_sq[0]
             model = ah_ops.AHModel(codebook=codebook, dims=model_dims)
             luts = ah_ops.build_luts(queries, model, measure, lookup)
             nq = queries.shape[0]
@@ -188,9 +197,15 @@ class ShardedTreeAHSearcher:
                               -1)
             if soar is not None:
                 vals, dpids, lslots = _dedup_slots(vals, dpids, lslots)
-            # Exact local rescore on this shard's rows (reordering).
+            # Exact local rescore on this shard's int8-compressed rows
+            # (reference-style memory; the int8 asymmetric kernel pattern
+            # of one_to_many_asymmetric.h: query folded with the inverse
+            # multipliers, true query norm supplied separately).
+            q_fold = queries * inv_mult[None, :]
             exact = dist_ops.one_to_many_gathered(
-                queries, rows, jnp.maximum(lslots, 0), measure)
+                q_fold, rows_i8, jnp.maximum(lslots, 0), measure,
+                db_sq_norms=rows_sq,
+                query_sq_norms=jnp.sum(queries * queries, axis=-1))
             exact = jnp.where(lslots >= 0, exact, -jnp.inf)
             # all_gather candidate lists over the shard axis, merge.
             g_vals = jax.lax.all_gather(exact, shard_axis, axis=1,
@@ -205,17 +220,20 @@ class ShardedTreeAHSearcher:
             vals_k, posk = jax.lax.top_k(g_vals, kk)
             ids_k = jnp.take_along_axis(g_ids, posk, axis=-1)
             ids_k = jnp.where(jnp.isneginf(vals_k), -1, ids_k)
-            dist = dist_ops.similarity_to_user_distance(vals_k, measure)
+            dist = dist_ops.similarity_to_user_distance(vals_k,
+                                                        user_measure)
             return ids_k, dist
 
         mesh = self.mesh
-        in_specs = (P(data_axis, None),  # queries
+        in_specs = (P(data_axis, None),      # queries
                     P(shard_axis, None, None),  # codes
-                    P(shard_axis, None),  # slot_leaf
-                    P(shard_axis, None),  # slot_dpid
-                    P(shard_axis, None, None),  # rows
-                    P(),  # codebook
-                    P())  # centers
+                    P(shard_axis, None),     # slot_leaf
+                    P(shard_axis, None),     # slot_dpid
+                    P(shard_axis, None, None),  # rows_i8
+                    P(shard_axis, None),     # rows_sq
+                    P(),                     # inv_mult
+                    P(),                     # codebook
+                    P())                     # centers
         out_specs = (P(data_axis, None), P(data_axis, None))
         return jax.jit(jax.shard_map(local_step, mesh=mesh,
                                      in_specs=in_specs,
@@ -224,9 +242,14 @@ class ShardedTreeAHSearcher:
 
     def search_batched(self, queries, final_num_neighbors=None,
                        pre_reorder_num_neighbors=None, leaves_to_search=None):
-        s = self.searcher
-        k, k_pre, leaves = s._resolve_params(
-            final_num_neighbors, pre_reorder_num_neighbors, leaves_to_search)
+        k = final_num_neighbors or self.config.num_neighbors
+        k_pre = k
+        if self.config.reordering is not None:
+            k_pre = self.config.reordering.reordering_num_neighbors
+        if pre_reorder_num_neighbors:
+            k_pre = pre_reorder_num_neighbors
+        k_pre = max(k, k_pre)
+        leaves = leaves_to_search or self.part_cfg.num_leaves_to_search
         queries = np.asarray(queries, np.float32)
         nq = queries.shape[0]
         bucket = _round_up(max(nq, self.n_data), self.n_data)
@@ -242,8 +265,204 @@ class ShardedTreeAHSearcher:
             jnp.asarray(padded),
             NamedSharding(self.mesh, P(self.data_axis, None)))
         idx, dist = fn(q_dev, st["codes"], st["slot_leaf"], st["slot_dpid"],
-                       st["rows"], st["codebook"], st["centers"])
+                       st["rows_i8"], st["rows_sq"], st["inv_mult"],
+                       st["codebook"], st["centers"])
         return np.asarray(idx)[:nq], np.asarray(dist)[:nq]
+
+    # -------------------------------------------------------- persistence
+    def serialize(self, artifacts_dir: str):
+        """Sharded asset serialization: per-shard arrays + config JSON
+        (the multi-chip analogue of ScannInterface::Serialize,
+        scann_ops/cc/scann.cc:504-601)."""
+        os.makedirs(artifacts_dir, exist_ok=True)
+        hp = self._host_parts
+        np.savez(os.path.join(artifacts_dir, "sharded_assets.npz"),
+                 codes=hp["codes"], slot_leaf=hp["slot_leaf"],
+                 slot_dpid=hp["slot_dpid"], rows_i8=hp["rows_i8"],
+                 rows_sq=hp["rows_sq"], inv_mult=hp["inv_mult"],
+                 codebook=np.asarray(self.model.codebook),
+                 centers=np.asarray(self.state["centers"]))
+        meta = {"num_leaves": self.num_leaves, "dims": self.model.dims,
+                "chunk": self._shard_chunk,
+                "n_shards": self.n_shards,
+                "config": json.loads(self.config.to_json())}
+        with open(os.path.join(artifacts_dir, "sharded_config.json"),
+                  "w") as f:
+            json.dump(meta, f, indent=2)
+
+
+def load_sharded(artifacts_dir: str, mesh: Mesh, shard_axis: str = "shard",
+                 data_axis: str = "data") -> ShardedTreeAHSearcher:
+    with open(os.path.join(artifacts_dir, "sharded_config.json")) as f:
+        meta = json.load(f)
+    raw = np.load(os.path.join(artifacts_dir, "sharded_assets.npz"))
+    if meta["n_shards"] != mesh.shape[shard_axis]:
+        raise ValueError(
+            f"index was sharded {meta['n_shards']}-way; mesh has "
+            f"{mesh.shape[shard_axis]} shards")
+    scann_config = cfg._config_from_dict(meta["config"])
+    host_parts = {k: raw[k] for k in
+                  ("codes", "slot_leaf", "slot_dpid", "rows_i8", "rows_sq",
+                   "inv_mult")}
+    host_parts.update(num_leaves=meta["num_leaves"], dims=meta["dims"],
+                      chunk=meta["chunk"])
+    return ShardedTreeAHSearcher(scann_config, mesh, raw["codebook"],
+                                 raw["centers"], host_parts, shard_axis,
+                                 data_axis)
+
+
+# ------------------------------------------------------------------ build
+def build_sharded(database: np.ndarray, scann_config: cfg.ScannConfig,
+                  mesh: Mesh, shard_axis: str = "shard",
+                  data_axis: str = "data") -> ShardedTreeAHSearcher:
+    """Multi-chip index build: every compute phase runs sharded over the
+    mesh; the host only samples, streams row chunks, and regroups slots to
+    their leaf-owner shards.
+
+    Phases (SURVEY.md §7 step 7 / BASELINE config 5):
+      1. centers: data-parallel Lloyd iterations over a row sample
+         (local assignment + psum'd sums/counts, sharded_kmeans_step).
+      2. AH codebook: trained on sampled residuals (one jitted program).
+      3. tokenize+residualize+encode: one jitted pjit program per row
+         chunk, rows sharded across every device of the mesh.
+      4. regroup by leaf-owner shard; leaf-sorted slot layout + int8
+         rescore rows per shard.
+    """
+    part = scann_config.partitioning
+    ah = scann_config.asymmetric_hash
+    if part is None or ah is None:
+        raise ValueError("build_sharded requires tree + score_ah config")
+    if part.soar is not None:
+        raise ValueError("sharded build does not support SOAR yet")
+    database = np.asarray(database, np.float32)
+    n, d = database.shape
+    seed = scann_config.seed
+    rng = np.random.default_rng(seed)
+    devices = list(mesh.devices.flat)
+    flat_mesh = Mesh(np.asarray(devices), ("data",))
+    n_dev = len(devices)
+
+    # -- 1. centers: sample + data-parallel k-means over the flat mesh.
+    sample_n = min(part.training_sample_size, n)
+    sample_idx = rng.choice(n, sample_n, replace=False)
+    sample = database[sample_idx]
+    sample_pad = _round_up(sample_n, n_dev)
+    sample_padded = np.zeros((sample_pad, d), np.float32)
+    sample_padded[:sample_n] = sample
+    x_sharded = jax.device_put(
+        jnp.asarray(sample_padded),
+        NamedSharding(flat_mesh, P("data", None)))
+    centers = jnp.asarray(sample[rng.choice(sample_n, part.num_leaves,
+                                            replace=False)])
+    for _ in range(part.training_iterations):
+        centers = sharded_kmeans_step(x_sharded, centers, flat_mesh,
+                                      valid_rows=sample_n)
+    centers = jax.device_put(centers, NamedSharding(flat_mesh, P()))
+    _logger.info("sharded build: centers trained (%d leaves)",
+                 part.num_leaves)
+
+    # -- 2. AH codebook on sampled residuals.
+    residual = (scann_config.distance_measure == cfg.DOT_PRODUCT)
+
+    @jax.jit
+    def _residualize_sample(x, c):
+        a, _ = kmeans_ops.assign(x, c)
+        return (x - jnp.take(c, a, axis=0)) if residual else x
+
+    resid_sample = _residualize_sample(jnp.asarray(sample), centers)
+    codebook = jax.jit(
+        lambda k_, s: ah_ops.train_ah_model(
+            k_, s, ah.dimensions_per_block, ah.clusters_per_block,
+            ah.training_iterations, dims=d).codebook)(
+        jax.random.PRNGKey(seed + 1), resid_sample)
+    model = ah_ops.AHModel(codebook=codebook, dims=d)
+    _logger.info("sharded build: AH codebook trained")
+
+    # -- 3. tokenize + encode, chunked, rows sharded over the whole mesh.
+    threshold = ah.anisotropic_quantization_threshold
+    noise_shaped = not math.isnan(threshold)
+
+    @jax.jit
+    def _tokenize_encode(x, c, cb):
+        m = ah_ops.AHModel(codebook=cb, dims=d)
+        tokens, _ = kmeans_ops.assign(x, c)
+        vecs = (x - jnp.take(c, tokens, axis=0)) if residual else x
+        if noise_shaped:
+            codes = ah_ops.encode_noise_shaped(vecs, x, m, threshold)
+        else:
+            codes = ah_ops.encode(vecs, m)
+        return tokens.astype(jnp.int32), codes
+
+    row_sharding = NamedSharding(flat_mesh, P("data", None))
+    tokens_np = np.empty((n,), np.int32)
+    codes_np = np.empty((n, model.num_blocks), np.uint8)
+    step = _round_up(min(_BUILD_CHUNK, max(n_dev, n)), n_dev)
+    for s in range(0, n, step):
+        rows = database[s:s + step]
+        m_rows = rows.shape[0]
+        if m_rows % n_dev:
+            rows = np.pad(rows, ((0, step - m_rows), (0, 0)))
+        x_dev = jax.device_put(jnp.asarray(rows), row_sharding)
+        t, c_ = _tokenize_encode(x_dev, centers, codebook)
+        tokens_np[s:s + m_rows] = np.asarray(t[:m_rows])
+        codes_np[s:s + m_rows] = np.asarray(c_[:m_rows])
+    _logger.info("sharded build: %d rows tokenized + encoded", n)
+
+    # -- 4. regroup per leaf-owner shard, compress rescore rows.
+    n_shards = mesh.shape[shard_axis]
+    host_parts = _layout_shards(codes_np, tokens_np,
+                                np.arange(n, dtype=np.int32), database,
+                                part.num_leaves, n_shards, dims=d)
+    _logger.info("sharded build: slots laid out over %d shards", n_shards)
+    return ShardedTreeAHSearcher(scann_config, mesh, np.asarray(codebook),
+                                 np.asarray(centers), host_parts,
+                                 shard_axis, data_axis)
+
+
+def _layout_shards(codes: np.ndarray, slot_leaf: np.ndarray,
+                   slot_dpid: np.ndarray, database: np.ndarray,
+                   num_leaves: int, n_shards: int, dims: int) -> dict:
+    """Group live slots into contiguous-leaf shards, leaf-sorted within
+    each shard, padded to a common chunk-aligned size; compress the
+    per-shard rescore rows to int8 with global multipliers."""
+    valid = slot_dpid >= 0
+    leaves_per_shard = -(-num_leaves // n_shards)
+    owner = np.where(valid, slot_leaf // leaves_per_shard, -1)
+    per_shard = [np.nonzero(owner == sh)[0] for sh in range(n_shards)]
+    max_slots = max((len(s) for s in per_shard), default=1)
+    chunk = min(65536, _round_up(max(max_slots, 128), 128))
+    slots_padded = _round_up(max(max_slots, chunk), chunk)
+
+    # Global int8 multipliers from a row sample (ScalarQuantizeFloatDataset
+    # semantics: per-dimension max-abs scaling).
+    sample = database[:: max(1, len(database) // 65536)]
+    max_abs = np.maximum(np.abs(sample).max(axis=0), 1e-12)
+    inv_mult = (max_abs / 127.0).astype(np.float32)
+
+    b = codes.shape[1]
+    d = database.shape[1]
+    sh_codes = np.zeros((n_shards, slots_padded, b), np.uint8)
+    sh_leaf = np.zeros((n_shards, slots_padded), np.int32)
+    sh_dpid = np.full((n_shards, slots_padded), -1, np.int32)
+    sh_rows = np.zeros((n_shards, slots_padded, d), np.int8)
+    sh_sq = np.zeros((n_shards, slots_padded), np.float32)
+    for sh, sel in enumerate(per_shard):
+        # leaf-sorted within the shard (stable, like the single-chip
+        # layout)
+        sel = sel[np.argsort(slot_leaf[sel], kind="stable")]
+        m = len(sel)
+        sh_codes[sh, :m] = codes[sel]
+        sh_leaf[sh, :m] = slot_leaf[sel]
+        sh_dpid[sh, :m] = slot_dpid[sel]
+        rows = database[slot_dpid[sel]]
+        q = np.clip(np.round(rows / inv_mult[None, :]), -127, 127
+                    ).astype(np.int8)
+        sh_rows[sh, :m] = q
+        deq = q.astype(np.float32) * inv_mult[None, :]
+        sh_sq[sh, :m] = (deq * deq).sum(axis=1)
+    return {"codes": sh_codes, "slot_leaf": sh_leaf, "slot_dpid": sh_dpid,
+            "rows_i8": sh_rows, "rows_sq": sh_sq, "inv_mult": inv_mult,
+            "num_leaves": num_leaves, "dims": dims, "chunk": chunk}
 
 
 def _dedup_slots(vals, dpids, slots):
@@ -267,11 +486,15 @@ def _dedup_slots(vals, dpids, slots):
     return v, d, sl
 
 
-def sharded_kmeans_step(x_sharded, centers, mesh, data_axis: str = "data"):
+def sharded_kmeans_step(x_sharded, centers, mesh, data_axis: str = "data",
+                        valid_rows: Optional[int] = None):
     """One data-parallel Lloyd iteration: local assignment + psum of
-    (sums, counts) over the data axis.  The building block for sharded
-    index *construction* at 100M-vector scale."""
+    (sums, counts) over the data axis.  valid_rows masks zero-padding at
+    the tail of the (padded) global row count."""
     k = centers.shape[0]
+    n_total = x_sharded.shape[0]
+    n_dev = mesh.shape[data_axis]
+    local_n = n_total // n_dev
 
     def step(x, c):
         c_sq = jnp.sum(c * c, axis=-1)
@@ -279,9 +502,13 @@ def sharded_kmeans_step(x_sharded, centers, mesh, data_axis: str = "data"):
             x, c, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         a = jnp.argmin(c_sq[None, :] - 2.0 * dots, axis=-1)
-        sums = jax.ops.segment_sum(x, a, num_segments=k)
-        counts = jax.ops.segment_sum(jnp.ones((x.shape[0],), jnp.float32),
-                                     a, num_segments=k)
+        w = jnp.ones((x.shape[0],), jnp.float32)
+        if valid_rows is not None:
+            dev = jax.lax.axis_index(data_axis)
+            global_row = dev * local_n + jnp.arange(x.shape[0])
+            w = (global_row < valid_rows).astype(jnp.float32)
+        sums = jax.ops.segment_sum(x * w[:, None], a, num_segments=k)
+        counts = jax.ops.segment_sum(w, a, num_segments=k)
         sums = jax.lax.psum(sums, data_axis)
         counts = jax.lax.psum(counts, data_axis)
         new_c = sums / jnp.maximum(counts, 1.0)[:, None]

@@ -260,6 +260,66 @@ class KMeansTreePartitioner(NamedTuple):
         return self._replace(centers=new_centers)
 
 
+def cap_partition_sizes(x: np.ndarray, tokens: np.ndarray,
+                        centers: np.ndarray, cap: int,
+                        base_counts: Optional[np.ndarray] = None,
+                        forbid: Optional[np.ndarray] = None,
+                        rounds: int = 4) -> np.ndarray:
+    """Bound every partition to <= cap members by moving the weakest
+    (farthest-from-center) members of over-cap partitions to their best
+    non-full partition.
+
+    The reference enforces only a MIN partition size (gmm_utils.cc
+    min-size reassignment); the max-size bound here keeps per-leaf work
+    bounded for the pruned leaf-gather kernel (ops/pruned_scan.MAX_NTILES)
+    and evens out per-leaf search cost.  Moved points land in their
+    next-best center, so the recall effect is absorbed by
+    leaves_to_search.  base_counts: slots already held per leaf (e.g.
+    primary assignments when capping SOAR secondaries); forbid: (n,) leaf
+    id each point may not move to (its primary under SOAR).
+    """
+    tokens = np.array(tokens, np.int64, copy=True)
+    nl = centers.shape[0]
+    cj = jnp.asarray(centers, jnp.float32)
+    c_sq = np.asarray(jnp.sum(cj * cj, axis=1))
+    extra = base_counts if base_counts is not None else 0
+    for _ in range(rounds):
+        counts = np.bincount(tokens, minlength=nl) + extra
+        over = np.nonzero(counts > cap)[0]
+        if len(over) == 0:
+            break
+        movers = []
+        for lf in over:
+            members = np.nonzero(tokens == lf)[0]
+            excess = int(counts[lf] - cap)
+            if excess <= 0 or len(members) == 0:
+                continue
+            d = ((x[members] - centers[lf][None, :]) ** 2).sum(axis=1)
+            movers.append(members[np.argsort(d)[len(members) - min(
+                excess, len(members)):]])
+        if not movers:
+            break
+        movers = np.concatenate(movers)
+        room = jnp.asarray(counts < cap)
+        new_t = np.empty(len(movers), np.int64)
+        step = 16384
+        for s0 in range(0, len(movers), step):
+            mv = movers[s0:s0 + step]
+            xm = jnp.asarray(x[mv], jnp.float32)
+            d = (jnp.asarray(c_sq)[None, :]
+                 - 2.0 * jax.lax.dot_general(
+                     xm, cj, dimension_numbers=(((1,), (1,)), ((), ())),
+                     preferred_element_type=jnp.float32))
+            d = jnp.where(room[None, :], d, jnp.inf)
+            if forbid is not None:
+                fb = jnp.asarray(forbid[mv])
+                d = jnp.where(jnp.arange(nl)[None, :] == fb[:, None],
+                              jnp.inf, d)
+            new_t[s0:s0 + len(mv)] = np.asarray(jnp.argmin(d, axis=1))
+        tokens[movers] = new_t
+    return tokens
+
+
 def _pad_partition_index(tokens: np.ndarray, num_leaves: int,
                          max_leaf_size: int):
     """Host-side build of a dense (num_leaves, max_leaf_size) member-index

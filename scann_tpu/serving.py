@@ -1,24 +1,35 @@
-"""In-process serving layer: request batching over a searcher.
+"""Serving layer: in-process micro-batching + a network front end.
 
 TPU-native equivalent of the reference's serving story (L10): where the
 reference ships TF custom ops + TF-Serving images (scann_ops/cc/ops/,
 tf_serving/README.md) so a server can batch requests into
-SearchBatchedParallel, here a lightweight micro-batching front end collects
-concurrent single queries into one device program invocation — the TPU
-equivalent of the reference's query thread pool (scann.cc:478-501), since
-batch width (not host threads) is what buys throughput on the MXU.
+SearchBatchedParallel, here:
 
-Usage::
+  * SearchService — a micro-batching front end that collects concurrent
+    single queries into one device program invocation (the TPU analogue of
+    the reference's query thread pool, scann.cc:478-501: batch width, not
+    host threads, buys throughput on the MXU);
+  * SearchServer / serve() — a process-boundary HTTP server that loads a
+    serialized artifacts directory (the reference's SavedModel-export +
+    TF-Serving role) and serves search over the network.  Replication is
+    horizontal, exactly like the reference's TF-Serving story: run one
+    server per chip with the same artifacts directory.
 
-    svc = SearchService(searcher, max_batch=1024, max_wait_ms=2.0)
-    svc.start()
-    fut = svc.submit(query_vector)          # returns concurrent Future
-    neighbors, distances = fut.result()
-    svc.stop()
+Server protocol (JSON over HTTP; binary f32 payloads accepted):
+
+    GET  /health                -> {"status": "ok", "n_points": N, ...}
+    POST /search                -> body {"query": [f32...], params...}
+    POST /search_batched        -> body {"queries": [[f32...]...], params...}
+      or Content-Type: application/octet-stream with raw little-endian f32
+      of shape (n, dims) and params in the query string.
+    response: {"indices": [[...]], "distances": [[...]]}
+
+CLI: ``python -m scann_tpu.serving --artifacts DIR --port 8080``.
 """
 
 from __future__ import annotations
 
+import json
 import queue
 import threading
 from concurrent.futures import Future
@@ -106,3 +117,144 @@ class SearchService:
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
+
+
+# ----------------------------------------------------------- network layer
+class SearchServer:
+    """HTTP front end over a searcher (reference role: TF-Serving +
+    scann_ops SavedModel export, scann_ops/cc/ops/scann_ops.cc:23-95).
+
+    Single queries route through the micro-batcher so concurrent clients
+    share device programs; batched requests go straight to
+    search_batched."""
+
+    def __init__(self, searcher, host: str = "127.0.0.1", port: int = 0,
+                 max_batch: int = 1024, max_wait_ms: float = 2.0):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+        from urllib.parse import parse_qsl, urlparse
+
+        self.searcher = searcher
+        self.service = SearchService(searcher, max_batch=max_batch,
+                                     max_wait_ms=max_wait_ms)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if urlparse(self.path).path != "/health":
+                    return self._reply(404, {"error": "unknown path"})
+                s = outer.searcher
+                self._reply(200, {
+                    "status": "ok", "n_points": int(s.n_points),
+                    "dims": int(s.query_dims),
+                    "searcher": type(s).__name__})
+
+            def do_POST(self):
+                try:
+                    parsed = urlparse(self.path)
+                    params = dict(parse_qsl(parsed.query))
+                    n = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(n)
+                    ctype = self.headers.get("Content-Type", "")
+                    kwargs = {}
+                    if "application/octet-stream" in ctype:
+                        q = np.frombuffer(raw, np.float32).reshape(
+                            -1, outer.searcher.query_dims)
+                        for key in ("final_num_neighbors",
+                                    "pre_reorder_num_neighbors",
+                                    "leaves_to_search"):
+                            if key in params:
+                                kwargs[key] = int(params[key])
+                    else:
+                        body = json.loads(raw.decode())
+                        if parsed.path == "/search":
+                            q = np.asarray([body["query"]], np.float32)
+                        else:
+                            q = np.asarray(body["queries"], np.float32)
+                        for key in ("final_num_neighbors",
+                                    "pre_reorder_num_neighbors",
+                                    "leaves_to_search"):
+                            if key in body:
+                                kwargs[key] = int(body[key])
+                    if parsed.path == "/search":
+                        idx, dist = outer.service.submit(
+                            q[0]).result(timeout=30)
+                        idx, dist = [idx], [dist]
+                    elif parsed.path == "/search_batched":
+                        idx, dist = outer.searcher.search_batched(
+                            q, **kwargs)
+                    else:
+                        return self._reply(404, {"error": "unknown path"})
+                    enc = [[(d if isinstance(d, str) or d is None
+                             else int(d)) for d in row] for row in idx]
+                    self._reply(200, {
+                        "indices": enc,
+                        "distances": np.asarray(dist, np.float64).tolist()})
+                except Exception as e:  # surface errors to the client
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        self.service.start()
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+        self.service.stop()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def serve(artifacts_dir: str, host: str = "0.0.0.0", port: int = 8080,
+          block: bool = True) -> SearchServer:
+    """Load a serialized index and serve it over HTTP (the reference's
+    load-SavedModel-into-TF-Serving deployment path)."""
+    from scann_tpu.utils import serialization
+    searcher = serialization.load_searcher(artifacts_dir)
+    server = SearchServer(searcher, host=host, port=port)
+    server.start()
+    if block:  # pragma: no cover - CLI path
+        try:
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            server.stop()
+    return server
+
+
+def _main():  # pragma: no cover - CLI entry
+    import argparse
+    ap = argparse.ArgumentParser(description="scann_tpu HTTP search server")
+    ap.add_argument("--artifacts", required=True)
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args()
+    print(f"serving {args.artifacts} on {args.host}:{args.port}")
+    serve(args.artifacts, args.host, args.port, block=True)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _main()

@@ -80,7 +80,10 @@ def autopilot_rewrite(config: cfg.ScannConfig, database: np.ndarray
             random_init=True,
             incremental_threshold=(0.5 if auto.incremental_mode
                                    in ("online", "online_incremental")
-                                   else None)),
+                                   else None),
+            incremental_mode=("online_incremental"
+                              if auto.incremental_mode
+                              == "online_incremental" else "online")),
         asymmetric_hash=cfg.AsymmetricHashConfig(
             dimensions_per_block=_AH_SIZE,
             anisotropic_quantization_threshold=(0.2 if residual

@@ -169,7 +169,8 @@ def load_searcher(artifacts_dir: str):
         _init_base(s, scann_config, meta, arrays, docids)
         s.part_cfg = scann_config.partitioning
         s.ah_cfg = scann_config.asymmetric_hash
-        s.measure = scann_config.distance_measure
+        s.measure = cfg.internal_measure(
+            scann_config.distance_measure)
         s.residual = bool(s.ah_cfg.residual_quantization)
         from scann_tpu.utils import native
         if "codes_packed" in arrays:
@@ -201,6 +202,10 @@ def load_searcher(artifacts_dir: str):
                    "leaf": np.asarray(s.index.slot_leaf),
                    "dpid": np.asarray(s.index.slot_dpid)}
         s._slot_table = None
+        s._in_maintenance = False
+        s._leaf_mutations = np.zeros(
+            (s.partitioner.num_leaves if s.partitioner is not None else 1,),
+            np.int64)
         s._build_recon()
         if s.ah_cfg.lookup_type == "reconstruct":
             from scann_tpu.ops import fused_scan
@@ -211,7 +216,8 @@ def load_searcher(artifacts_dir: str):
         s = object.__new__(tree_x.TreeXSearcher)
         _init_base(s, scann_config, meta, arrays, docids)
         s.part_cfg = scann_config.partitioning
-        s.measure = scann_config.distance_measure
+        s.measure = cfg.internal_measure(
+            scann_config.distance_measure)
         bf = scann_config.brute_force or cfg.BruteForceConfig()
         s.quantize_mode = bf.quantize
         s.slot_rows = arrays["slot_rows"]
@@ -254,7 +260,8 @@ def _init_base(s, scann_config, meta, arrays, docids):
     s.reorder_helper = None
     if scann_config.reordering is not None:
         rh = object.__new__(base.ReorderHelper)
-        rh.measure = scann_config.distance_measure
+        rh.measure = cfg.internal_measure(
+            scann_config.distance_measure)
         rh.config = scann_config.reordering
         rh._db = arrays["reorder_db"]
         rh._inv_mult = arrays.get("reorder_inv_mult")
@@ -274,7 +281,8 @@ def _load_partitioner(arrays, scann_config):
         centers=arrays["centers"],
         centers_int8=arrays.get("centers_int8"),
         centers_inv_mult=arrays.get("centers_inv_mult"),
-        query_distance=scann_config.distance_measure,
+        query_distance=cfg.internal_measure(
+            scann_config.distance_measure),
         upper_centers=arrays.get("upper_centers"),
         upper_assign=arrays.get("upper_assign"),
         upper_leaves_to_search=upper_l)

@@ -78,3 +78,46 @@ def test_metadata_getter():
     assert mg.get(1) == "b"
     assert mg.batch_get(np.array([0, 1])) == ["a", "b"]
     assert MetadataGetter().get(0) is None
+
+
+def test_cosine_through_builder():
+    """Cosine is a first-class builder measure: dot product over unit
+    vectors, distances returned as 1 - cos (reference treats angular data
+    the same way)."""
+    import tempfile
+    import scann_tpu
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((20000, 32)).astype(np.float32) * \
+        rng.uniform(0.5, 3.0, (20000, 1)).astype(np.float32)
+    q = rng.standard_normal((40, 32)).astype(np.float32)
+    dbn = db / np.linalg.norm(db, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    truth = np.argsort(-(qn @ dbn.T), axis=1)[:, :10]
+
+    s = (scann_tpu.builder(db, 10, "cosine")
+         .tree(num_leaves=16, num_leaves_to_search=8,
+               training_sample_size=8000)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(60).build())
+    idx, dist = s.search_batched(q)
+    r = np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                 for i in range(len(q))])
+    assert r >= 0.85, r
+    # distances are 1 - cos: ascending and within the valid range
+    assert np.all(np.diff(dist, axis=1) >= -1e-5)
+    assert np.all(dist >= -1e-4) and np.all(dist <= 2.0 + 1e-4)
+    # brute force cosine agrees with the oracle exactly
+    sb = scann_tpu.builder(db, 10, "cosine").score_brute_force().build()
+    idx_b, dist_b = sb.search_batched(q)
+    rb = np.mean([len(set(idx_b[i]) & set(truth[i])) / 10
+                  for i in range(len(q))])
+    assert rb >= 0.999, rb
+    np.testing.assert_allclose(dist_b[:, 0],
+                               1.0 - (qn @ dbn.T).max(axis=1),
+                               rtol=1e-4, atol=1e-4)
+    # serialize round trip preserves cosine semantics
+    d = tempfile.mkdtemp()
+    s.serialize(d)
+    s2 = scann_tpu.load_searcher(d)
+    idx2, dist2 = s2.search_batched(q)
+    np.testing.assert_array_equal(idx, idx2)

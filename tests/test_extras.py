@@ -259,3 +259,97 @@ def test_random_orthogonal_projection():
         db, cfg_mod.ProjectionConfig(projection_type="random_orthogonal",
                                      reduction_dim=16), seed=1)
     assert p2.out_dims == 16
+
+
+def test_eigenvalue_opq_projection():
+    """Eigenvalue-OPQ rotation (reference eigenvalue_opq_projection.cc):
+    orthogonal full-d rotation whose per-AH-block variance is balanced;
+    recall not below the unprojected build on variance-skewed data."""
+    import scann_tpu
+    from scann_tpu.ops import projection as proj_ops
+    from scann_tpu import config as cfg_mod
+
+    rng = np.random.default_rng(0)
+    # Strongly anisotropic data: variance concentrated in leading dims.
+    scales = np.linspace(3.0, 0.05, 32).astype(np.float32)
+    db = (rng.standard_normal((30000, 32)) * scales[None, :]).astype(
+        np.float32)
+    q = (rng.standard_normal((40, 32)) * scales[None, :]).astype(np.float32)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+
+    pc = cfg_mod.ProjectionConfig(
+        projection_type="eigenvalue_opq", reduction_dim=None,
+        pca_significance_threshold=None, pca_truncation_threshold=None,
+        opq_num_blocks=16)
+    p = proj_ops.train_projection(db, pc, seed=1)
+    m = np.asarray(p.matrix)
+    assert m.shape == (32, 32)
+    np.testing.assert_allclose(m.T @ m, np.eye(32), atol=1e-4)
+    # Per-block variance is balanced vs the raw layout.
+    rot = db[:2000] @ m
+    bv = rot.reshape(2000, 16, 2).var(axis=(0, 2))
+    raw = db[:2000].reshape(2000, 16, 2).var(axis=(0, 2))
+    assert bv.max() / bv.min() < raw.max() / max(raw.min(), 1e-9)
+
+    def build(with_opq):
+        b = (scann_tpu.builder(db, 10, "dot_product")
+             .tree(num_leaves=16, num_leaves_to_search=16,
+                   training_sample_size=8000)
+             .score_ah(2, anisotropic_quantization_threshold=0.2)
+             .reorder(60))
+        if with_opq:
+            b = b.opq()
+        return b.build()
+
+    r = []
+    for use in (False, True):
+        idx, _ = build(use).search_batched(q)
+        r.append(np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                          for i in range(len(q))]))
+    assert r[1] >= r[0] - 0.02, r
+
+
+def test_pre_tokenized_queries():
+    """Per-query explicit leaf lists + per-query leaf counts via -1
+    padding (reference: TreeXOptionalParameters::EnablePreTokenization,
+    tree_x_hybrid/tree_x_params.h:35-45)."""
+    import dataclasses
+    import scann_tpu
+    import scann_tpu.factory as factory
+
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((24, 24)).astype(np.float32)
+    db = (centers[rng.integers(0, 24, 30000)]
+          + 0.3 * rng.standard_normal((30000, 24)).astype(np.float32))
+    q = rng.standard_normal((32, 24)).astype(np.float32)
+    b = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=24, num_leaves_to_search=6,
+               training_sample_size=10000)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(50))
+    for lookup in ("int8", "reconstruct"):
+        config = b.create_config()
+        config = dataclasses.replace(
+            config, asymmetric_hash=dataclasses.replace(
+                config.asymmetric_hash, lookup_type=lookup))
+        s = factory.create_searcher(db, config)
+        # Giving the searcher its own tokenization explicitly must match
+        # the normal path bit-for-bit.
+        import jax.numpy as jnp
+        lid, _ = s.partitioner.tokenize_queries(jnp.asarray(q), 6)
+        lid = np.asarray(lid)
+        i1, d1 = s.search_batched(q, leaves_to_search=6)
+        i2, d2 = s.search_batched(q, pre_tokenized_leaves=lid)
+        agree = np.mean(i1 == i2)
+        assert agree >= 0.95, (lookup, agree)
+        # Per-query leaf counts: -1 pads row 0 down to a single leaf.
+        lid2 = lid.copy()
+        lid2[0, 1:] = -1
+        i3, _ = s.search_batched(q, pre_tokenized_leaves=lid2)
+        tok = s.datapoint_to_token[:, 0]
+        found = np.asarray(i3[0])
+        assert np.all(tok[found[found >= 0]] == lid[0, 0]), lookup
+        # out-of-range ids raise
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            s.search_batched(q, pre_tokenized_leaves=np.full((32, 2), 99))

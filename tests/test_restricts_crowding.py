@@ -75,3 +75,40 @@ def test_crowding_requires_attributes():
     s = build(db, "bf")
     with pytest.raises(ValueError):
         s.search_batched(q, per_crowding_attribute_num_neighbors=2)
+
+
+def test_multi_dimensional_crowding():
+    """Multi-dim crowding (reference utils/crowding_multi_dimensional.h):
+    per-dimension quotas all enforced simultaneously."""
+    import scann_tpu
+    rng = np.random.default_rng(3)
+    db = rng.standard_normal((4000, 16)).astype(np.float32)
+    q = rng.standard_normal((10, 16)).astype(np.float32)
+    s = scann_tpu.builder(db, 20, "dot_product").score_brute_force().build()
+    attrs = np.stack([np.arange(4000) % 5, np.arange(4000) % 3],
+                     axis=1).astype(np.int32)
+    s.set_crowding(attrs)
+    idx, dist = s.search_batched(
+        q, per_crowding_attribute_num_neighbors=(3, 4))
+    base_idx, _ = s.search_batched(q)
+    for r, row in enumerate(idx):
+        valid = row[row >= 0]
+        a = attrs[valid]
+        for v0 in np.unique(a[:, 0]):
+            assert (a[:, 0] == v0).sum() <= 3
+        for v1 in np.unique(a[:, 1]):
+            assert (a[:, 1] == v1).sum() <= 4
+        # survivors are the best-scored representatives
+        assert valid[0] == base_idx[r][0]
+    # scalar limit applies to every dimension
+    idx2, _ = s.search_batched(q, per_crowding_attribute_num_neighbors=2)
+    for row in idx2:
+        valid = row[row >= 0]
+        a = attrs[valid]
+        for d_ in range(2):
+            for v in np.unique(a[:, d_]):
+                assert (a[:, d_] == v).sum() <= 2
+    # mismatched limit count raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        s.search_batched(q, per_crowding_attribute_num_neighbors=(1, 2, 3))

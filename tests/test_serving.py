@@ -39,3 +39,69 @@ def test_serving_errors():
     with pytest.raises(ValueError):
         fut.result(timeout=60)
     svc.stop()
+
+
+def test_http_server_round_trip(tmp_path):
+    """Process-boundary serving: serialize -> load in a server -> query
+    over HTTP -> identical results to direct search (the reference's
+    export-to-TF-Serving integration contract)."""
+    import http.client
+    import json
+
+    import scann_tpu
+    from scann_tpu import serving
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((5000, 24)).astype(np.float32)
+    q = rng.standard_normal((6, 24)).astype(np.float32)
+    s = (scann_tpu.builder(db, 5, "dot_product")
+         .tree(num_leaves=10, num_leaves_to_search=10,
+               training_sample_size=4000)
+         .score_ah(2).reorder(20).build())
+    direct_idx, direct_dist = s.search_batched(q)
+    d = str(tmp_path / "idx")
+    s.serialize(d)
+
+    server = serving.serve(d, host="127.0.0.1", port=0, block=False)
+    try:
+        conn = http.client.HTTPConnection(server.host, server.port,
+                                          timeout=30)
+        conn.request("GET", "/health")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok" and health["n_points"] == 5000
+
+        # JSON batched
+        conn.request("POST", "/search_batched",
+                     body=json.dumps({"queries": q.tolist()}),
+                     headers={"Content-Type": "application/json"})
+        out = json.loads(conn.getresponse().read())
+        np.testing.assert_array_equal(np.asarray(out["indices"]),
+                                      direct_idx)
+        np.testing.assert_allclose(np.asarray(out["distances"]),
+                                   direct_dist, rtol=1e-5)
+
+        # binary batched
+        conn.request("POST", "/search_batched?final_num_neighbors=5",
+                     body=q.tobytes(),
+                     headers={"Content-Type": "application/octet-stream"})
+        out2 = json.loads(conn.getresponse().read())
+        np.testing.assert_array_equal(np.asarray(out2["indices"]),
+                                      direct_idx)
+
+        # single query through the micro-batcher
+        conn.request("POST", "/search",
+                     body=json.dumps({"query": q[0].tolist()}),
+                     headers={"Content-Type": "application/json"})
+        out3 = json.loads(conn.getresponse().read())
+        np.testing.assert_array_equal(np.asarray(out3["indices"][0]),
+                                      direct_idx[0])
+
+        # error surface: wrong dimensionality -> HTTP 400, not a hang
+        conn.request("POST", "/search_batched",
+                     body=json.dumps({"queries": [[1.0, 2.0]]}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "error" in json.loads(resp.read())
+    finally:
+        server.stop()

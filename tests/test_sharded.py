@@ -35,23 +35,24 @@ def test_sharded_matches_single_chip():
     i1, d1 = s.search_batched(q)
 
     m = make_mesh()
-    ss = mesh_mod.ShardedTreeAHSearcher(s, db, m)
+    ss = mesh_mod.ShardedTreeAHSearcher.from_searcher(s, db, m)
     i2, d2 = ss.search_batched(q)
     # The sharded path rescores a superset of the single-chip candidates
-    # (per-shard top-k_pre each), so results mostly agree and sharded
-    # recall must be >= single-chip recall.
+    # (per-shard top-k_pre each) but against int8-compressed rows
+    # (reference-style sharded memory), so near-ties may swap vs the f32
+    # single-chip reorder; recall must stay within int8 noise and
+    # distances where indices agree must match at int8 precision.
     agree = np.mean(i1 == i2)
-    assert agree > 0.9, agree
+    assert agree > 0.6, agree
     truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
 
     def recall(idx):
         return np.mean([len(set(idx[i]) & set(truth[i])) / 10
                         for i in range(len(q))])
 
-    assert recall(i2) >= recall(i1) - 1e-9, (recall(i2), recall(i1))
-    # Where indices agree, distances agree.
+    assert recall(i2) >= recall(i1) - 0.03, (recall(i2), recall(i1))
     same = i1 == i2
-    np.testing.assert_allclose(d1[same], d2[same], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(d1[same], d2[same], rtol=0.05, atol=0.05)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -64,7 +65,7 @@ def test_sharded_soar():
          .score_ah(2, anisotropic_quantization_threshold=0.2)
          .reorder(50).build())
     m = make_mesh()
-    ss = mesh_mod.ShardedTreeAHSearcher(s, db, m)
+    ss = mesh_mod.ShardedTreeAHSearcher.from_searcher(s, db, m)
     idx, dist = ss.search_batched(q)
     for row in idx:
         valid = row[row >= 0]
@@ -90,3 +91,56 @@ def test_sharded_kmeans_step():
     want = np.array([x[a == j].mean(0) if (a == j).any() else c0[j]
                      for j in range(32)])
     np.testing.assert_allclose(c1, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_build_end_to_end(tmp_path):
+    """Multi-chip build (sharded k-means + sharded tokenize/encode +
+    leaf-owner regroup) -> sharded search with recall vs exact ground
+    truth, plus the sharded serialize/load round trip (BASELINE config 5
+    scaled down to the virtual mesh; SURVEY.md §7 step 7)."""
+    db, q = make_data(n=60000, d=32, nq=64, seed=1)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    cfg_ = (scann_tpu.builder(db, 10, "dot_product")
+            .tree(num_leaves=64, num_leaves_to_search=12,
+                  training_sample_size=20000)
+            .score_ah(2, anisotropic_quantization_threshold=0.2)
+            .reorder(60).create_config())
+    m = make_mesh()
+    ss = mesh_mod.build_sharded(db, cfg_, m)
+    idx, dist = ss.search_batched(q)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    r = np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                 for i in range(len(q))])
+    assert r >= 0.9, r
+    # round trip: bit-identical results after reload
+    d_ = tmp_path / "sharded_idx"
+    ss.serialize(str(d_))
+    ss2 = mesh_mod.load_sharded(str(d_), m)
+    idx2, dist2 = ss2.search_batched(q)
+    np.testing.assert_array_equal(idx, idx2)
+    np.testing.assert_allclose(dist, dist2, rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_recall_not_below_single_chip_at_scale():
+    """The sharded searcher built from scratch stays within noise of a
+    single-chip index built with the same config."""
+    db, q = make_data(n=30000, d=32, nq=48, seed=2)
+    builder = (scann_tpu.builder(db, 10, "dot_product")
+               .tree(num_leaves=32, num_leaves_to_search=8,
+                     training_sample_size=15000)
+               .score_ah(2, anisotropic_quantization_threshold=0.2)
+               .reorder(60))
+    s1 = builder.build()
+    i1, _ = s1.search_batched(q)
+    m = make_mesh()
+    ss = mesh_mod.build_sharded(db, builder.create_config(), m)
+    i2, _ = ss.search_batched(q)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+
+    def recall(idx):
+        return np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                        for i in range(len(q))])
+
+    assert recall(i2) >= recall(i1) - 0.05, (recall(i2), recall(i1))

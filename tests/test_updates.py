@@ -153,3 +153,58 @@ def test_mutation_requires_docids():
     s = scann_tpu.builder(db, 5, "dot_product").score_brute_force().build()
     with pytest.raises(ValueError):
         s.upsert("a", q[0])
+
+
+def test_online_incremental_split_maintenance():
+    """ONLINE_INCREMENTAL maintenance splits oversized partitions and
+    reassigns only their members: the AH codebook and untouched leaves'
+    slots are unchanged, partition count grows, and imbalance drops
+    (reference: TreeXHybridMutator::SplitPartition/Reassign,
+    tree_x_hybrid/mutator.h:560-737)."""
+    import scann_tpu
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((16, 24)).astype(np.float32)
+    db = (centers[rng.integers(0, 16, 8000)]
+          + 0.3 * rng.standard_normal((8000, 24)).astype(np.float32))
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    docids = [str(i) for i in range(len(db))]
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=16,
+               training_sample_size=4000, incremental_threshold=0.05,
+               incremental_mode="online_incremental")
+         .score_ah(2).reorder(60).build(docids=docids))
+    num_leaves_before = s.partitioner.num_leaves
+    codebook_before = np.asarray(s.model.codebook).copy()
+
+    def imbalance():
+        t = s.datapoint_to_token[:, 0]
+        alive = s._mut.alive[: len(t)]
+        c = np.bincount(t[alive], minlength=s.partitioner.num_leaves)
+        return c.max() / max(1.0, c.mean())
+
+    # Pile new points onto one topic so one leaf becomes oversized.
+    hot = centers[3]
+    last_vecs = None
+    for batch in range(6):
+        vecs = (hot[None, :] + 0.45 * rng.standard_normal((150, 24))
+                ).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        ids = [f"new{batch}_{i}" for i in range(len(vecs))]
+        s.upsert(ids, vecs)
+        last_vecs = vecs
+
+    assert s.partitioner.num_leaves > num_leaves_before
+    # Codebook untouched (no retrain happened).
+    np.testing.assert_array_equal(codebook_before,
+                                  np.asarray(s.model.codebook))
+    # Imbalance reduced relative to what piling up produced.
+    imb_now = imbalance()
+    t = s.datapoint_to_token[:, 0]
+    alive = s._mut.alive[: len(t)]
+    c = np.bincount(t[alive], minlength=s.partitioner.num_leaves)
+    assert imb_now < 2.5, (imb_now, c.max(), c.mean())
+    # Search still works: querying an upserted vector retrieves it.
+    idx, _ = s.search_batched(last_vecs[:8])
+    hits = sum(1 for i, row in enumerate(idx)
+               if f"new5_{i}" in set(row))
+    assert hits >= 5, hits
