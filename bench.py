@@ -150,21 +150,27 @@ def main():
     # reorder 100); scored in "reconstruct" mode — the same 4-bit codes
     # decoded to bf16 and scanned by the fused Pallas kernel.
     lookup = os.environ.get("SCANN_TPU_BENCH_LOOKUP", "reconstruct")
+    load_dir = os.environ.get("SCANN_TPU_BENCH_LOAD")
     t0 = time.perf_counter()
-    b = (scann_tpu.builder(db, K, "dot_product")
-         .tree(num_leaves=2000, num_leaves_to_search=100,
-               training_sample_size=100_000)
-         .score_ah(2, anisotropic_quantization_threshold=0.2)
-         .reorder(100))
-    config = b.create_config()
-    config = dataclasses.replace(
-        config, asymmetric_hash=dataclasses.replace(
-            config.asymmetric_hash, lookup_type=lookup))
-    searcher = factory.create_searcher(db, config)
-    build_s = time.perf_counter() - t0
-    _log(f"index built in {build_s:.1f}s (lookup={lookup})")
+    if load_dir and os.path.exists(load_dir):
+        searcher = scann_tpu.load_searcher(load_dir)
+        build_s = time.perf_counter() - t0
+        _log(f"index loaded from {load_dir} in {build_s:.1f}s")
+    else:
+        b = (scann_tpu.builder(db, K, "dot_product")
+             .tree(num_leaves=2000, num_leaves_to_search=100,
+                   training_sample_size=100_000)
+             .score_ah(2, anisotropic_quantization_threshold=0.2)
+             .reorder(100))
+        config = b.create_config()
+        config = dataclasses.replace(
+            config, asymmetric_hash=dataclasses.replace(
+                config.asymmetric_hash, lookup_type=lookup))
+        searcher = factory.create_searcher(db, config)
+        build_s = time.perf_counter() - t0
+        _log(f"index built in {build_s:.1f}s (lookup={lookup})")
     save_dir = os.environ.get("SCANN_TPU_BENCH_SAVE")
-    if save_dir:
+    if save_dir and not (load_dir and os.path.exists(load_dir)):
         searcher.serialize(save_dir)
         _log(f"index serialized to {save_dir}")
 

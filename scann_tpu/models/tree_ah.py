@@ -108,32 +108,51 @@ class TreeAHSearcher(base.Searcher):
             self.partitioner = kmeans_tree.KMeansTreePartitioner.train(
                 database, self.part_cfg, self.measure, seed)
             _phase("partitioner trained")
-            # Max-size bound per partition: keeps the pruned kernel's
-            # per-leaf tile count within MAX_NTILES and evens per-leaf
-            # search cost (see kmeans_tree.cap_partition_sizes).
+            # Max-size bound per partition: oversized partitions SPLIT
+            # (local 2-means, kmeans_tree.split_oversized) so the pruned
+            # kernel's per-leaf tile count stays within MAX_NTILES and
+            # per-leaf search cost evens out, without distorting any
+            # point's assignment.  num_leaves may grow.
             from scann_tpu.ops import pruned_scan
             nl = self.part_cfg.num_leaves
-            avg_slots = (2 if soar is not None else 1) * n / max(nl, 1)
-            cap_slots = int(min(pruned_scan.MAX_NTILES * pruned_scan.TILE,
-                                max(2.0 * avg_slots,
-                                    2 * pruned_scan.TILE)))
+            hard_cap = pruned_scan.MAX_NTILES * pruned_scan.TILE
+            soar_mult = 2 if soar is not None else 1
+            cap_primary = int(min(hard_cap // soar_mult,
+                                  max(2.0 * n / max(nl, 1),
+                                      pruned_scan.TILE)))
+            tokens = np.asarray(
+                self.partitioner.tokenize_database(database))
             centers_np = np.asarray(self.partitioner.centers)
+            for _round in range(3):
+                tokens, grown = kmeans_tree.split_oversized(
+                    database, tokens, centers_np, cap_primary)
+                if grown.shape[0] == centers_np.shape[0]:
+                    centers_np = grown
+                    break
+                centers_np = grown
+                self._register_centers(centers_np)
+                # Global re-tokenize: points near the new sub-centroids
+                # migrate (continued Lloyd refinement with adaptive k).
+                tokens = np.asarray(
+                    self.partitioner.tokenize_database(database))
+            nl = centers_np.shape[0]
+            counts = np.bincount(tokens, minlength=nl)
+            if counts.max() > hard_cap // soar_mult:
+                tokens = kmeans_tree.cap_partition_sizes(
+                    database, tokens, centers_np, hard_cap // soar_mult)
             if soar is not None:
                 tokens2 = np.array(
                     self.partitioner.tokenize_database_soar(database, soar),
                     copy=True)
-                tokens2[:, 0] = kmeans_tree.cap_partition_sizes(
-                    database, tokens2[:, 0], centers_np, cap_slots // 2)
+                tokens2[:, 0] = tokens
+                cap_total = int(min(hard_cap,
+                                    max(4.0 * soar_mult * n / nl,
+                                        2 * pruned_scan.TILE)))
                 tokens2[:, 1] = kmeans_tree.cap_partition_sizes(
-                    database, tokens2[:, 1], centers_np, cap_slots,
+                    database, tokens2[:, 1], centers_np, cap_total,
                     base_counts=np.bincount(tokens2[:, 0], minlength=nl),
                     forbid=tokens2[:, 0])
-                tokens = tokens2[:, 0]
             else:
-                tokens = np.asarray(
-                    self.partitioner.tokenize_database(database))
-                tokens = kmeans_tree.cap_partition_sizes(
-                    database, tokens, centers_np, cap_slots)
                 tokens2 = None
             if self.part_cfg.avq is not None:
                 # AVQ adjusts centers after tokenization; residuals are then
@@ -278,7 +297,9 @@ class TreeAHSearcher(base.Searcher):
         code-row gathers run in the native host runtime when available
         (scann_tpu/cc/native.cc)."""
         from scann_tpu.utils import native
-        num_leaves = int(leaf.max()) + 1 if len(leaf) else 1
+        num_leaves = (self.partitioner.num_leaves
+                      if self.partitioner is not None
+                      else (int(leaf.max()) + 1 if len(leaf) else 1))
         order, _ = native.sort_by_leaf(leaf, num_leaves)
         if self._recon_mode:
             # The fused group-max kernel requires slots in random order so
@@ -404,8 +425,14 @@ class TreeAHSearcher(base.Searcher):
     def _pruned_available(self) -> bool:
         """True when the leaf-gathered pruned scoring path applies (the
         TPU counterpart of the reference's leaf-major pruned search,
-        tree_ah_hybrid_residual.cc:610-786)."""
-        return (self._recon_mode and self.partitioner is not None
+        tree_ah_hybrid_residual.cc:610-786).  Covers reconstruct mode
+        (bf16 rows in HBM) and, for product quantization, the memory-lean
+        int8/float32 lookup modes (codes decoded inside the kernel,
+        ops/pruned_lut.py)."""
+        return ((self._recon_mode
+                 or (not self.stacked
+                     and self.ah_cfg.clusters_per_block == 16))
+                and self.partitioner is not None
                 and self.partitioner.num_leaves > 1)
 
     def _invalidate_pruned(self):
@@ -415,6 +442,9 @@ class TreeAHSearcher(base.Searcher):
             self._compiled = {}
         self._p_rows = None
         self._p_bias = None
+        self._p_codes = None
+        self._p_cb = None
+        self._p_mean = None
         self._p_dpid = None
         self._p_tile_start = None
         self._p_ntiles = None
@@ -424,8 +454,14 @@ class TreeAHSearcher(base.Searcher):
     def _ensure_pruned(self):
         """(Re)build the tile-major per-leaf layout for pruned scoring.
         Rebuilt lazily after mutations (slot identities differ from the
-        randomly-permuted full-scan layout)."""
-        if not self._pruned_available or self._p_rows is not None:
+        randomly-permuted full-scan layout).  Reconstruct mode stores
+        decoded bf16 rows (2 B/dim); int8/float32 lookup modes store only
+        the codes plus the expanded decode matrix — the kernel decodes on
+        the fly (ops/pruned_lut.py, reference-equal index memory)."""
+        if not self._pruned_available:
+            return
+        if (self._p_rows if self._recon_mode
+                else getattr(self, "_p_codes", None)) is not None:
             return
         from scann_tpu.ops import pruned_scan
         h = self._host
@@ -448,6 +484,35 @@ class TreeAHSearcher(base.Searcher):
                          0).astype(h["codes"].dtype)
         leaf = np.where(src >= 0, h["leaf"][np.maximum(src, 0)], 0)
         dpid = np.where(src >= 0, h["dpid"][np.maximum(src, 0)], -1)
+        self._p_dpid = jnp.asarray(dpid.astype(np.int32))
+        self._p_tile_start = jnp.asarray(tile_start)
+        self._p_ntiles = jnp.asarray(ntiles)
+        self._p_max_ntiles = int(ntiles.max())
+        self._p_num_tiles = num_tiles
+        if not self._recon_mode:
+            from scann_tpu.ops import fused_scan
+            from scann_tpu.ops import pruned_lut
+            if (self.measure == cfg.SQUARED_L2
+                    and getattr(self, "_recon_mean", None) is None):
+                self._recon_mean = self._decode_mean()
+            pad_codes = np.where(
+                (src >= 0)[:, None], h["codes"][np.maximum(src, 0)],
+                pruned_lut._PAD_CODE).astype(np.uint8)
+            codes3 = pruned_lut.pack_codes_tiles(pad_codes, num_tiles)
+            d_pad = self._recon_dim
+            self._p_codes = jnp.asarray(codes3)
+            self._p_cb = jnp.asarray(pruned_lut.expand_codebook(
+                self.model.codebook, d_pad, codes3.shape[-1]))
+            bias = np.where(dpid >= 0, 0.0,
+                            fused_scan._PAD_PENALTY).astype(np.float32)
+            self._p_bias = jnp.asarray(
+                bias.reshape(num_tiles, pruned_scan.TILE))
+            mean = np.zeros((d_pad,), np.float32)
+            if self._recon_mean is not None:
+                m = np.asarray(self._recon_mean)
+                mean[:m.shape[0]] = m
+            self._p_mean = jnp.asarray(mean)
+            return
         fn = jax.jit(functools.partial(self._decode_slots,
                                        mean=self._recon_mean))
         rows, sqs = [], []
@@ -464,11 +529,6 @@ class TreeAHSearcher(base.Searcher):
         d = rows.shape[1]
         self._p_rows = rows.reshape(num_tiles, pruned_scan.TILE, d)
         self._p_bias = bias.reshape(num_tiles, pruned_scan.TILE)
-        self._p_dpid = jnp.asarray(dpid.astype(np.int32))
-        self._p_tile_start = jnp.asarray(tile_start)
-        self._p_ntiles = jnp.asarray(ntiles)
-        self._p_max_ntiles = int(ntiles.max())
-        self._p_num_tiles = num_tiles
 
     def _make_bias(self, sq, dpid):
         """Per-slot additive bias for the fused kernel: -||x||^2 under L2
@@ -689,6 +749,39 @@ class TreeAHSearcher(base.Searcher):
         self._leaf_mutations[:] = 0
         return splits
 
+    def _register_centers(self, centers_np: np.ndarray):
+        """Install a grown/modified center set on the partitioner and
+        propagate num_leaves through part_cfg/config (int8 centroids and
+        upper-tree assignment recomputed)."""
+        import dataclasses
+        centers_int8 = inv_mult = None
+        if self.partitioner.centers_int8 is not None:
+            from scann_tpu.ops import quantize as quant_ops
+            sq = quant_ops.scalar_quantize(jnp.asarray(centers_np))
+            centers_int8, inv_mult = sq.data, sq.inverse_multipliers
+        upper_assign = self.partitioner.upper_assign
+        if upper_assign is not None:
+            old_n = upper_assign.shape[0]
+            if centers_np.shape[0] > old_n:
+                up = np.asarray(self.partitioner.upper_centers)
+                new_c = centers_np[old_n:]
+                d = ((new_c[:, None, :] - up[None, :, :]) ** 2).sum(-1)
+                upper_assign = jnp.concatenate(
+                    [upper_assign,
+                     jnp.asarray(d.argmin(1).astype(np.int32))])
+        self.partitioner = self.partitioner._replace(
+            centers=jnp.asarray(centers_np), centers_int8=centers_int8,
+            centers_inv_mult=inv_mult, upper_assign=upper_assign)
+        self.part_cfg = dataclasses.replace(
+            self.part_cfg, num_leaves=centers_np.shape[0])
+        self.config = dataclasses.replace(self.config,
+                                          partitioning=self.part_cfg)
+        if getattr(self, "_leaf_mutations", None) is not None:
+            grow = centers_np.shape[0] - len(self._leaf_mutations)
+            if grow > 0:
+                self._leaf_mutations = np.concatenate(
+                    [self._leaf_mutations, np.zeros((grow,), np.int64)])
+
     def _split_partition(self, token: int) -> bool:
         """Split one partition: 2-means over its members, replace its
         center with one half, append the other as a new leaf, and
@@ -762,6 +855,9 @@ class TreeAHSearcher(base.Searcher):
               "recon_mean": getattr(self, "_recon_mean", None),
               "p_rows": getattr(self, "_p_rows", None),
               "p_bias": getattr(self, "_p_bias", None),
+              "p_codes": getattr(self, "_p_codes", None),
+              "p_cb": getattr(self, "_p_cb", None),
+              "p_mean": getattr(self, "_p_mean", None),
               "p_dpid": getattr(self, "_p_dpid", None),
               "p_tile_start": getattr(self, "_p_tile_start", None),
               "p_ntiles": getattr(self, "_p_ntiles", None)}
@@ -776,7 +872,9 @@ class TreeAHSearcher(base.Searcher):
     def _select_candidates(self, queries, state, k_pre: int, leaves: int,
                            full_scan: bool = False):
         from scann_tpu.ops import fused_scan
-        if (not full_scan and state.get("p_rows") is not None
+        if (not full_scan
+                and (state.get("p_rows") is not None
+                     or state.get("p_codes") is not None)
                 and state.get("restrict") is None
                 and self.partitioner is not None
                 and leaves < self.partitioner.num_leaves):
@@ -983,12 +1081,19 @@ class TreeAHSearcher(base.Searcher):
         num_leaves = partitioner.num_leaves
         leaves = max(1, min(leaves, num_leaves))
         nq = queries.shape[0]
+        recon_path = state.get("p_rows") is not None
+        residual_bias = self.residual and not recon_path
         if state.get("pre_tokenized") is not None:
             pt = state["pre_tokenized"]
             leaf_ids = jnp.maximum(pt, 0)
             valid_sel = pt >= 0
+            center_sims = None
+            if residual_bias:
+                c_sel = jnp.take(partitioner.centers, leaf_ids, axis=0)
+                center_sims = jnp.einsum("nd,nld->nl", queries, c_sel)
         else:
-            leaf_ids, _ = partitioner.tokenize_queries(queries, leaves)
+            leaf_ids, center_sims = partitioner.tokenize_queries(queries,
+                                                                 leaves)
             valid_sel = jnp.ones((nq, leaves), bool)
             if state.get("leaves_dynamic") is not None:
                 col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
@@ -997,7 +1102,8 @@ class TreeAHSearcher(base.Searcher):
         q_c = queries
         if state.get("recon_mean") is not None:
             q_c = queries - state["recon_mean"][None, :]
-        d_pad = state["p_rows"].shape[-1]
+        d_pad = (state["p_rows"].shape[-1] if recon_path
+                 else state["p_cb"].shape[-1])
         pad = d_pad - q_c.shape[1]
         q_bf = (jnp.pad(q_c, ((0, 0), (0, pad))) if pad
                 else q_c).astype(jnp.bfloat16)
@@ -1021,17 +1127,35 @@ class TreeAHSearcher(base.Searcher):
         avg_leaf = max(1, self._num_slots // num_leaves)
         density = k_fetch * pruned_scan.SUBP / avg_leaf
         kpg = 16 if density > 5.0 else pruned_scan.KPG
-        if jax.default_backend() == "tpu" or interp:
-            packed = pruned_scan.score_work_pallas(
-                plan, qg_rows, state["p_rows"], state["p_bias"],
-                measure_l2=l2, interpret=interp, kpg=kpg)
+        use_pallas = jax.default_backend() == "tpu" or interp
+        if recon_path:
+            if use_pallas:
+                packed = pruned_scan.score_work_pallas(
+                    plan, qg_rows, state["p_rows"], state["p_bias"],
+                    measure_l2=l2, interpret=interp, kpg=kpg)
+            else:
+                packed = pruned_scan.score_work_xla(
+                    plan, qg_rows, state["p_rows"], state["p_bias"],
+                    measure_l2=l2, kpg=kpg)
         else:
-            packed = pruned_scan.score_work_xla(
-                plan, qg_rows, state["p_rows"], state["p_bias"],
-                measure_l2=l2, kpg=kpg)
+            # Memory-lean path: codes decoded inside the kernel
+            # (ops/pruned_lut.py); the residual q.c_leaf bias joins at
+            # merge time per (query, leaf).
+            from scann_tpu.ops import pruned_lut
+            if use_pallas:
+                packed = pruned_lut.score_work_pallas_codes(
+                    plan, qg_rows, state["p_codes"], state["p_cb"],
+                    state["p_mean"], state["p_bias"], measure_l2=l2,
+                    interpret=interp, kpg=kpg)
+            else:
+                packed = pruned_lut.score_work_xla_codes(
+                    plan, qg_rows, state["p_codes"], state["p_cb"],
+                    state["p_mean"], state["p_bias"], measure_l2=l2,
+                    kpg=kpg)
         cand_vals, cand_slots = pruned_scan.merge_candidates(
             plan, packed, leaf_ids, valid_sel, state["p_tile_start"],
-            state["p_ntiles"], self._p_max_ntiles, k_fetch)
+            state["p_ntiles"], self._p_max_ntiles, k_fetch,
+            pair_bias=center_sims if residual_bias else None)
         dpids = jnp.where(cand_slots >= 0,
                           jnp.take(state["p_dpid"],
                                    jnp.maximum(cand_slots, 0)), -1)

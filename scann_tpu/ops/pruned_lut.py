@@ -1,0 +1,203 @@
+"""Memory-lean pruned scoring: decode the 4-bit codes inside the kernel.
+
+The recon-mode pruned path (ops/pruned_scan.py) stores decoded bf16 rows
+(2 B/dim of HBM).  This variant keeps ONLY the packed AH codes in HBM
+(0.5 B/dim logical; one uint8 center id per 2-dim block as stored) — the
+reference's index memory (hashes/asymmetric_hashing2/querying.h packed
+dataset) — and reconstructs each tile on the fly inside the Pallas kernel:
+
+    one_hot(codes_tile) @ codebook   ->  recon tile (TILE, d)   # MXU
+    recon @ queries^T                ->  scores (TILE, QG)      # MXU
+
+The one-hot expansion IS the TPU's table lookup: 8 code blocks at a time
+expand to a (TILE, 128) int8 operand (``jnp.repeat`` along lanes + an
+iota compare, no relayout), contracting against a (128, d) codebook slice
+at full MXU occupancy.  Under residual quantization the per-(query, leaf)
+q.c_leaf bias is added at merge time (merge_candidates pair_bias), so the
+kernel scores residual dots only.  Unlike the reference's int8-quantized
+LUTs (ConvertLookupToFixedPoint), decoding reproduces FLOAT-lookup
+semantics exactly — there is no per-query fixed-point error.
+
+Compute per tile is ~6x the recon kernel's scoring matmul (the decode
+matmul dominates), traded for 5x less HBM per slot; use this mode when
+index memory is the constraint (AsymmetricHashConfig.lookup_type="int8"
+with a partitioned searcher).
+
+Everything else — work plan, packed survivor encoding, stratified merge —
+is shared with ops/pruned_scan.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scann_tpu.ops import pruned_scan as ps
+
+# Code blocks expanded per MXU pass: 8 blocks x 16 centers = 128 lanes.
+_BLK = 8
+_PAD_CODE = 255  # matches no center id; padded blocks contribute nothing
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_codes_tiles(codes_flat, num_tiles: int):
+    """(num_tiles*TILE, B) uint8 codes -> kernel layout
+    (num_tiles, TILE, B_pad) with 255-padded tail blocks."""
+    import numpy as np
+    b = codes_flat.shape[1]
+    b_pad = _round_up(b, _BLK)
+    out = np.full((codes_flat.shape[0], b_pad), _PAD_CODE, np.uint8)
+    out[:, :b] = codes_flat
+    return out.reshape(num_tiles, ps.TILE, b_pad)
+
+
+def expand_codebook(codebook, d_pad: int, b_pad: int):
+    """(B, 16, dpb) codebook -> (b_pad*16, d_pad) decode matrix: row
+    j*16+c holds center c of block j embedded at its dimension offset."""
+    import numpy as np
+    cb = np.asarray(codebook, np.float32)
+    b, j, dpb = cb.shape
+    out = np.zeros((b_pad * 16, d_pad), np.float32)
+    for blk in range(b):
+        out[blk * 16:(blk + 1) * 16, blk * dpb:(blk + 1) * dpb] = cb[blk]
+    return out
+
+
+def _kernel(work_tile_ref, work_active_ref, qg_rows_ref, codes_ref,
+            cb_ref, mean_ref, bias_ref, out_ref, *, scale, mnt, kpg,
+            b_pad, d):
+    w = pl.program_id(0)
+
+    @pl.when(work_active_ref[w] == 1)
+    def _():
+        # pltpu.repeat TILES the 8 code lanes 16x: lane c holds the code
+        # of block c % 8; comparing against c // 8 one-hots center
+        # (c // 8) of block (c % 8) — the decode matrix rows are permuted
+        # to this lane order by the wrapper.
+        val16 = jax.lax.broadcasted_iota(
+            jnp.int32, (ps.TILE, _BLK * 16), 1) // _BLK
+        recon = jnp.zeros((ps.TILE, d), jnp.float32)
+        for j in range(b_pad // _BLK):
+            blk = codes_ref[0][:, j * _BLK:(j + 1) * _BLK].astype(jnp.int32)
+            rep = pltpu.repeat(blk, 16, axis=1)        # (TILE, 128)
+            oh = (rep == val16).astype(jnp.bfloat16)
+            recon = recon + jax.lax.dot_general(
+                oh, cb_ref[0][j * _BLK * 16:(j + 1) * _BLK * 16, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        recon = recon - mean_ref[0]
+        recon_bf = recon.astype(jnp.bfloat16)
+        scores = jax.lax.dot_general(
+            recon_bf, qg_rows_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (TILE, QG)
+        if scale != 1.0:  # squared-L2: 2 q.x - ||x||^2 (+ -||q||^2 later)
+            sq = jnp.sum(recon * recon, axis=1, keepdims=True)
+            scores = scale * scores - sq
+        scores = scores + bias_ref[0]                  # pad penalty
+        grouped = scores.reshape(ps.GP, ps.SUBP, ps.QG)
+        v, a = ps._group_top(grouped, axis=1, cat_axis=0, kpg=kpg)
+        out_ref[0] = jnp.transpose(ps._pack(v, a, w % mnt), (1, 0))
+
+
+def score_work_pallas_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
+                            measure_l2: bool, interpret: bool = False,
+                            kpg: int = ps.KPG):
+    """Pallas scorer over packed codes.  codes3: (num_tiles, TILE, b_pad)
+    uint8; cb_mat: (b_pad*16, d) decode matrix (bf16); mean: (d,) f32
+    subtracted from every decoded row (zeros when unused); bias2:
+    (num_tiles, TILE) f32 pad penalties.  Returns packed scores
+    (W_pad, QG, kpg*GP) int32 (same contract as pruned_scan)."""
+    import numpy as np
+    w_pad = plan.work_tile.shape[0]
+    mnt = w_pad // plan.qg_query.shape[0]
+    b_pad = codes3.shape[-1]
+    d = cb_mat.shape[-1]
+    bias3 = bias2.reshape(bias2.shape[0], ps.TILE, 1)
+    # Permute decode-matrix rows from standard (block*16 + center) order
+    # into the kernel's tiled lane order (see _kernel).
+    ridx = np.arange(b_pad * 16)
+    g, within = ridx // 128, ridx % 128
+    src = (g * _BLK + within % _BLK) * 16 + within // _BLK
+    cb3 = jnp.take(cb_mat, jnp.asarray(src), axis=0).reshape(
+        1, b_pad * 16, d).astype(jnp.bfloat16)
+    mean2 = mean.reshape(1, d).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(w_pad,),
+        in_specs=[
+            pl.BlockSpec((1, ps.QG, d), lambda w, wt, wa: (w // mnt, 0, 0)),
+            pl.BlockSpec((1, ps.TILE, b_pad),
+                         lambda w, wt, wa: (wt[w], 0, 0)),
+            pl.BlockSpec((1, b_pad * 16, d), lambda w, wt, wa: (0, 0, 0)),
+            pl.BlockSpec((1, d), lambda w, wt, wa: (0, 0)),
+            pl.BlockSpec((1, ps.TILE, 1), lambda w, wt, wa: (wt[w], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ps.QG, kpg * ps.GP),
+                         lambda w, wt, wa: (w, 0, 0)),
+        ],
+    )
+    (packed,) = pl.pallas_call(
+        functools.partial(_kernel, scale=2.0 if measure_l2 else 1.0,
+                          mnt=mnt, kpg=kpg, b_pad=b_pad, d=d),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((w_pad, ps.QG, kpg * ps.GP), jnp.int32),
+        ],
+        interpret=interpret,
+    )(plan.work_tile, plan.work_active, qg_rows, codes3, cb3, mean2, bias3)
+    return packed
+
+
+_XLA_WORK_CHUNK = 64
+
+
+def score_work_xla_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
+                         measure_l2: bool, kpg: int = ps.KPG):
+    """XLA fallback with identical outputs (CPU tests, non-TPU)."""
+    w_pad = plan.work_tile.shape[0]
+    mnt = w_pad // plan.qg_query.shape[0]
+    scale = 2.0 if measure_l2 else 1.0
+    b_pad = codes3.shape[-1]
+    pad = _round_up(w_pad, _XLA_WORK_CHUNK) - w_pad
+    wt = jnp.pad(plan.work_tile, (0, pad))
+    wq = jnp.pad(plan.work_qg, (0, pad))
+    wi = jnp.arange(w_pad + pad, dtype=jnp.int32) % mnt
+    cb_bf = cb_mat.astype(jnp.bfloat16)
+
+    def chunk(args):
+        wt_c, wq_c, wi_c = args
+        codes = jnp.take(codes3, wt_c, axis=0).astype(jnp.int32)
+        q = jnp.take(qg_rows, wq_c, axis=0)
+        b = jnp.take(bias2, wt_c, axis=0)
+        oh = (codes[..., None]
+              == jnp.arange(16, dtype=jnp.int32)).astype(jnp.bfloat16)
+        oh = oh.reshape(codes.shape[0], ps.TILE, b_pad * 16)
+        recon = jax.lax.dot_general(
+            oh, cb_bf, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        recon = recon - mean[None, None, :]
+        s = jax.lax.dot_general(
+            recon.astype(jnp.bfloat16), q,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        if scale != 1.0:
+            s = scale * s - jnp.sum(recon * recon, axis=-1, keepdims=True)
+        s = s + b[:, :, None]
+        g = s.reshape(s.shape[0], ps.GP, ps.SUBP, ps.QG)
+        v, a = ps._group_top(g, axis=2, cat_axis=1, kpg=kpg)
+        return jnp.transpose(ps._pack(v, a, wi_c[:, None, None]), (0, 2, 1))
+
+    n_chunks = (w_pad + pad) // _XLA_WORK_CHUNK
+    packed = jax.lax.map(
+        chunk, (wt.reshape(n_chunks, -1), wq.reshape(n_chunks, -1),
+                wi.reshape(n_chunks, -1)))
+    return packed.reshape(-1, ps.QG, kpg * ps.GP)[:w_pad]

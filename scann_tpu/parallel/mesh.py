@@ -361,6 +361,39 @@ def build_sharded(database: np.ndarray, scann_config: cfg.ScannConfig,
     _logger.info("sharded build: centers trained (%d leaves)",
                  part.num_leaves)
 
+    # -- 1b. split oversized partitions (host 2-means; the sharded
+    # analogue of the single-chip build's split_oversized pass): one
+    # cheap sharded tokenize pass feeds the sizes, the encode pass below
+    # re-tokenizes against the final centers.
+    from scann_tpu.partitioning import kmeans_tree as kt
+
+    @jax.jit
+    def _tokenize_only(x, c):
+        a, _ = kmeans_ops.assign(x, c)
+        return a.astype(jnp.int32)
+
+    row_sharding0 = NamedSharding(flat_mesh, P("data", None))
+    tokens0 = np.empty((n,), np.int32)
+    step0 = _round_up(min(_BUILD_CHUNK, max(n_dev, n)), n_dev)
+    for s in range(0, n, step0):
+        rows = database[s:s + step0]
+        m_rows = rows.shape[0]
+        if m_rows % n_dev:
+            rows = np.pad(rows, ((0, step0 - m_rows), (0, 0)))
+        t = _tokenize_only(jax.device_put(jnp.asarray(rows), row_sharding0),
+                           centers)
+        tokens0[s:s + m_rows] = np.asarray(t[:m_rows])
+    cap = int(max(2.0 * n / max(part.num_leaves, 1), 1024))
+    _, centers_np = kt.split_oversized(database, tokens0,
+                                       np.asarray(centers), cap)
+    if centers_np.shape[0] != part.num_leaves:
+        import dataclasses
+        part = dataclasses.replace(part, num_leaves=centers_np.shape[0])
+        scann_config = dataclasses.replace(scann_config, partitioning=part)
+        centers = jax.device_put(jnp.asarray(centers_np),
+                                 NamedSharding(flat_mesh, P()))
+        _logger.info("sharded build: split to %d leaves", part.num_leaves)
+
     # -- 2. AH codebook on sampled residuals.
     residual = (scann_config.distance_measure == cfg.DOT_PRODUCT)
 

@@ -260,6 +260,51 @@ class KMeansTreePartitioner(NamedTuple):
         return self._replace(centers=new_centers)
 
 
+def split_oversized(x: np.ndarray, tokens: np.ndarray,
+                    centers: np.ndarray, cap: int, max_rounds: int = 8):
+    """Bound every partition to <= cap members by SPLITTING over-cap
+    partitions with a local 2-means (host numpy — build-time only).
+
+    Unlike capacity-forcing (cap_partition_sizes), splitting adds finer
+    centroids instead of moving members to worse centers, so residual
+    quantization quality is untouched and query tokenization gets
+    strictly finer targets (the build-time analogue of the reference's
+    online-incremental SplitPartition, tree_x_hybrid/mutator.h:560-608).
+    Returns (tokens, centers) — num_leaves may grow.
+    """
+    tokens = np.array(tokens, np.int64, copy=True)
+    centers = np.array(centers, np.float32, copy=True)
+    for _ in range(max_rounds):
+        counts = np.bincount(tokens, minlength=len(centers))
+        over = np.nonzero(counts > cap)[0]
+        if len(over) == 0:
+            break
+        new_centers = []
+        for lf in over:
+            members = np.nonzero(tokens == lf)[0]
+            xm = x[members]
+            # 2-means seeded at a far pair, few Lloyd steps.
+            d0 = ((xm - xm[0]) ** 2).sum(1)
+            c1 = xm[int(d0.argmax())]
+            d1 = ((xm - c1) ** 2).sum(1)
+            c0 = xm[int(d1.argmax())]
+            c2 = np.stack([c0, c1])
+            a = np.zeros(len(xm), np.int64)
+            for _it in range(6):
+                d = ((xm[:, None, :] - c2[None]) ** 2).sum(2)
+                a = d.argmin(1)
+                for j in (0, 1):
+                    if (a == j).any():
+                        c2[j] = xm[a == j].mean(0)
+            centers[lf] = c2[0]
+            new_id = len(centers) + len(new_centers)
+            new_centers.append(c2[1])
+            tokens[members[a == 1]] = new_id
+        centers = np.concatenate(
+            [centers, np.stack(new_centers)], axis=0)
+    return tokens, centers
+
+
 def cap_partition_sizes(x: np.ndarray, tokens: np.ndarray,
                         centers: np.ndarray, cap: int,
                         base_counts: Optional[np.ndarray] = None,
@@ -272,51 +317,72 @@ def cap_partition_sizes(x: np.ndarray, tokens: np.ndarray,
     The reference enforces only a MIN partition size (gmm_utils.cc
     min-size reassignment); the max-size bound here keeps per-leaf work
     bounded for the pruned leaf-gather kernel (ops/pruned_scan.MAX_NTILES)
-    and evens out per-leaf search cost.  Moved points land in their
-    next-best center, so the recall effect is absorbed by
-    leaves_to_search.  base_counts: slots already held per leaf (e.g.
-    primary assignments when capping SOAR secondaries); forbid: (n,) leaf
-    id each point may not move to (its primary under SOAR).
+    and evens out per-leaf search cost.  The members moved out of an
+    over-cap partition are the BOUNDARY points — those with the smallest
+    (best-alternative-distance - own-distance) gap — so the residual
+    (and recall) damage of moving is minimal, and they land directly in
+    that best alternative.  base_counts: slots already held per leaf
+    (e.g. primary assignments when capping SOAR secondaries); forbid:
+    (n,) leaf id each point may not move to (its primary under SOAR).
     """
     tokens = np.array(tokens, np.int64, copy=True)
     nl = centers.shape[0]
     cj = jnp.asarray(centers, jnp.float32)
-    c_sq = np.asarray(jnp.sum(cj * cj, axis=1))
+    c_sq_np = np.asarray(jnp.sum(cj * cj, axis=1))
     extra = base_counts if base_counts is not None else 0
+
+    @jax.jit
+    def _alt(xm, own, room, fb):
+        d = (jnp.asarray(c_sq_np)[None, :]
+             - 2.0 * jax.lax.dot_general(
+                 xm, cj, dimension_numbers=(((1,), (1,)), ((), ())),
+                 preferred_element_type=jnp.float32))
+        d_own = jnp.take_along_axis(d, own[:, None], axis=1)[:, 0]
+        iota = jnp.arange(nl)[None, :]
+        d = jnp.where(room[None, :], d, jnp.inf)
+        d = jnp.where(iota == own[:, None], jnp.inf, d)
+        d = jnp.where(iota == fb[:, None], jnp.inf, d)
+        alt = jnp.argmin(d, axis=1)
+        return d_own, jnp.min(d, axis=1), alt.astype(jnp.int32)
+
     for _ in range(rounds):
         counts = np.bincount(tokens, minlength=nl) + extra
-        over = np.nonzero(counts > cap)[0]
+        over_mask = counts > cap
+        over = np.nonzero(over_mask)[0]
         if len(over) == 0:
             break
-        movers = []
+        cand = np.nonzero(over_mask[tokens])[0]
+        room = jnp.asarray(counts < cap)
+        d_own = np.empty(len(cand), np.float32)
+        d_alt = np.empty(len(cand), np.float32)
+        alt = np.empty(len(cand), np.int64)
+        step = 32768
+        fb_all = (forbid if forbid is not None
+                  else np.full(len(tokens), -1, np.int64))
+        for s0 in range(0, len(cand), step):
+            cv = cand[s0:s0 + step]
+            o, a_d, a_i = _alt(jnp.asarray(x[cv], jnp.float32),
+                               jnp.asarray(tokens[cv], jnp.int32),
+                               room, jnp.asarray(fb_all[cv], jnp.int32))
+            d_own[s0:s0 + len(cv)] = np.asarray(o)
+            d_alt[s0:s0 + len(cv)] = np.asarray(a_d)
+            alt[s0:s0 + len(cv)] = np.asarray(a_i)
+        delta = d_alt - d_own
+        moved_any = False
         for lf in over:
-            members = np.nonzero(tokens == lf)[0]
+            members = np.nonzero(tokens[cand] == lf)[0]
             excess = int(counts[lf] - cap)
             if excess <= 0 or len(members) == 0:
                 continue
-            d = ((x[members] - centers[lf][None, :]) ** 2).sum(axis=1)
-            movers.append(members[np.argsort(d)[len(members) - min(
-                excess, len(members)):]])
-        if not movers:
+            take = members[np.argsort(delta[members])[:min(
+                excess, len(members))]]
+            ok = np.isfinite(delta[take])
+            take = take[ok]
+            if len(take):
+                tokens[cand[take]] = alt[take]
+                moved_any = True
+        if not moved_any:
             break
-        movers = np.concatenate(movers)
-        room = jnp.asarray(counts < cap)
-        new_t = np.empty(len(movers), np.int64)
-        step = 16384
-        for s0 in range(0, len(movers), step):
-            mv = movers[s0:s0 + step]
-            xm = jnp.asarray(x[mv], jnp.float32)
-            d = (jnp.asarray(c_sq)[None, :]
-                 - 2.0 * jax.lax.dot_general(
-                     xm, cj, dimension_numbers=(((1,), (1,)), ((), ())),
-                     preferred_element_type=jnp.float32))
-            d = jnp.where(room[None, :], d, jnp.inf)
-            if forbid is not None:
-                fb = jnp.asarray(forbid[mv])
-                d = jnp.where(jnp.arange(nl)[None, :] == fb[:, None],
-                              jnp.inf, d)
-            new_t[s0:s0 + len(mv)] = np.asarray(jnp.argmin(d, axis=1))
-        tokens[movers] = new_t
     return tokens
 
 

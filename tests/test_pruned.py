@@ -198,3 +198,55 @@ def test_pruned_single_query():
     s = _build(db, num_leaves=16)
     i1, d1 = s.search(q[0], leaves_to_search=4)
     assert len(i1) == 10 and np.isfinite(d1[i1 >= 0]).all()
+
+
+def test_pruned_decode_mode_memory_lean():
+    """int8/float32 lookup modes ride the pruned path with codes-only HBM:
+    the kernel decodes on the fly (ops/pruned_lut.py) with float-lookup
+    semantics, so recall is >= the dense int8-LUT path's."""
+    db, q = _clustered()
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    b = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=64, num_leaves_to_search=8,
+               training_sample_size=20000)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(60))
+    s = b.build()  # default lookup_type=int8 -> decode-mode pruned path
+    assert s._pruned_available and not s._recon_mode
+    idx_p, _ = s.search_batched(q, leaves_to_search=8)
+    rp = _recall(idx_p, truth)
+    # memory-lean: no bf16 rows materialized for the pruned layout
+    s._ensure_pruned()
+    assert s._p_rows is None and s._p_codes is not None
+    # dense int8-LUT comparison
+    s2 = b.build()
+    s2._ensure_pruned = lambda: None
+    s2._invalidate_pruned()
+    idx_d, _ = s2.search_batched(q, leaves_to_search=8)
+    rd = _recall(idx_d, truth)
+    assert rp >= rd - 0.02, (rp, rd)
+    # pallas-interpret parity for the decode kernel
+    s._pruned_interpret = True
+    s._compiled = {}
+    idx_i, _ = s.search_batched(q, leaves_to_search=8)
+    agree = np.mean([len(set(idx_i[i]) & set(idx_p[i])) / 10
+                     for i in range(len(q))])
+    assert agree >= 0.999, agree
+
+
+def test_pruned_decode_mode_l2():
+    db, q = _clustered()
+    d2 = (q ** 2).sum(1)[:, None] - 2 * q @ db.T + (db ** 2).sum(1)[None]
+    truth2 = np.argsort(d2, axis=1)[:, :10]
+    b = (scann_tpu.builder(db, 10, "squared_l2")
+         .tree(num_leaves=64, num_leaves_to_search=8,
+               training_sample_size=20000)
+         .score_ah(2).reorder(60))
+    s = b.build()
+    idx, dist = s.search_batched(q, leaves_to_search=8)
+    r = _recall(idx, truth2)
+    s._ensure_pruned = lambda: None
+    s._invalidate_pruned()
+    s._compiled = {}
+    idx_d, _ = s.search_batched(q, leaves_to_search=8)
+    assert r >= _recall(idx_d, truth2) - 0.03, r
