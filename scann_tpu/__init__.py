@@ -32,3 +32,24 @@ def load_searcher(artifacts_dir):
     scann_ops_pybind.py:251-273)."""
     from scann_tpu.utils import serialization
     return serialization.load_searcher(artifacts_dir)
+
+
+def searcher_to_tensors(searcher):
+    """Searcher -> flat numpy-tensor dict for embedding in model
+    checkpoints (reference: scann_searcher_to_tensors,
+    scann_ops/cc/ops/scann_ops.cc:56-95)."""
+    from scann_tpu.utils import serialization
+    return serialization.searcher_to_tensors(searcher)
+
+
+def searcher_from_tensors(tensors):
+    """Inverse of searcher_to_tensors (reference: tensors_to_scann)."""
+    from scann_tpu.utils import serialization
+    return serialization.searcher_from_tensors(tensors)
+
+
+def serve(artifacts_dir, host="0.0.0.0", port=8080, block=True):
+    """Serve a serialized index over HTTP (the reference's TF-Serving
+    deployment role; see scann_tpu.serving)."""
+    from scann_tpu import serving
+    return serving.serve(artifacts_dir, host=host, port=port, block=block)

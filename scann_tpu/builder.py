@@ -73,7 +73,10 @@ class ScannBuilder:
              training_iterations=12, spherical=False, quantize_centroids=False,
              random_init=True, incremental_threshold=None,
              incremental_mode="online", avq=None,
-             soar_lambda=None, overretrieve_factor=None) -> "ScannBuilder":
+             soar_lambda=None, overretrieve_factor=None,
+             query_spilling_type="fixed_number",
+             query_spilling_threshold=None,
+             expected_spill_factor=2.0) -> "ScannBuilder":
         """Configure partitioning (reference: scann_builder.py:163-239)."""
         if self._partitioning is not None:
             raise ValueError("tree has already been configured")
@@ -101,6 +104,9 @@ class ScannBuilder:
             random_init=random_init,
             incremental_threshold=incremental_threshold,
             incremental_mode=incremental_mode,
+            query_spilling_type=query_spilling_type,
+            query_spilling_threshold=query_spilling_threshold,
+            expected_spill_factor=expected_spill_factor,
             avq=avq,
             soar=soar)
         return self

@@ -86,6 +86,17 @@ class PartitioningConfig:
     # reassign only their members (reference ONLINE_INCREMENTAL,
     # tree_x_hybrid/mutator.h SplitPartition/Reassign :560-737).
     incremental_mode: str = "online"
+    # Query spilling (reference QuerySpillingConfig,
+    # proto/partitioning.proto:220-237): "fixed_number" |
+    # "additive" | "multiplicative" | "absolute_distance".
+    # num_leaves_to_search doubles as max_spill_centers for the
+    # distance-conditioned types; a None threshold for additive/
+    # multiplicative is LEARNED from the training sample
+    # (GmmUtils::ComputeSpillingThreshold, gmm_utils.cc:946) targeting
+    # expected_spill_factor leaves per query.
+    query_spilling_type: str = "fixed_number"
+    query_spilling_threshold: Optional[float] = None
+    expected_spill_factor: float = 2.0
     upper_tree: Optional[UpperTreeConfig] = None
 
     def __post_init__(self):

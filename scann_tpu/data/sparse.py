@@ -1,0 +1,168 @@
+"""Sparse input support: CSR container + hashed projection into the dense
+pipeline.
+
+The reference supports SparseDataset natively with sparse one-to-one
+distance kernels (scann/data_format/dataset.h:639 SparseDataset,
+distance_measures/one_to_one sparse overloads) — pointer-chasing work that
+an MXU cannot express.  The TPU-first treatment routes sparse vectors
+through a projection at ingest (the reference itself projects sparse data
+for AH via its chunking projections, projection/chunking_projection.h):
+
+  * SparseMatrix: a minimal CSR container (indptr/indices/values), also
+    accepting scipy.sparse matrices.
+  * SparseHashingProjection: feature hashing (signed random buckets) —
+    an unbiased dot-product estimator, so dot_product / cosine searches
+    over the projected vectors approximate the sparse originals with
+    variance ~ ||x||^2 ||q||^2 / out_dims.
+  * sparse_searcher(): projects the database, builds any dense searcher
+    config over it, and wraps it so queries project transparently.
+
+Exact sparse rescoring against the original CSR rows stays on the host
+(numpy) for the final candidates when ``exact_rescore=True`` — the TPU
+selects candidates, the host refines the handful of true dot products
+(k * batch work, negligible).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class SparseMatrix(NamedTuple):
+    """CSR sparse matrix (float32 values, int64 indices)."""
+    indptr: np.ndarray   # (n + 1,)
+    indices: np.ndarray  # (nnz,)
+    values: np.ndarray   # (nnz,)
+    shape: tuple
+
+    @staticmethod
+    def from_any(m) -> "SparseMatrix":
+        if isinstance(m, SparseMatrix):
+            return m
+        if hasattr(m, "tocsr"):  # scipy.sparse
+            csr = m.tocsr()
+            return SparseMatrix(np.asarray(csr.indptr, np.int64),
+                                np.asarray(csr.indices, np.int64),
+                                np.asarray(csr.data, np.float32),
+                                tuple(csr.shape))
+        if isinstance(m, np.ndarray) and m.ndim == 2:  # dense fallback
+            nz = [np.nonzero(row)[0] for row in m]
+            indptr = np.concatenate(
+                [[0], np.cumsum([len(z) for z in nz])]).astype(np.int64)
+            indices = np.concatenate(nz).astype(np.int64) if nz else \
+                np.zeros((0,), np.int64)
+            values = np.concatenate(
+                [m[i, z] for i, z in enumerate(nz)]).astype(np.float32) \
+                if nz else np.zeros((0,), np.float32)
+            return SparseMatrix(indptr, indices, values, m.shape)
+        raise TypeError(f"cannot interpret {type(m)} as a sparse matrix")
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    def row(self, i: int):
+        s, e = self.indptr[i], self.indptr[i + 1]
+        return self.indices[s:e], self.values[s:e]
+
+    def dot_dense_rows(self, rows: "SparseMatrix", idx: np.ndarray):
+        """Exact sparse dot products self[q] . rows[idx[q, j]] for a
+        candidate matrix idx (host rescoring)."""
+        out = np.full(idx.shape, -np.inf, np.float32)
+        for qi in range(idx.shape[0]):
+            qi_idx, qi_val = self.row(qi)
+            qmap = dict(zip(qi_idx.tolist(), qi_val.tolist()))
+            for j, dp in enumerate(idx[qi]):
+                if dp < 0:
+                    continue
+                ri, rv = rows.row(int(dp))
+                s = 0.0
+                for c, v in zip(ri.tolist(), rv.tolist()):
+                    if c in qmap:
+                        s += qmap[c] * v
+                out[qi, j] = s
+        return out
+
+
+class SparseHashingProjection(NamedTuple):
+    """Signed feature hashing: column c -> bucket h(c) with sign s(c).
+    Unbiased estimator of dot products (Weinberger et al. 2009)."""
+    out_dims: int
+    seed: int
+
+    def _hash(self, cols: np.ndarray):
+        # splitmix64-style mixing; deterministic across processes.
+        with np.errstate(over="ignore"):
+            x = (cols.astype(np.uint64)
+                 + np.uint64(0x9E3779B97F4A7C15)
+                 * np.uint64(self.seed + 1))
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+        bucket = (x % np.uint64(self.out_dims)).astype(np.int64)
+        sign = np.where((x >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
+        return bucket, sign.astype(np.float32)
+
+    def project(self, m: SparseMatrix) -> np.ndarray:
+        out = np.zeros((m.n_rows, self.out_dims), np.float32)
+        bucket, sign = self._hash(m.indices)
+        row_of = np.repeat(np.arange(m.n_rows),
+                           np.diff(m.indptr).astype(np.int64))
+        np.add.at(out, (row_of, bucket), m.values * sign)
+        return out
+
+
+class SparseSearcher:
+    """Dense searcher over hashed projections of sparse vectors, with
+    optional exact host rescoring against the original CSR rows."""
+
+    def __init__(self, searcher, projection: SparseHashingProjection,
+                 database: SparseMatrix, exact_rescore: bool = True):
+        self.searcher = searcher
+        self.projection = projection
+        self.database = database
+        self.exact_rescore = exact_rescore
+
+    def search_batched(self, queries, final_num_neighbors=None, **kwargs):
+        q = SparseMatrix.from_any(queries)
+        dense_q = self.projection.project(q)
+        k = final_num_neighbors or self.searcher.config.num_neighbors
+        fetch = max(2 * k, k + 10) if self.exact_rescore else k
+        idx, dist = self.searcher.search_batched(
+            dense_q, final_num_neighbors=fetch, **kwargs)
+        idx = np.asarray(idx)
+        if not self.exact_rescore:
+            return idx[:, :k], np.asarray(dist)[:, :k]
+        exact = q.dot_dense_rows(self.database, idx)
+        order = np.argsort(-exact, axis=1)[:, :k]
+        return (np.take_along_axis(idx, order, axis=1),
+                np.take_along_axis(exact, order, axis=1))
+
+
+def sparse_searcher(database, num_neighbors: int,
+                    distance_measure: str = "dot_product",
+                    projection_dims: int = 256, seed: int = 42,
+                    exact_rescore: bool = True,
+                    configure=None) -> SparseSearcher:
+    """Build a searcher over sparse input.
+
+    database: SparseMatrix / scipy CSR / dense ndarray.  configure:
+    optional fn(builder) -> builder to pick tree/AH settings; defaults to
+    brute force for small corpora and tree+AH above 100k rows.
+    """
+    import scann_tpu
+    m = SparseMatrix.from_any(database)
+    proj = SparseHashingProjection(out_dims=projection_dims, seed=seed)
+    dense = proj.project(m)
+    b = scann_tpu.builder(dense, num_neighbors, distance_measure)
+    if configure is not None:
+        b = configure(b)
+    elif m.n_rows > 100_000:
+        b = (b.tree(num_leaves=max(2, m.n_rows // 512),
+                    num_leaves_to_search=max(1, m.n_rows // 512 // 20))
+             .score_ah(2).reorder(4 * num_neighbors))
+    else:
+        b = b.score_brute_force()
+    return SparseSearcher(b.build(), proj, m, exact_rescore=exact_rescore)

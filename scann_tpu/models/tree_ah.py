@@ -937,6 +937,9 @@ class TreeAHSearcher(base.Searcher):
                     col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves),
                                                    1)
                     keep = col < state["leaves_dynamic"]
+                if partitioner.query_spilling_type != "fixed_number":
+                    keep = jnp.logical_and(
+                        keep, partitioner.spilling_mask(center_sims))
             # One dense (query, leaf) table combining the selection mask
             # and, under residual quantization, the per-leaf q.c bias (the
             # reference's distance_to_center bias,
@@ -1098,6 +1101,9 @@ class TreeAHSearcher(base.Searcher):
             if state.get("leaves_dynamic") is not None:
                 col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
                 valid_sel = col < state["leaves_dynamic"]
+            if partitioner.query_spilling_type != "fixed_number":
+                valid_sel = jnp.logical_and(
+                    valid_sel, partitioner.spilling_mask(center_sims))
 
         q_c = queries
         if state.get("recon_mean") is not None:

@@ -115,11 +115,14 @@ class TreeXSearcher(base.Searcher):
             leaf_ids = jnp.maximum(pt, 0)
             keep = pt >= 0
         else:
-            leaf_ids, _ = partitioner.tokenize_queries(queries, leaves)
+            leaf_ids, c_sims = partitioner.tokenize_queries(queries, leaves)
             keep = jnp.ones((nq, leaves), bool)
             if state.get("leaves_dynamic") is not None:
                 col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
                 keep = col < state["leaves_dynamic"]
+            if partitioner.query_spilling_type != "fixed_number":
+                keep = jnp.logical_and(keep,
+                                       partitioner.spilling_mask(c_sims))
         mask_dense = jnp.zeros((nq, num_leaves), bool
                                ).at[rows_iota, leaf_ids].set(keep)
 

@@ -24,6 +24,7 @@ Responsibilities:
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -50,10 +51,39 @@ class KMeansTreePartitioner(NamedTuple):
     upper_centers: Optional[jax.Array] = None  # (U, d) f32
     upper_assign: Optional[jax.Array] = None  # (num_leaves,) int32
     upper_leaves_to_search: int = 1
+    # Query spilling (reference QuerySpillingConfig,
+    # proto/partitioning.proto:220-237): "fixed_number" searches exactly
+    # num_leaves_to_search leaves; the distance-conditioned types mask
+    # leaves beyond a threshold relative to the best leaf.
+    query_spilling_type: str = "fixed_number"
+    query_spilling_threshold: float = 0.0
 
     @property
     def num_leaves(self) -> int:
         return self.centers.shape[0]
+
+    def spilling_mask(self, sims):
+        """(B, L) keep-mask over rank-ordered center SIMILARITIES (higher
+        better; sims = -distance under L2, dot products otherwise),
+        implementing TokensForDatapointWithSpilling semantics
+        (kmeans_tree_partitioner.cc:189-284): the static L =
+        num_leaves_to_search acts as the reference's max_spill_centers
+        cap and the threshold masks the tail per query."""
+        t = self.query_spilling_type
+        if t == "fixed_number":
+            return jnp.ones(sims.shape, bool)
+        thr = self.query_spilling_threshold
+        best = sims[:, :1]
+        if t == "additive":
+            # d_k <= d_best + thr  <=>  s_k >= s_best - thr
+            return sims >= best - thr
+        if t == "absolute_distance":
+            # d <= thr  <=>  s >= -thr
+            return sims >= -thr
+        if t == "multiplicative":
+            # d_k <= thr * d_best with d = -s >= 0 (squared-L2 space).
+            return -sims <= thr * jnp.maximum(-best, 0.0)
+        raise ValueError(f"unknown query_spilling_type: {t}")
 
     # ----------------------------------------------------------- training
     @staticmethod
@@ -95,11 +125,20 @@ class KMeansTreePartitioner(NamedTuple):
             upper_assign = ures.assignments
             upper_l = max(1, min(up.num_leaves_to_search,
                                  upper_centers.shape[0]))
+        spill_type = getattr(part, "query_spilling_type", "fixed_number")
+        spill_thr = getattr(part, "query_spilling_threshold", None)
+        if spill_type in ("additive", "multiplicative") and spill_thr is None:
+            spill_thr = learn_spilling_threshold(
+                sample, centers, spill_type,
+                getattr(part, "expected_spill_factor", 2.0),
+                part.num_leaves_to_search)
         return KMeansTreePartitioner(
             centers=centers, centers_int8=centers_int8,
             centers_inv_mult=inv_mult, query_distance=measure,
             upper_centers=upper_centers, upper_assign=upper_assign,
-            upper_leaves_to_search=upper_l)
+            upper_leaves_to_search=upper_l,
+            query_spilling_type=spill_type,
+            query_spilling_threshold=float(spill_thr or 0.0))
 
     # ------------------------------------------------------ tokenization
     def query_center_scores(self, queries):
@@ -258,6 +297,35 @@ class KMeansTreePartitioner(NamedTuple):
         new_centers = jnp.where((counts > 0)[:, None], new_centers,
                                 self.centers)
         return self._replace(centers=new_centers)
+
+
+def learn_spilling_threshold(sample, centers, spilling_type: str,
+                             spill_factor: float, max_centers: int) -> float:
+    """Learned query-spilling threshold (reference:
+    GmmUtils::ComputeSpillingThreshold, utils/gmm_utils.cc:946-1034):
+    pool the additive (d_k - d_0) or multiplicative (d_k / d_0) spill
+    statistics of the training sample's top max_centers centers and take
+    the quantile whose expected spill count matches spill_factor."""
+    if spill_factor <= 1.0:
+        return 0.0
+    max_n = int(min(centers.shape[0], max(2, max_centers)))
+
+    @jax.jit
+    def stats(x, c):
+        d = dist_ops.squared_l2(x, c)
+        top = -jax.lax.top_k(-d, max_n)[0]  # ascending distances
+        if spilling_type == "additive":
+            return top[:, 1:] - top[:, :1]
+        return top[:, 1:] / jnp.maximum(top[:, :1], 1e-20)
+
+    spills = np.asarray(stats(jnp.asarray(sample, jnp.float32),
+                              centers)).reshape(-1)
+    n_sample = sample.shape[0]
+    if max_n <= spill_factor:
+        return float(spills.max())
+    idx = int(math.floor((spill_factor - 1.0) * n_sample))
+    idx = min(idx, len(spills) - 1)
+    return float(np.partition(spills, idx)[idx])
 
 
 def split_oversized(x: np.ndarray, tokens: np.ndarray,

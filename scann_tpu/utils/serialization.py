@@ -42,8 +42,11 @@ def _from_numpy(a: np.ndarray, tag: str):
     return jnp.asarray(a)
 
 
-def save_searcher(searcher, artifacts_dir: str):
-    os.makedirs(artifacts_dir, exist_ok=True)
+def collect_assets(searcher):
+    """Flatten a searcher into (arrays, blob): every device/host array as
+    a numpy tensor plus a JSON-able config+meta blob — the reference's
+    searcher -> tensors decomposition (ScannToTensorsOp,
+    scann_ops/cc/kernels/scann_ops.cc:57-435, scann_ops.py:41-73)."""
     arrays: dict[str, np.ndarray] = {}
     dtypes: dict[str, str] = {}
     meta: dict = {"type": type(searcher).__name__,
@@ -106,6 +109,10 @@ def save_searcher(searcher, artifacts_dir: str):
             put("centers_inv_mult", searcher.partitioner.centers_inv_mult)
             put("upper_centers", searcher.partitioner.upper_centers)
             put("upper_assign", searcher.partitioner.upper_assign)
+            meta["query_spilling_type"] = (
+                searcher.partitioner.query_spilling_type)
+            meta["query_spilling_threshold"] = (
+                searcher.partitioner.query_spilling_threshold)
     elif tname == "TreeXSearcher":
         put("slot_rows", searcher.slot_rows)
         put("slot_leaf", searcher.slot_leaf)
@@ -124,13 +131,52 @@ def save_searcher(searcher, artifacts_dir: str):
         raise ValueError(f"cannot serialize searcher type {tname}")
 
     meta["dtypes"] = dtypes
+    blob = {"config": json.loads(searcher.config.to_json()), "meta": meta}
+    return arrays, blob
+
+
+def save_searcher(searcher, artifacts_dir: str):
+    os.makedirs(artifacts_dir, exist_ok=True)
+    arrays, blob = collect_assets(searcher)
     with open(os.path.join(artifacts_dir, _CONFIG_FILE), "w") as f:
-        f.write(json.dumps({"config": json.loads(searcher.config.to_json()),
-                            "meta": meta}, indent=2))
+        f.write(json.dumps(blob, indent=2))
     np.savez(os.path.join(artifacts_dir, _ASSETS_FILE), **arrays)
     if searcher.docids is not None:
         with open(os.path.join(artifacts_dir, _DOCIDS_FILE), "w") as f:
             json.dump(searcher.docids, f)
+
+
+def searcher_to_tensors(searcher) -> dict:
+    """Searcher -> flat dict of numpy tensors, embeddable in any model
+    checkpoint (orbax/flax state, tf.Variables, ...): the TPU counterpart
+    of the reference's scann_searcher_to_tensors SavedModel export
+    (scann_ops/cc/ops/scann_ops.cc:56-95, ScannState, scann_ops.py:41-73).
+    The config/meta blob (and docids, when present) travel as uint8
+    tensors."""
+    arrays, blob = collect_assets(searcher)
+    out = dict(arrays)
+    out["scann_config_json"] = np.frombuffer(
+        json.dumps(blob).encode(), np.uint8).copy()
+    if searcher.docids is not None:
+        out["scann_docids_json"] = np.frombuffer(
+            json.dumps(searcher.docids).encode(), np.uint8).copy()
+    return out
+
+
+def searcher_from_tensors(tensors: dict):
+    """Inverse of searcher_to_tensors (the reference's tensors_to_scann)."""
+    tensors = dict(tensors)
+    blob = json.loads(bytes(np.asarray(tensors.pop("scann_config_json"),
+                                       np.uint8)).decode())
+    docids = None
+    if "scann_docids_json" in tensors:
+        docids = json.loads(bytes(np.asarray(
+            tensors.pop("scann_docids_json"), np.uint8)).decode())
+    dtypes = blob["meta"]["dtypes"]
+    arrays = {k: _from_numpy(np.asarray(v), dtypes.get(k, None)
+                             or str(np.asarray(v).dtype))
+              for k, v in tensors.items()}
+    return _restore_searcher(blob, arrays, docids)
 
 
 def load_searcher(artifacts_dir: str):
@@ -138,9 +184,7 @@ def load_searcher(artifacts_dir: str):
     load_searcher -> LoadArtifacts, scann.cc:105-263)."""
     with open(os.path.join(artifacts_dir, _CONFIG_FILE)) as f:
         blob = json.load(f)
-    scann_config = cfg._config_from_dict(blob["config"])
-    meta = blob["meta"]
-    dtypes = meta["dtypes"]
+    dtypes = blob["meta"]["dtypes"]
     raw = np.load(os.path.join(artifacts_dir, _ASSETS_FILE))
     arrays = {k: _from_numpy(raw[k], dtypes[k]) for k in raw.files}
     docids = None
@@ -148,7 +192,12 @@ def load_searcher(artifacts_dir: str):
     if os.path.exists(docids_path):
         with open(docids_path) as f:
             docids = json.load(f)
+    return _restore_searcher(blob, arrays, docids)
 
+
+def _restore_searcher(blob: dict, arrays: dict, docids):
+    scann_config = cfg._config_from_dict(blob["config"])
+    meta = blob["meta"]
     tname = meta["type"]
     if tname == "BruteForceSearcher":
         from scann_tpu.models import brute_force
@@ -197,7 +246,7 @@ def load_searcher(artifacts_dir: str):
         s._quantization_error_sq = meta.get("quantization_error_sq", 0.0)
         s._encoded_slots = meta.get("encoded_slots", 0)
         s.datapoint_to_token = np.asarray(arrays["datapoint_to_token"])
-        s.partitioner = _load_partitioner(arrays, scann_config)
+        s.partitioner = _load_partitioner(arrays, scann_config, meta)
         s._host = {"codes": np.asarray(s.index.codes),
                    "leaf": np.asarray(s.index.slot_leaf),
                    "dpid": np.asarray(s.index.slot_dpid)}
@@ -228,7 +277,7 @@ def load_searcher(artifacts_dir: str):
         s._num_slots = meta["num_slots"]
         s._chunk = meta["chunk"]
         s.datapoint_to_token = np.asarray(arrays["datapoint_to_token"])
-        s.partitioner = _load_partitioner(arrays, scann_config)
+        s.partitioner = _load_partitioner(arrays, scann_config, meta)
         return s
     raise ValueError(f"unknown searcher type in artifacts: {tname}")
 
@@ -269,9 +318,10 @@ def _init_base(s, scann_config, meta, arrays, docids):
         s.reorder_helper = rh
 
 
-def _load_partitioner(arrays, scann_config):
+def _load_partitioner(arrays, scann_config, meta=None):
     if "centers" not in arrays:
         return None
+    meta = meta or {}
     from scann_tpu.partitioning import kmeans_tree
     upper_l = 1
     part = scann_config.partitioning
@@ -285,4 +335,8 @@ def _load_partitioner(arrays, scann_config):
             scann_config.distance_measure),
         upper_centers=arrays.get("upper_centers"),
         upper_assign=arrays.get("upper_assign"),
-        upper_leaves_to_search=upper_l)
+        upper_leaves_to_search=upper_l,
+        query_spilling_type=meta.get("query_spilling_type",
+                                     "fixed_number"),
+        query_spilling_threshold=meta.get("query_spilling_threshold",
+                                          0.0))

@@ -158,3 +158,63 @@ def test_avq_refit():
     # sanity check it stays finite and close to members' mean.
     p3 = p.apply_avq(x, t, eta=1.0, max_leaf_size=max_leaf)
     assert np.isfinite(np.asarray(p3.centers)).all()
+
+
+def test_query_spilling_types_and_learned_threshold():
+    """Distance-conditioned query spilling (reference QuerySpillingConfig +
+    GmmUtils::ComputeSpillingThreshold): searches fewer leaves for easy
+    queries at matching recall, and the learned threshold targets the
+    expected spill factor."""
+    import scann_tpu
+    from scann_tpu.partitioning import kmeans_tree as kt
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((32, 32)).astype(np.float32)
+    db = (centers[rng.integers(0, 32, 40000)]
+          + 0.25 * rng.standard_normal((40000, 32)).astype(np.float32))
+    q = (centers[rng.integers(0, 32, 64)]
+         + 0.25 * rng.standard_normal((64, 32)).astype(np.float32))
+    d2 = (q ** 2).sum(1)[:, None] - 2 * q @ db.T + (db ** 2).sum(1)[None]
+    truth = np.argsort(d2, axis=1)[:, :10]
+
+    def build(**tree_kwargs):
+        return (scann_tpu.builder(db, 10, "squared_l2")
+                .tree(num_leaves=32, num_leaves_to_search=12,
+                      training_sample_size=15000, **tree_kwargs)
+                .score_ah(2).reorder(80).build())
+
+    s_fixed = build()
+    s_mult = build(query_spilling_type="multiplicative",
+                   expected_spill_factor=4.0)
+    thr = s_mult.partitioner.query_spilling_threshold
+    assert thr > 1.0, thr  # multiplicative thresholds are ratios > 1
+
+    def recall(idx):
+        return np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                        for i in range(len(q))])
+
+    i_f, _ = s_fixed.search_batched(q)
+    i_m, _ = s_mult.search_batched(q)
+    # in-distribution queries: distance-conditioned spilling stays close
+    # to fixed-L recall while searching fewer leaves on average
+    assert recall(i_m) >= recall(i_f) - 0.08, (recall(i_m), recall(i_f))
+
+    # the mask itself: monotone (prefix of the ranked list), respects type
+    sims = jnp.asarray([[-1.0, -2.0, -3.9, -4.1],
+                        [-2.0, -7.9, -8.1, -9.0]])
+    p = s_mult.partitioner._replace(query_spilling_type="multiplicative",
+                                    query_spilling_threshold=4.0)
+    m = np.asarray(p.spilling_mask(sims))
+    np.testing.assert_array_equal(
+        m, [[True, True, True, False], [True, True, False, False]])
+    p2 = p._replace(query_spilling_type="additive",
+                    query_spilling_threshold=1.5)
+    m2 = np.asarray(p2.spilling_mask(sims))
+    np.testing.assert_array_equal(
+        m2, [[True, True, False, False], [True, False, False, False]])
+    p3 = p._replace(query_spilling_type="absolute_distance",
+                    query_spilling_threshold=8.0)
+    m3 = np.asarray(p3.spilling_mask(sims))
+    np.testing.assert_array_equal(
+        m3, [[True, True, True, True], [True, True, False, False]])

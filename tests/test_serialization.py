@@ -106,3 +106,30 @@ def test_tree_brute_force_quantized(tmp_path, quantize):
                  for i in range(len(q))])
     assert r >= 0.85, r
     roundtrip(s, tmp_path, q)
+
+
+def test_searcher_tensor_round_trip():
+    """searcher -> flat tensors -> searcher (the reference's
+    scann_to_tensors / tensors_to_scann SavedModel round trip,
+    scann_ops/cc/ops/scann_ops.cc:56-95): bit-identical results, tensors
+    embeddable in any checkpoint format."""
+    import scann_tpu
+    from scann_tpu.utils import serialization
+
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((8000, 24)).astype(np.float32)
+    q = rng.standard_normal((16, 24)).astype(np.float32)
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=4,
+               training_sample_size=4000)
+         .score_ah(2).reorder(40)
+         .build(docids=[str(i) for i in range(len(db))]))
+    i1, d1 = s.search_batched(q)
+    tensors = serialization.searcher_to_tensors(s)
+    # every value is a plain numpy tensor (checkpointable)
+    for k, v in tensors.items():
+        assert isinstance(v, np.ndarray), k
+    s2 = serialization.searcher_from_tensors(tensors)
+    i2, d2 = s2.search_batched(q)
+    assert [list(r) for r in i1] == [list(r) for r in i2]
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
