@@ -202,6 +202,15 @@ def main():
         best = {"leaves": 2000, "recall": r, "qps": sustained,
                 "e2e_qps": qps}
 
+    def nbytes(a):
+        return 0 if a is None else a.size * a.dtype.itemsize
+
+    score_bytes = sum(nbytes(a) for a in (
+        searcher.index.codes, getattr(searcher, "_recon_rows", None),
+        getattr(searcher, "_p_rows", None),
+        getattr(searcher, "_p_codes", None)))
+    rescore_bytes = (nbytes(searcher.reorder_helper._db)
+                     if searcher.reorder_helper is not None else 0)
     print(json.dumps({
         "metric": "synth_glove100_qps_at_recall0.95",
         "value": round(best["qps"], 1),
@@ -211,6 +220,9 @@ def main():
         "leaves_to_search": best["leaves"],
         "end_to_end_qps_tunneled": round(best.get("e2e_qps", 0.0), 1),
         "index_build_s": round(build_s, 1),
+        "lookup_type": lookup,
+        "scoring_bytes_per_vector": round(score_bytes / N_DB, 1),
+        "rescore_bytes_per_vector": round(rescore_bytes / N_DB, 1),
     }))
 
 

@@ -90,4 +90,43 @@ void scann_gather_i32(const int32_t* src, const int64_t* order, int32_t* out,
   for (int64_t i = 0; i < n; ++i) out[i] = src[order[i]];
 }
 
+// Exact sparse-vs-sparse rescoring of candidate lists: out[q, j] =
+// <queries[q], db[cand[q, j]]> via a two-pointer merge over the sorted
+// CSR index lists (the host-side counterpart of the reference's sparse
+// one-to-one distance kernels, distance_measures/one_to_one sparse
+// overloads).  cand entries < 0 produce -inf.
+void scann_sparse_rescore(const int64_t* q_indptr, const int64_t* q_indices,
+                          const float* q_values, const int64_t* db_indptr,
+                          const int64_t* db_indices, const float* db_values,
+                          const int32_t* cand, int64_t nq, int64_t k,
+                          float* out) {
+  for (int64_t q = 0; q < nq; ++q) {
+    const int64_t qs = q_indptr[q], qe = q_indptr[q + 1];
+    for (int64_t j = 0; j < k; ++j) {
+      const int32_t dp = cand[q * k + j];
+      float* o = out + q * k + j;
+      if (dp < 0) {
+        *o = -__builtin_inff();
+        continue;
+      }
+      const int64_t rs = db_indptr[dp], re = db_indptr[dp + 1];
+      double acc = 0.0;
+      int64_t a = qs, b = rs;
+      while (a < qe && b < re) {
+        const int64_t ca = q_indices[a], cb = db_indices[b];
+        if (ca == cb) {
+          acc += static_cast<double>(q_values[a]) * db_values[b];
+          ++a;
+          ++b;
+        } else if (ca < cb) {
+          ++a;
+        } else {
+          ++b;
+        }
+      }
+      *o = static_cast<float>(acc);
+    }
+  }
+}
+
 }  // extern "C"

@@ -43,6 +43,7 @@ class SparseMatrix(NamedTuple):
             return m
         if hasattr(m, "tocsr"):  # scipy.sparse
             csr = m.tocsr()
+            csr.sort_indices()
             return SparseMatrix(np.asarray(csr.indptr, np.int64),
                                 np.asarray(csr.indices, np.int64),
                                 np.asarray(csr.data, np.float32),
@@ -69,21 +70,13 @@ class SparseMatrix(NamedTuple):
 
     def dot_dense_rows(self, rows: "SparseMatrix", idx: np.ndarray):
         """Exact sparse dot products self[q] . rows[idx[q, j]] for a
-        candidate matrix idx (host rescoring)."""
-        out = np.full(idx.shape, -np.inf, np.float32)
-        for qi in range(idx.shape[0]):
-            qi_idx, qi_val = self.row(qi)
-            qmap = dict(zip(qi_idx.tolist(), qi_val.tolist()))
-            for j, dp in enumerate(idx[qi]):
-                if dp < 0:
-                    continue
-                ri, rv = rows.row(int(dp))
-                s = 0.0
-                for c, v in zip(ri.tolist(), rv.tolist()):
-                    if c in qmap:
-                        s += qmap[c] * v
-                out[qi, j] = s
-        return out
+        candidate matrix idx — the serving-path rescore, executed by the
+        native host runtime (scann_sparse_rescore, scann_tpu/cc/native.cc:
+        two-pointer merge over sorted CSR rows) with a numpy fallback."""
+        from scann_tpu.utils import native
+        return native.sparse_rescore(self.indptr, self.indices,
+                                     self.values, rows.indptr,
+                                     rows.indices, rows.values, idx)
 
 
 class SparseHashingProjection(NamedTuple):

@@ -60,6 +60,11 @@ def _load():
         lib.scann_gather_i32.argtypes = [p(ctypes.c_int32),
                                          p(ctypes.c_int64),
                                          p(ctypes.c_int32), i64]
+        f32 = ctypes.c_float
+        lib.scann_sparse_rescore.argtypes = [
+            p(ctypes.c_int64), p(ctypes.c_int64), p(f32),
+            p(ctypes.c_int64), p(ctypes.c_int64), p(f32),
+            p(ctypes.c_int32), i64, i64, p(f32)]
         _LIB = lib
         return lib
 
@@ -140,3 +145,49 @@ def gather_rows_i8(src: np.ndarray, order: np.ndarray) -> np.ndarray:
                                  order.shape[0], src.shape[1])
         return out.view(out_dtype)
     return src[order].view(out_dtype)
+
+
+def sparse_rescore(q_indptr, q_indices, q_values, db_indptr, db_indices,
+                   db_values, cand):
+    """Exact sparse dot products of per-query candidate lists (native
+    two-pointer merge over sorted CSR rows; numpy fallback).  cand: (nq, k)
+    int32, entries < 0 -> -inf."""
+    lib = _load()
+    cand = np.ascontiguousarray(cand, np.int32)
+    nq, k = cand.shape
+    out = np.empty((nq, k), np.float32)
+    if lib is not None:
+        c = np.ctypeslib.as_ctypes
+        qi = np.ascontiguousarray(q_indptr, np.int64)
+        qx = np.ascontiguousarray(q_indices, np.int64)
+        qv = np.ascontiguousarray(q_values, np.float32)
+        di = np.ascontiguousarray(db_indptr, np.int64)
+        dx = np.ascontiguousarray(db_indices, np.int64)
+        dv = np.ascontiguousarray(db_values, np.float32)
+        lib.scann_sparse_rescore(
+            qi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            qx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            qv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            di.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            dv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cand.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            nq, k, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
+    # numpy fallback (two-pointer logic vectorized per pair is awkward;
+    # dict-merge per query is fine at fallback scale)
+    out.fill(-np.inf)
+    for q in range(nq):
+        s, e = q_indptr[q], q_indptr[q + 1]
+        qmap = dict(zip(q_indices[s:e].tolist(), q_values[s:e].tolist()))
+        for j, dp in enumerate(cand[q]):
+            if dp < 0:
+                continue
+            rs, re = db_indptr[dp], db_indptr[dp + 1]
+            acc = 0.0
+            for cidx, v in zip(db_indices[rs:re].tolist(),
+                               db_values[rs:re].tolist()):
+                if cidx in qmap:
+                    acc += qmap[cidx] * v
+            out[q, j] = acc
+    return out
