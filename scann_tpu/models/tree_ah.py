@@ -766,9 +766,14 @@ class TreeAHSearcher(base.Searcher):
                 up = np.asarray(self.partitioner.upper_centers)
                 new_c = centers_np[old_n:]
                 d = ((new_c[:, None, :] - up[None, :, :]) ** 2).sum(-1)
-                upper_assign = jnp.concatenate(
-                    [upper_assign,
-                     jnp.asarray(d.argmin(1).astype(np.int32))])
+                if upper_assign.ndim == 2:  # SOAR-spilled upper assignment
+                    two = np.argsort(d, axis=1)[:, :2].astype(np.int32)
+                    upper_assign = jnp.concatenate(
+                        [upper_assign, jnp.asarray(two)], axis=0)
+                else:
+                    upper_assign = jnp.concatenate(
+                        [upper_assign,
+                         jnp.asarray(d.argmin(1).astype(np.int32))])
         self.partitioner = self.partitioner._replace(
             centers=jnp.asarray(centers_np), centers_int8=centers_int8,
             centers_inv_mult=inv_mult, upper_assign=upper_assign)
@@ -814,9 +819,14 @@ class TreeAHSearcher(base.Searcher):
             up_scores = np.asarray(jnp.sum(
                 (jnp.asarray(self.partitioner.upper_centers)
                  - jnp.asarray(c2[1])[None, :]) ** 2, axis=-1))
-            upper_assign = jnp.concatenate(
-                [upper_assign,
-                 jnp.asarray([int(np.argmin(up_scores))], jnp.int32)])
+            if upper_assign.ndim == 2:
+                two = np.argsort(up_scores)[:2].astype(np.int32)
+                upper_assign = jnp.concatenate(
+                    [upper_assign, jnp.asarray(two)[None, :]], axis=0)
+            else:
+                upper_assign = jnp.concatenate(
+                    [upper_assign,
+                     jnp.asarray([int(np.argmin(up_scores))], jnp.int32)])
         self.partitioner = self.partitioner._replace(
             centers=jnp.asarray(centers), centers_int8=centers_int8,
             centers_inv_mult=inv_mult, upper_assign=upper_assign)

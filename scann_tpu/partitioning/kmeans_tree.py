@@ -116,6 +116,12 @@ class KMeansTreePartitioner(NamedTuple):
         if part.upper_tree is not None and part.upper_tree.num_leaves > 1:
             # Bottom-up second level: cluster the leaf centroids
             # (MaybeAddTopLevelPartitioner, tree_x_hybrid_factory.cc:399).
+            # The reference's upper-tree SOAR/AVQ knobs apply to this
+            # clustering (TreeBruteForceSecondLevelWrapper,
+            # tree_brute_force_second_level_wrapper.h:44-100): AVQ refits
+            # the upper centroids; SOAR assigns each leaf centroid to a
+            # spilled SECOND upper cluster so a leaf stays reachable from
+            # two upper selections.
             up = part.upper_tree
             ures = jax.jit(functools.partial(
                 kmeans_ops.kmeans, k=min(up.num_leaves, part.num_leaves),
@@ -123,6 +129,27 @@ class KMeansTreePartitioner(NamedTuple):
                     jax.random.PRNGKey(seed + 7), centers)
             upper_centers = ures.centers
             upper_assign = ures.assignments
+            if up.avq is not None:
+                tmp = KMeansTreePartitioner(
+                    centers=upper_centers, centers_int8=None,
+                    centers_inv_mult=None, query_distance=measure)
+                counts_u = np.bincount(
+                    np.asarray(upper_assign),
+                    minlength=upper_centers.shape[0])
+                tmp = tmp.apply_avq(np.asarray(centers),
+                                    upper_assign, float(up.avq),
+                                    max(1, int(counts_u.max())))
+                upper_centers = tmp.centers
+            if up.soar_lambda is not None:
+                soar_cfg = cfg.SoarConfig(
+                    lambda_=float(up.soar_lambda),
+                    overretrieve_factor=(up.overretrieve_factor or 2.0))
+                tmp = KMeansTreePartitioner(
+                    centers=upper_centers, centers_int8=None,
+                    centers_inv_mult=None, query_distance=measure)
+                both = tmp.tokenize_database_soar(np.asarray(centers),
+                                                  soar_cfg)
+                upper_assign = jnp.asarray(both)  # (num_leaves, 2)
             upper_l = max(1, min(up.num_leaves_to_search,
                                  upper_centers.shape[0]))
         spill_type = getattr(part, "query_spilling_type", "fixed_number")
@@ -174,7 +201,15 @@ class KMeansTreePartitioner(NamedTuple):
             nq = queries.shape[0]
             sel = jnp.zeros((nq, self.upper_centers.shape[0]), bool
                             ).at[jnp.arange(nq)[:, None], up_ids].set(True)
-            leaf_allowed = jnp.take(sel, self.upper_assign, axis=1)
+            ua = self.upper_assign
+            if ua.ndim == 2:
+                # SOAR-spilled upper assignment: a leaf is reachable when
+                # either of its two upper clusters is selected.
+                leaf_allowed = jnp.logical_or(
+                    jnp.take(sel, ua[:, 0], axis=1),
+                    jnp.take(sel, ua[:, 1], axis=1))
+            else:
+                leaf_allowed = jnp.take(sel, ua, axis=1)
             scores = jnp.where(leaf_allowed, scores, -jnp.inf)
         sims, ids = jax.lax.top_k(scores, num_leaves_to_search)
         return ids.astype(jnp.int32), sims
