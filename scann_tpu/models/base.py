@@ -291,7 +291,8 @@ class Searcher:
                        pre_reorder_num_neighbors=None, leaves_to_search=None,
                        restrict_allowlist=None,
                        per_crowding_attribute_num_neighbors=None,
-                       pre_tokenized_leaves=None):
+                       pre_tokenized_leaves=None,
+                       post_reordering_epsilon=None):
         """Batched search; mirrors ScannSearcher.search_batched
         (scann_ops_pybind.py:67-90).  Returns (indices, distances) numpy
         arrays of shape (num_queries, k).
@@ -308,7 +309,12 @@ class Searcher:
         "search fewer leaves for this query" (reference:
         TreeXOptionalParameters::EnablePreTokenization,
         tree_x_hybrid/tree_x_params.h:35-45 — this is also the per-query
-        leaves_to_search override)."""
+        leaves_to_search override).
+        post_reordering_epsilon: optional distance cutoff applied to the
+        final (reordered) results (reference: SearchParameters
+        post_reordering_epsilon, base/search_parameters.h:40-226): under
+        dot_product, results with dot < epsilon are dropped; under
+        squared_l2/cosine, results with distance > epsilon are dropped."""
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim != 2:
             raise ValueError(f"queries must be 2d, got shape {queries.shape}")
@@ -366,7 +372,8 @@ class Searcher:
                 restrict_allowlist,
                 per_crowding_attribute_num_neighbors,
                 (None if pre_tok is None
-                 else pre_tok[i:i + _PRUNED_MAX_BATCH]))
+                 else pre_tok[i:i + _PRUNED_MAX_BATCH]),
+                post_reordering_epsilon)
                 for i in range(0, nq, _PRUNED_MAX_BATCH)]
             idx_parts = [o[0] for o in outs]
             dist = np.concatenate([o[1] for o in outs], axis=0)
@@ -416,6 +423,14 @@ class Searcher:
         idx, dist = fn(q_dev, state)
         idx = np.asarray(idx[:nq])
         dist = np.asarray(dist[:nq])
+        if post_reordering_epsilon is not None:
+            eps = float(post_reordering_epsilon)
+            if self.config.distance_measure == cfg.DOT_PRODUCT:
+                bad = ~(dist >= eps)   # NaN-safe: NaN stays dropped
+            else:
+                bad = ~(dist <= eps)
+            idx = np.where(bad, topk_ops.INVALID_INDEX, idx)
+            dist = np.where(bad, np.nan, dist)
         if self.docids is not None:
             return ([[self.docids[j] if j >= 0 else None for j in row]
                      for row in idx], dist)

@@ -888,7 +888,15 @@ class TreeAHSearcher(base.Searcher):
                 and state.get("restrict") is None
                 and self.partitioner is not None
                 and leaves < self.partitioner.num_leaves):
-            return self._pruned_select(queries, state, k_pre, leaves)
+            from scann_tpu.ops import pruned_scan
+            _, w_pad = pruned_scan.plan_capacities(
+                queries.shape[0], min(leaves, self.partitioner.num_leaves),
+                self.partitioner.num_leaves, self._p_num_tiles,
+                self._p_max_ntiles)
+            # The kernel's scalar-prefetch arrays live in SMEM (~1 MB):
+            # very wide selections fall back to the dense masked scan.
+            if w_pad <= 100_000:
+                return self._pruned_select(queries, state, k_pre, leaves)
         if (self._recon_mode and full_scan
                 and state.get("restrict") is None
                 and queries.shape[0] % fused_scan.QT == 0

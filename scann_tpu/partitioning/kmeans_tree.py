@@ -190,7 +190,10 @@ class KMeansTreePartitioner(NamedTuple):
 
         With an upper tree, leaf candidates are first pruned to the leaves
         whose centroid falls in a selected upper cluster (the approximate
-        tokenization of TreeBruteForceSecondLevelWrapper)."""
+        tokenization of TreeBruteForceSecondLevelWrapper).  Wide centroid
+        sets select via the TPU-native approx_max_k (exact lax.top_k is a
+        full per-row sort); the tail-rank slack is absorbed exactly like
+        the reference's approximate tokenization modes."""
         scores = self.query_center_scores(queries)
         if self.upper_centers is not None:
             up_scores = dist_ops.similarity(
@@ -211,7 +214,12 @@ class KMeansTreePartitioner(NamedTuple):
             else:
                 leaf_allowed = jnp.take(sel, ua, axis=1)
             scores = jnp.where(leaf_allowed, scores, -jnp.inf)
-        sims, ids = jax.lax.top_k(scores, num_leaves_to_search)
+        if (self.num_leaves >= 2048
+                and num_leaves_to_search * 8 <= self.num_leaves):
+            sims, ids = jax.lax.approx_max_k(scores, num_leaves_to_search,
+                                             recall_target=0.97)
+        else:
+            sims, ids = jax.lax.top_k(scores, num_leaves_to_search)
         return ids.astype(jnp.int32), sims
 
     def tokenize_database(self, database) -> jax.Array:

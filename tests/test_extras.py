@@ -397,3 +397,24 @@ def test_upper_tree_soar_and_avq_active():
     s2 = scann_tpu.load_searcher(d)
     i2, _ = s2.search_batched(q)
     np.testing.assert_array_equal(np.asarray(i_u), np.asarray(i2))
+
+
+def test_post_reordering_epsilon():
+    """Distance-cutoff filtering of final results (reference:
+    SearchParameters post_reordering_epsilon, base/search_parameters.h)."""
+    import scann_tpu
+    rng = np.random.default_rng(0)
+    db = rng.standard_normal((3000, 16)).astype(np.float32)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    s = scann_tpu.builder(db, 10, "dot_product").score_brute_force().build()
+    idx0, dist0 = s.search_batched(q)
+    eps = float(np.median(dist0))
+    idx, dist = s.search_batched(q, post_reordering_epsilon=eps)
+    assert np.all(np.isnan(dist) | (dist >= eps))
+    assert np.all((idx >= 0) == ~np.isnan(dist))
+    # L2: cutoff is an upper bound
+    s2 = scann_tpu.builder(db, 10, "squared_l2").score_brute_force().build()
+    _, d2 = s2.search_batched(q)
+    eps2 = float(np.median(d2))
+    _, d2f = s2.search_batched(q, post_reordering_epsilon=eps2)
+    assert np.all(np.isnan(d2f) | (d2f <= eps2))
