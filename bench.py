@@ -158,7 +158,7 @@ def main():
         build_s = time.perf_counter() - t0
         _log(f"index loaded from {load_dir} in {build_s:.1f}s")
     else:
-        reorder_q = os.environ.get("SCANN_TPU_BENCH_REORDER", "bfloat16")
+        reorder_q = os.environ.get("SCANN_TPU_BENCH_REORDER", "float32")
         b = (scann_tpu.builder(db, K, "dot_product")
              .tree(num_leaves=2000, num_leaves_to_search=100,
                    training_sample_size=100_000)
@@ -209,7 +209,7 @@ def main():
     # Refine the winning operating point over the reorder budget (the
     # rescore gather is a large fixed cost at small leaf counts).
     base_pre = PRE_REORDER
-    for pre in (40, 60, 80, 110):
+    for pre in (40, 60, 80):
         PRE_REORDER = pre
         idx, _ = searcher.search_batched(
             q, pre_reorder_num_neighbors=pre,
