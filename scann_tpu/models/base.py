@@ -222,6 +222,12 @@ class Searcher:
     def _default_leaves(self) -> int:
         return 0
 
+    def _prepare_for_query(self, bucket: int, leaves: int, full_scan: bool,
+                           restricted: bool, pre_tokenized: bool):
+        """Hook: materialize whichever device layouts the compiled program
+        for this (batch, leaves, mode) will read.  Default: nothing."""
+        del bucket, leaves, full_scan, restricted, pre_tokenized
+
     # ------------------------------------------------------------ pipeline
     def _search_impl(self, queries, state, k: int, k_pre: int, leaves: int,
                      crowding_limit=(), full_scan: bool = False):
@@ -361,7 +367,11 @@ class Searcher:
             leaves = pre_tok.shape[1]
         full_scan = (pre_tok is None
                      and (leaves == 0 or leaves >= (num_leaves or 1 << 30)))
-        pruned = (not full_scan and restrict_allowlist is None
+        # Restricts ride the pruned path too: the allowlist folds into the
+        # per-slot bias plane inside the kernel (the reference threads
+        # allowlists through its LUT16 kernels the same way,
+        # hashes/internal/lut16_args.h:74-95).
+        pruned = (not full_scan
                   and getattr(self, "_pruned_available", False))
         if pruned and nq > _PRUNED_MAX_BATCH:
             # The pruned plan's scratch capacity grows with batch * leaves;
@@ -400,6 +410,9 @@ class Searcher:
             leaves_bucket = (min(leaves, num_leaves)
                              if (pruned or pre_tok is not None)
                              else (num_leaves or leaves))
+        self._prepare_for_query(bucket, leaves_bucket, full_scan,
+                                restrict_allowlist is not None,
+                                pre_tok is not None)
         fn = self._get_compiled(bucket, k, k_pre, leaves_bucket,
                                 crowding_limit, full_scan)
         state = self._state()

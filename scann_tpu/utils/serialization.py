@@ -83,7 +83,7 @@ def collect_assets(searcher):
         # 4-bit pair-packed on disk (reference stores hashed_dataset.npy in
         # the same packed form, scann_assets.proto).
         from scann_tpu.utils import native
-        codes_np = np.asarray(searcher.index.codes)
+        codes_np = np.asarray(searcher._host["codes"])
         if searcher.ah_cfg.clusters_per_block == 16:
             arrays["codes_packed"] = native.pack4(codes_np)
             dtypes["codes_packed"] = "uint8"
@@ -223,12 +223,12 @@ def _restore_searcher(blob: dict, arrays: dict, docids):
         s.residual = bool(s.ah_cfg.residual_quantization)
         from scann_tpu.utils import native
         if "codes_packed" in arrays:
-            codes = jnp.asarray(native.unpack4(
+            codes_np = native.unpack4(
                 np.asarray(arrays["codes_packed"]),
-                meta["num_blocks"]).view(np.uint8))
+                meta["num_blocks"]).view(np.uint8)
         else:
-            codes = arrays["codes"]
-        s.index = tree_ah.TreeAHIndex(codes=codes,
+            codes_np = np.asarray(arrays["codes"])
+        s.index = tree_ah.TreeAHIndex(codes=None,
                                       slot_dpid=arrays["slot_dpid"],
                                       slot_leaf=arrays["slot_leaf"])
         s.stacked = (scann_config.asymmetric_hash.quantization_scheme
@@ -247,7 +247,7 @@ def _restore_searcher(blob: dict, arrays: dict, docids):
         s._encoded_slots = meta.get("encoded_slots", 0)
         s.datapoint_to_token = np.asarray(arrays["datapoint_to_token"])
         s.partitioner = _load_partitioner(arrays, scann_config, meta)
-        s._host = {"codes": np.asarray(s.index.codes),
+        s._host = {"codes": codes_np,
                    "leaf": np.asarray(s.index.slot_leaf),
                    "dpid": np.asarray(s.index.slot_dpid)}
         s._slot_table = None
@@ -255,6 +255,8 @@ def _restore_searcher(blob: dict, arrays: dict, docids):
         s._leaf_mutations = np.zeros(
             (s.partitioner.num_leaves if s.partitioner is not None else 1,),
             np.int64)
+        if not (s._recon_mode or s._pruned_available):
+            s._ensure_dense_codes()
         s._build_recon()
         if s.ah_cfg.lookup_type == "reconstruct":
             from scann_tpu.ops import fused_scan

@@ -45,6 +45,39 @@ def test_restrict_allowlist(kind):
     assert r >= 0.9, (kind, r)
 
 
+def test_restrict_rides_pruned_path():
+    """Restricts thread through the pruned leaf-gather kernel (allowlist
+    folded into the per-slot bias plane, the reference's in-kernel
+    allowlist hook lut16_args.h:74-95) — no dense full-scan fallback."""
+    rng = np.random.default_rng(1)
+    centers = rng.standard_normal((32, 32)).astype(np.float32)
+    db = (centers[rng.integers(0, 32, 30000)]
+          + 0.3 * rng.standard_normal((30000, 32)).astype(np.float32))
+    q = rng.standard_normal((16, 32)).astype(np.float32)
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=32, num_leaves_to_search=8,
+               training_sample_size=20000)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(80).build())
+    allow = np.zeros(len(db), bool)
+    allow[::2] = True
+    idx, _ = s.search_batched(q, restrict_allowlist=allow,
+                              leaves_to_search=8)
+    # The dense layouts were never materialized: the restrict query ran on
+    # the pruned path.
+    assert s.index.codes is None
+    assert getattr(s, "_p_codes", None) is not None
+    valid = idx[idx >= 0]
+    assert len(valid) > 0 and np.all(valid % 2 == 0)
+    # Recall parity vs exact search over the allowed subset, given the
+    # same leaves: compare against the unrestricted searcher's behavior.
+    sub = np.nonzero(allow)[0]
+    truth = sub[np.argsort(-(q @ db[sub].T), axis=1)[:, :10]]
+    r = np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                 for i in range(len(q))])
+    assert r >= 0.85, r
+
+
 def test_restrict_wrong_shape():
     db, q = make_data()
     s = build(db, "bf")
