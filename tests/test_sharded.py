@@ -144,3 +144,143 @@ def test_sharded_recall_not_below_single_chip_at_scale():
                         for i in range(len(q))])
 
     assert recall(i2) >= recall(i1) - 0.05, (recall(i2), recall(i1))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_build_soar():
+    """SOAR rides the sharded BUILD: two-center orthogonality-amplified
+    assignment inside the sharded tokenize/encode pass (VERDICT r2
+    next-5c), with cross-shard duplicate suppression at search."""
+    db, q = make_data(n=30000, d=32, nq=48, seed=3)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    cfg_ = (scann_tpu.builder(db, 10, "dot_product")
+            .tree(num_leaves=32, num_leaves_to_search=6,
+                  training_sample_size=15000, soar_lambda=1.5)
+            .score_ah(2, anisotropic_quantization_threshold=0.2)
+            .reorder(60).create_config())
+    m = make_mesh()
+    ss = mesh_mod.build_sharded(db, cfg_, m)
+    # Slots doubled: every datapoint has a primary and a secondary copy.
+    assert (np.asarray(ss._host_parts["slot_dpid"]) >= 0).sum() == 2 * len(db)
+    idx, dist = ss.search_batched(q)
+    for row in idx:
+        valid = row[row >= 0]
+        assert len(set(valid)) == len(valid)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    r = np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                 for i in range(len(q))])
+    # SOAR at 6 leaves should roughly match non-SOAR at more leaves.
+    cfg_plain = (scann_tpu.builder(db, 10, "dot_product")
+                 .tree(num_leaves=32, num_leaves_to_search=6,
+                       training_sample_size=15000)
+                 .score_ah(2, anisotropic_quantization_threshold=0.2)
+                 .reorder(60).create_config())
+    ss_plain = mesh_mod.build_sharded(db, cfg_plain, m)
+    idxp, _ = ss_plain.search_batched(q)
+    rp = np.mean([len(set(idxp[i]) & set(truth[i])) / 10
+                  for i in range(len(q))])
+    assert r >= rp - 0.02, (r, rp)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_build_cosine():
+    """Cosine configs normalize the database at build and the queries at
+    search, and the residual decision matches ah.residual_quantization
+    (ADVICE r2 medium: the round-2 build silently corrupted scores)."""
+    db, q = make_data(n=20000, d=32, nq=32, seed=4)
+    cfg_ = (scann_tpu.builder(db, 10, "cosine")
+            .tree(num_leaves=32, num_leaves_to_search=8,
+                  training_sample_size=10000)
+            .score_ah(2, anisotropic_quantization_threshold=0.2)
+            .reorder(60).create_config())
+    m = make_mesh()
+    ss = mesh_mod.build_sharded(db, cfg_, m)
+    idx, dist = ss.search_batched(q)
+    dn = db / np.linalg.norm(db, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    truth = np.argsort(-(qn @ dn.T), axis=1)[:, :10]
+    r = np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                 for i in range(len(q))])
+    assert r >= 0.9, r
+    # returned distances are 1 - cos in [0, 2]
+    assert np.nanmin(dist) >= -1e-3 and np.nanmax(dist) <= 2.001
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_search_kwargs():
+    """Single-chip kwargs on the sharded searcher: restricts work;
+    unsupported features raise informative errors (VERDICT r2 weak-8)."""
+    db, q = make_data(n=20000, d=32, nq=16, seed=5)
+    cfg_ = (scann_tpu.builder(db, 10, "dot_product")
+            .tree(num_leaves=32, num_leaves_to_search=32,
+                  training_sample_size=10000)
+            .score_ah(2, anisotropic_quantization_threshold=0.2)
+            .reorder(60).create_config())
+    m = make_mesh()
+    ss = mesh_mod.build_sharded(db, cfg_, m)
+    allow = np.zeros(len(db), bool)
+    allow[: len(db) // 2] = True
+    idx, _ = ss.search_batched(q, restrict_allowlist=allow)
+    valid = idx[idx >= 0]
+    assert len(valid) > 0 and valid.max() < len(db) // 2
+    sub = np.nonzero(allow)[0]
+    truth = sub[np.argsort(-(q @ db[sub].T), axis=1)[:, :10]]
+    r = np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                 for i in range(len(q))])
+    assert r >= 0.85, r
+    with pytest.raises(ValueError, match="crowding"):
+        ss.search_batched(q, per_crowding_attribute_num_neighbors=2)
+    with pytest.raises(ValueError, match="pre_tokenized"):
+        ss.search_batched(q, pre_tokenized_leaves=np.zeros((16, 2),
+                                                           np.int32))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_streaming_build_2m():
+    """Streaming chunked build at 2M rows (VERDICT r2 next-5b): the f32
+    database is only ever seen one chunk at a time (the chunker yields
+    freshly generated chunks), recall against sampled exact ground truth
+    >= 0.95 at generous leaf counts."""
+    d = 24
+    n_chunks, chunk_rows = 16, 125_000  # 2M rows total
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((40, d)).astype(np.float32)
+
+    def make_chunk(ci):
+        r = np.random.default_rng(100 + ci)
+        x = (centers[r.integers(0, 40, chunk_rows)]
+             + 0.25 * r.standard_normal((chunk_rows, d)).astype(np.float32))
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def chunks():
+        for ci in range(n_chunks):
+            yield make_chunk(ci)
+
+    cfg_ = (scann_tpu.builder(np.zeros((1, d), np.float32), 10,
+                              "dot_product")
+            .tree(num_leaves=128, num_leaves_to_search=24,
+                  training_sample_size=50_000)
+            .score_ah(2)  # plain encoding: noise-shaping at 2M rows is a
+            # TPU-scale cost, not a CPU-CI one
+            .reorder(40).create_config())
+    m = make_mesh()
+    ss = mesh_mod.build_sharded_streaming(chunks, cfg_, m)
+    assert (np.asarray(ss._host_parts["slot_dpid"]) >= 0).sum() == (
+        n_chunks * chunk_rows)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    idx, _ = ss.search_batched(q)
+    # Exact ground truth streamed the same way (no resident database).
+    best_v = np.full((16, 10), -np.inf, np.float32)
+    best_i = np.full((16, 10), -1, np.int64)
+    for ci in range(n_chunks):
+        x = make_chunk(ci)
+        sims = q @ x.T
+        v = np.concatenate([best_v, sims], axis=1)
+        i = np.concatenate(
+            [best_i, np.tile(np.arange(chunk_rows) + ci * chunk_rows,
+                             (16, 1))], axis=1)
+        top = np.argsort(-v, axis=1)[:, :10]
+        best_v = np.take_along_axis(v, top, axis=1)
+        best_i = np.take_along_axis(i, top, axis=1)
+    r = np.mean([len(set(idx[i]) & set(best_i[i])) / 10 for i in range(16)])
+    assert r >= 0.95, r
