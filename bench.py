@@ -239,7 +239,7 @@ def main():
     # Refine the winning operating point over the reorder budget (the
     # rescore gather is a large fixed cost at small leaf counts).
     base_pre = PRE_REORDER
-    for pre in (40, 60, 80):
+    for pre in (60, 80, 120, 250):
         PRE_REORDER = pre
         idx, _ = searcher.search_batched(
             q, pre_reorder_num_neighbors=pre,

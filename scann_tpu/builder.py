@@ -224,10 +224,10 @@ class ScannBuilder:
     def create_config(self) -> cfg.ScannConfig:
         """Resolve implicit rules and return the typed config."""
         if self.distance_measure not in (cfg.DOT_PRODUCT, cfg.SQUARED_L2,
-                                         cfg.COSINE):
+                                         cfg.COSINE, cfg.L1):
             raise ValueError(
                 "distance_measure must be one of ['dot_product',"
-                " 'squared_l2', 'cosine']")
+                " 'squared_l2', 'cosine', 'l1']")
         if self._autopilot is not None:
             return cfg.ScannConfig(
                 num_neighbors=self.num_neighbors,

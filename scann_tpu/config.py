@@ -20,7 +20,9 @@ from typing import Any, Optional
 DOT_PRODUCT = "dot_product"
 SQUARED_L2 = "squared_l2"
 COSINE = "cosine"
-_ALLOWED_MEASURES = (DOT_PRODUCT, SQUARED_L2, COSINE)
+L1 = "l1"  # brute-force only (reference: the factory accepts L1 for
+# non-hashed searchers, distance_measures/one_to_one/l1_distance.cc)
+_ALLOWED_MEASURES = (DOT_PRODUCT, SQUARED_L2, COSINE, L1)
 
 
 def internal_measure(measure: str) -> str:
@@ -216,6 +218,20 @@ class ScannConfig:
             if (self.asymmetric_hash is None) == (self.brute_force is None):
                 raise ValueError(
                     "Exactly 1 of score_ah or score_brute_force must be set")
+        if self.distance_measure == L1:
+            # Like the reference's factory, non-decomposable measures are
+            # brute-force only (no AH LUTs, no matmul reordering).
+            if (self.asymmetric_hash is not None
+                    or self.partitioning is not None
+                    or self.reordering is not None):
+                raise ValueError(
+                    "l1 distance supports brute-force search only "
+                    "(no tree/score_ah/reorder)")
+            if (self.brute_force is not None
+                    and self.brute_force.quantize != FLOAT32):
+                raise ValueError(
+                    "l1 brute force requires float32 (no quantized L1 "
+                    "kernels)")
 
     # ------------------------------------------------------------------ JSON
     def to_json(self) -> str:

@@ -112,32 +112,66 @@ class SparseSearcher:
     optional exact host rescoring against the original CSR rows."""
 
     def __init__(self, searcher, projection: SparseHashingProjection,
-                 database: SparseMatrix, exact_rescore: bool = True):
+                 database: SparseMatrix, exact_rescore: bool = True,
+                 overretrieve: float = 2.0):
         self.searcher = searcher
         self.projection = projection
         self.database = database
         self.exact_rescore = exact_rescore
+        self.overretrieve = float(overretrieve)
+        self.measure = searcher.config.distance_measure
+        # Row squared norms of the ORIGINAL sparse rows: the exact rescore
+        # must rank by the true measure, not the raw dot product (a dot
+        # ordering under L2 ignores ||x||^2 — ADVICE r2).
+        self._row_sq = np.zeros((database.n_rows,), np.float32)
+        row_of = np.repeat(np.arange(database.n_rows),
+                           np.diff(database.indptr).astype(np.int64))
+        np.add.at(self._row_sq, row_of, database.values ** 2)
 
     def search_batched(self, queries, final_num_neighbors=None, **kwargs):
         q = SparseMatrix.from_any(queries)
         dense_q = self.projection.project(q)
         k = final_num_neighbors or self.searcher.config.num_neighbors
-        fetch = max(2 * k, k + 10) if self.exact_rescore else k
+        fetch = (max(int(self.overretrieve * k), k + 10)
+                 if self.exact_rescore else k)
         idx, dist = self.searcher.search_batched(
             dense_q, final_num_neighbors=fetch, **kwargs)
         idx = np.asarray(idx)
         if not self.exact_rescore:
             return idx[:, :k], np.asarray(dist)[:, :k]
-        exact = q.dot_dense_rows(self.database, idx)
+        safe_idx = np.maximum(idx, 0)
+        dots = q.dot_dense_rows(self.database, safe_idx)
+        q_sq = np.zeros((q.n_rows,), np.float32)
+        row_of = np.repeat(np.arange(q.n_rows),
+                           np.diff(q.indptr).astype(np.int64))
+        np.add.at(q_sq, row_of, q.values ** 2)
+        if self.measure == "squared_l2":
+            exact = -(q_sq[:, None] - 2.0 * dots
+                      + self._row_sq[safe_idx])  # similarity = -distance
+        elif self.measure == "cosine":
+            denom = np.sqrt(np.maximum(q_sq[:, None]
+                                       * self._row_sq[safe_idx], 1e-20))
+            exact = dots / denom  # similarity = cos
+        else:
+            exact = dots
+        exact = np.where(idx >= 0, exact, -np.inf)
         order = np.argsort(-exact, axis=1)[:, :k]
-        return (np.take_along_axis(idx, order, axis=1),
-                np.take_along_axis(exact, order, axis=1))
+        top = np.take_along_axis(exact, order, axis=1)
+        if self.measure == "squared_l2":
+            user = -top
+        elif self.measure == "cosine":
+            user = 1.0 - top
+        else:
+            user = top
+        user = np.where(np.isneginf(top), np.nan, user)
+        return (np.take_along_axis(np.where(idx >= 0, idx, -1), order,
+                                   axis=1), user)
 
 
 def sparse_searcher(database, num_neighbors: int,
                     distance_measure: str = "dot_product",
                     projection_dims: int = 256, seed: int = 42,
-                    exact_rescore: bool = True,
+                    exact_rescore: bool = True, overretrieve: float = 2.0,
                     configure=None) -> SparseSearcher:
     """Build a searcher over sparse input.
 
@@ -158,4 +192,6 @@ def sparse_searcher(database, num_neighbors: int,
              .score_ah(2).reorder(4 * num_neighbors))
     else:
         b = b.score_brute_force()
-    return SparseSearcher(b.build(), proj, m, exact_rescore=exact_rescore)
+    return SparseSearcher(b.build(), proj, m,
+                          exact_rescore=exact_rescore,
+                          overretrieve=overretrieve)

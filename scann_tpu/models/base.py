@@ -230,7 +230,8 @@ class Searcher:
 
     # ------------------------------------------------------------ pipeline
     def _search_impl(self, queries, state, k: int, k_pre: int, leaves: int,
-                     crowding_limit=(), full_scan: bool = False):
+                     crowding_limit=(), full_scan: bool = False,
+                     pre_crowding_limit=()):
         # Candidate selection runs in the (possibly projected) index space;
         # exact reordering below uses the raw queries.
         q_proj = self._project_queries(queries, state)
@@ -242,6 +243,33 @@ class Searcher:
             if sim.shape[-1] > k_pre:
                 sim, pos = jax.lax.top_k(sim, k_pre)
                 idx = jnp.take_along_axis(idx, pos, axis=-1)
+            # Per-query SearchParameters applied before reorder
+            # (reference: SearchParameters pre_reordering_num_neighbors /
+            # pre_reordering_epsilon, base/search_parameters.h:40-226) —
+            # the candidate list is sorted best-first here, so a per-query
+            # k_pre is a column mask.
+            if state.get("k_pre_vec") is not None:
+                if sim.shape[-1] > 1:
+                    order = jnp.argsort(-sim, axis=-1)
+                    sim = jnp.take_along_axis(sim, order, axis=-1)
+                    idx = jnp.take_along_axis(idx, order, axis=-1)
+                col = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+                keep = col < state["k_pre_vec"][:, None]
+                sim = jnp.where(keep, sim, -jnp.inf)
+                idx = jnp.where(keep, idx, topk_ops.INVALID_INDEX)
+            if state.get("pre_epsilon") is not None:
+                keep = sim >= state["pre_epsilon"][:, None]
+                sim = jnp.where(keep, sim, -jnp.inf)
+                idx = jnp.where(keep, idx, topk_ops.INVALID_INDEX)
+            if pre_crowding_limit and state.get("crowding_attrs") is not None:
+                # PRE-reordering crowding: cap per attribute on the AH
+                # scores before the exact rescore (reference:
+                # per_crowding_attribute_pre_reordering_num_neighbors,
+                # single_machine_base.h:126-163).
+                attrs = jnp.take(state["crowding_attrs"],
+                                 jnp.maximum(idx, 0), axis=0)
+                sim, idx = topk_ops.crowding_filter_multi(
+                    sim, idx, attrs, pre_crowding_limit)
             sim = self.reorder_helper.rescore(queries, idx, state["reorder"])
         if crowding_limit and state.get("crowding_attrs") is not None:
             attrs = jnp.take(state["crowding_attrs"],
@@ -264,13 +292,16 @@ class Searcher:
         return idx, dist
 
     def _get_compiled(self, batch: int, k: int, k_pre: int, leaves: int,
-                      crowding_limit=(), full_scan: bool = False):
-        key = (batch, k, k_pre, leaves, crowding_limit, full_scan)
+                      crowding_limit=(), full_scan: bool = False,
+                      pre_crowding_limit=()):
+        key = (batch, k, k_pre, leaves, crowding_limit, full_scan,
+               pre_crowding_limit)
         fn = self._compiled.get(key)
         if fn is None:
             fn = jax.jit(functools.partial(
                 self._search_impl, k=k, k_pre=k_pre, leaves=leaves,
-                crowding_limit=crowding_limit, full_scan=full_scan))
+                crowding_limit=crowding_limit, full_scan=full_scan,
+                pre_crowding_limit=pre_crowding_limit))
             self._compiled[key] = fn
         return fn
 
@@ -298,7 +329,10 @@ class Searcher:
                        restrict_allowlist=None,
                        per_crowding_attribute_num_neighbors=None,
                        pre_tokenized_leaves=None,
-                       post_reordering_epsilon=None):
+                       post_reordering_epsilon=None,
+                       pre_reordering_epsilon=None,
+                       per_crowding_attribute_pre_reordering_num_neighbors
+                       =None):
         """Batched search; mirrors ScannSearcher.search_batched
         (scann_ops_pybind.py:67-90).  Returns (indices, distances) numpy
         arrays of shape (num_queries, k).
@@ -320,10 +354,38 @@ class Searcher:
         final (reordered) results (reference: SearchParameters
         post_reordering_epsilon, base/search_parameters.h:40-226): under
         dot_product, results with dot < epsilon are dropped; under
-        squared_l2/cosine, results with distance > epsilon are dropped."""
+        squared_l2/cosine, results with distance > epsilon are dropped.
+
+        Per-QUERY SearchParameters (reference: the per-query
+        SearchParameters vector of FindNeighborsBatched,
+        search_parameters.h:40-226): final_num_neighbors,
+        pre_reorder_num_neighbors, pre_reordering_epsilon and
+        post_reordering_epsilon each also accept a (num_queries,) array;
+        the compiled program is sized by the max and the per-query values
+        apply as masks.  pre_reordering_epsilon drops candidates whose
+        APPROXIMATE distance fails the cutoff before the exact rescore;
+        per_crowding_attribute_pre_reordering_num_neighbors caps
+        per-attribute candidates before reorder (single_machine_base.h:
+        126-163)."""
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim != 2:
             raise ValueError(f"queries must be 2d, got shape {queries.shape}")
+
+        def _vec_param(v, name):
+            """Split an int-or-(nq,)-array param into (static_max, vec)."""
+            if v is None or np.isscalar(v):
+                return v, None
+            arr = np.asarray(v, np.int32)
+            if arr.shape != (queries.shape[0],):
+                raise ValueError(
+                    f"{name} must be an int or a (num_queries,) array, "
+                    f"got shape {arr.shape}")
+            return int(arr.max()), arr
+
+        final_num_neighbors, k_vec = _vec_param(final_num_neighbors,
+                                                "final_num_neighbors")
+        pre_reorder_num_neighbors, k_pre_vec = _vec_param(
+            pre_reorder_num_neighbors, "pre_reorder_num_neighbors")
         if self.config.distance_measure == cfg.COSINE:
             norms = np.linalg.norm(queries, axis=1, keepdims=True)
             queries = queries / np.maximum(norms, 1e-20)
@@ -349,6 +411,22 @@ class Searcher:
                     raise ValueError(
                         f"expected {num_dims} crowding limits, got "
                         f"{len(crowding_limit)}")
+        pre_crowding_limit = ()
+        if per_crowding_attribute_pre_reordering_num_neighbors is not None:
+            if self._crowding_attrs is None:
+                raise ValueError(
+                    "call set_crowding(attributes) before searching with "
+                    "per_crowding_attribute_pre_reordering_num_neighbors")
+            lim = per_crowding_attribute_pre_reordering_num_neighbors
+            num_dims = self._crowding_attrs.shape[1]
+            if np.isscalar(lim):
+                pre_crowding_limit = (int(lim),) * num_dims
+            else:
+                pre_crowding_limit = tuple(int(x) for x in lim)
+                if len(pre_crowding_limit) != num_dims:
+                    raise ValueError(
+                        f"expected {num_dims} pre-reordering crowding "
+                        f"limits, got {len(pre_crowding_limit)}")
         nq = queries.shape[0]
         num_leaves = getattr(getattr(self, "part_cfg", None), "num_leaves",
                              0)
@@ -364,6 +442,20 @@ class Searcher:
                     f"{pre_tok.shape}")
             if pre_tok.max() >= num_leaves:
                 raise ValueError("pre_tokenized leaf id out of range")
+            if pre_tok.shape[1] > num_leaves:
+                # Wider than num_leaves would overflow the pruned plan's
+                # capacities (sized from min(leaves, num_leaves)) and
+                # silently drop candidates (ADVICE r2).
+                raise ValueError(
+                    f"pre_tokenized_leaves is wider ({pre_tok.shape[1]}) "
+                    f"than num_leaves ({num_leaves})")
+            srt = np.sort(np.where(pre_tok < 0, -np.arange(
+                1, pre_tok.shape[1] + 1)[None, :], pre_tok), axis=1)
+            if np.any(srt[:, 1:] == srt[:, :-1]):
+                # The leaf-major invert assumes distinct leaves per row;
+                # duplicates would corrupt its group ranking (ADVICE r2).
+                raise ValueError(
+                    "pre_tokenized_leaves rows must not repeat a leaf id")
             leaves = pre_tok.shape[1]
         full_scan = (pre_tok is None
                      and (leaves == 0 or leaves >= (num_leaves or 1 << 30)))
@@ -376,14 +468,24 @@ class Searcher:
         if pruned and nq > _PRUNED_MAX_BATCH:
             # The pruned plan's scratch capacity grows with batch * leaves;
             # cap the device batch and loop (calls pipeline on device).
+            def _sl(v, i):
+                """Slice per-query array params; pass scalars through."""
+                if v is None or np.isscalar(v):
+                    return v
+                return np.asarray(v)[i:i + _PRUNED_MAX_BATCH]
+
             outs = [self.search_batched(
-                queries[i:i + _PRUNED_MAX_BATCH], final_num_neighbors,
-                pre_reorder_num_neighbors, leaves_to_search,
+                queries[i:i + _PRUNED_MAX_BATCH],
+                final_num_neighbors if k_vec is None else _sl(k_vec, i),
+                (pre_reorder_num_neighbors if k_pre_vec is None
+                 else _sl(k_pre_vec, i)),
+                leaves_to_search,
                 restrict_allowlist,
                 per_crowding_attribute_num_neighbors,
-                (None if pre_tok is None
-                 else pre_tok[i:i + _PRUNED_MAX_BATCH]),
-                post_reordering_epsilon)
+                None if pre_tok is None else _sl(pre_tok, i),
+                _sl(post_reordering_epsilon, i),
+                _sl(pre_reordering_epsilon, i),
+                per_crowding_attribute_pre_reordering_num_neighbors)
                 for i in range(0, nq, _PRUNED_MAX_BATCH)]
             idx_parts = [o[0] for o in outs]
             dist = np.concatenate([o[1] for o in outs], axis=0)
@@ -414,8 +516,30 @@ class Searcher:
                                 restrict_allowlist is not None,
                                 pre_tok is not None)
         fn = self._get_compiled(bucket, k, k_pre, leaves_bucket,
-                                crowding_limit, full_scan)
+                                crowding_limit, full_scan,
+                                pre_crowding_limit)
         state = self._state()
+        if k_pre_vec is not None:
+            floor = k_vec if k_vec is not None else k
+            state["k_pre_vec"] = jnp.asarray(np.pad(
+                np.maximum(k_pre_vec, floor), (0, bucket - nq),
+                constant_values=k_pre))
+        if pre_reordering_epsilon is not None:
+            eps_arr = np.broadcast_to(
+                np.asarray(pre_reordering_epsilon, np.float32), (nq,))
+            # User epsilon is in user-distance terms; convert to the
+            # internal similarity cutoff (dot: sim >= eps; L2: sim = -d so
+            # sim >= -eps; cosine: d = 1 - sim so sim >= 1 - eps).
+            if self.config.distance_measure == cfg.DOT_PRODUCT:
+                sim_eps = eps_arr
+            elif self.config.distance_measure == cfg.COSINE:
+                sim_eps = 1.0 - eps_arr
+            else:
+                sim_eps = -eps_arr
+            state["pre_epsilon"] = jnp.asarray(np.pad(
+                sim_eps, (0, bucket - nq), constant_values=-np.inf))
+        if pre_crowding_limit:
+            state["crowding_attrs"] = self._crowding_attrs
         if pre_tok is not None:
             pt = pre_tok
             if bucket != nq:
@@ -437,11 +561,19 @@ class Searcher:
         idx = np.asarray(idx[:nq])
         dist = np.asarray(dist[:nq])
         if post_reordering_epsilon is not None:
-            eps = float(post_reordering_epsilon)
+            eps = np.broadcast_to(
+                np.asarray(post_reordering_epsilon, np.float32),
+                (nq,))[:, None]
             if self.config.distance_measure == cfg.DOT_PRODUCT:
                 bad = ~(dist >= eps)   # NaN-safe: NaN stays dropped
             else:
                 bad = ~(dist <= eps)
+            idx = np.where(bad, topk_ops.INVALID_INDEX, idx)
+            dist = np.where(bad, np.nan, dist)
+        if k_vec is not None:
+            # Per-query final_num_neighbors: results are best-first, so
+            # the override is a column mask.
+            bad = np.arange(idx.shape[1])[None, :] >= k_vec[:, None]
             idx = np.where(bad, topk_ops.INVALID_INDEX, idx)
             dist = np.where(bad, np.nan, dist)
         if self.docids is not None:

@@ -126,7 +126,12 @@ class BruteForceSearcher(base.Searcher):
         del leaves
         nq = queries.shape[0]
         n = state["bf_db"].shape[0]
-        if nq * n <= _MAX_SCORES:
+        # L1 has no matmul decomposition: the (q, chunk, d) elementwise
+        # block is the live cost, so chunk d-times smaller.
+        cost = (state["bf_db"].shape[1]
+                if cfg.internal_measure(self.config.distance_measure)
+                == cfg.L1 else 1)
+        if nq * n * cost <= _MAX_SCORES:
             sim = self._scores(queries, state)
             valid = state["bf_valid"]
             if state.get("restrict") is not None:
@@ -137,7 +142,7 @@ class BruteForceSearcher(base.Searcher):
             return topk_ops.top_k_with_invalid(
                 sim, min(k_pre, n), valid=valid[None, :])
         # Chunked scan over the database axis with running top-k merge.
-        chunk = max(1, _MAX_SCORES // nq)
+        chunk = max(1, _MAX_SCORES // (nq * cost))
         chunk = min(chunk, n)
         num_chunks = -(-n // chunk)
         pad_n = num_chunks * chunk

