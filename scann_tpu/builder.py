@@ -45,6 +45,11 @@ class ScannBuilder:
     """Builder class (reference: scann_builder.py:57)."""
 
     def __init__(self, db, num_neighbors: int, distance_measure: str):
+        from scann_tpu.data import dataset as dataset_mod
+        self.db_docids = None
+        if isinstance(db, dataset_mod.DenseDataset):
+            self.db_docids = db.docids
+            db = db.data
         self.db = np.asarray(db, dtype=np.float32)
         self.num_neighbors = num_neighbors
         self.distance_measure = distance_measure
@@ -76,7 +81,8 @@ class ScannBuilder:
              soar_lambda=None, overretrieve_factor=None,
              query_spilling_type="fixed_number",
              query_spilling_threshold=None,
-             expected_spill_factor=2.0) -> "ScannBuilder":
+             expected_spill_factor=2.0,
+             hierarchical_top=0) -> "ScannBuilder":
         """Configure partitioning (reference: scann_builder.py:163-239)."""
         if self._partitioning is not None:
             raise ValueError("tree has already been configured")
@@ -107,6 +113,7 @@ class ScannBuilder:
             query_spilling_type=query_spilling_type,
             query_spilling_threshold=query_spilling_threshold,
             expected_spill_factor=expected_spill_factor,
+            hierarchical_top=hierarchical_top,
             avq=avq,
             soar=soar)
         return self
@@ -271,8 +278,9 @@ class ScannBuilder:
         """Create a searcher (reference: scann_builder.py:445-469 +
         scann_ops_pybind.create_searcher)."""
         from scann_tpu import factory
-        return factory.create_searcher(self.db, self.create_config(),
-                                       docids=docids)
+        return factory.create_searcher(
+            self.db, self.create_config(),
+            docids=docids if docids is not None else self.db_docids)
 
 
 def builder(db, num_neighbors, distance_measure) -> ScannBuilder:

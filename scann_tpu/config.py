@@ -100,6 +100,14 @@ class PartitioningConfig:
     query_spilling_threshold: Optional[float] = None
     expected_spill_factor: float = 2.0
     upper_tree: Optional[UpperTreeConfig] = None
+    # Hierarchical center TRAINING for large leaf counts (reference:
+    # KMeansTreeNode::Train recursion, trees/kmeans_tree/kmeans_tree_node
+    # .cc:163-265): train `hierarchical_top` top-level clusters, then one
+    # sub-k-means per top cluster; the top level doubles as the upper
+    # tree.  0 disables; "auto" picks ~sqrt(num_leaves) when num_leaves
+    # is large.  Training cost drops from O(sample * num_leaves) to
+    # O(sample * (top + num_leaves/top)) per iteration.
+    hierarchical_top: int = 0
 
     def __post_init__(self):
         if self.num_leaves <= 0:

@@ -18,7 +18,16 @@ from scann_tpu import config as cfg
 def create_searcher(database, scann_config: cfg.ScannConfig, docids=None):
     """Build a searcher from a config (restoring a serialized index goes
     through scann_tpu.load_searcher, matching the reference split between
-    create_searcher and load_searcher, scann_ops_pybind.py:226-273)."""
+    create_searcher and load_searcher, scann_ops_pybind.py:226-273).
+
+    ``database`` may be a plain (n, d) array or a data.dataset.DenseDataset
+    (its docids and normalization carry over, like the reference factory
+    consuming a TypedDataset, single_machine_factory_scann.cc:254)."""
+    from scann_tpu.data import dataset as dataset_mod
+    if isinstance(database, dataset_mod.DenseDataset):
+        if docids is None:
+            docids = database.docids
+        database = database.data
     database = np.asarray(database, dtype=np.float32)
     if database.ndim != 2:
         raise ValueError(f"database must be 2d, got shape {database.shape}")

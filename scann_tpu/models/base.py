@@ -151,13 +151,20 @@ class Searcher:
         self.docids = list(docids) if docids is not None else None
         if self.docids is not None and len(self.docids) != self.n_points:
             raise ValueError("docids must have one entry per database row")
+        # ONE device upload of the database shared by every build phase
+        # (reorder quantization, partitioner training, tokenize/encode):
+        # host->device bandwidth is the scarcest build resource on a
+        # tunneled TPU (~MB/s), and each redundant jnp.asarray of the full
+        # database costs minutes at scale.  Subclasses clear it when the
+        # build finishes.
+        self._build_x_dev = jnp.asarray(database, jnp.float32)
         self.reorder_helper: Optional[ReorderHelper] = None
         if scann_config.reordering is not None:
             # Reordering always rescoring against the *original* vectors
             # (the reference attaches exact_reordering outside the
             # projection, reordering_helper_factory.cc).
             self.reorder_helper = ReorderHelper(
-                database, cfg.internal_measure(
+                self._build_x_dev, cfg.internal_measure(
                     scann_config.distance_measure),
                 scann_config.reordering)
         self.projector = None
@@ -698,6 +705,23 @@ class Searcher:
     def _apply_delete(self, ids: np.ndarray):
         raise NotImplementedError(
             f"{type(self).__name__} does not support dynamic updates yet")
+
+    def set_metadata(self, getter):
+        """Attach a data.dataset.MetadataGetter (reference:
+        metadata/metadata_getter.h); results can then be enriched via
+        ``metadata_for``."""
+        self._metadata = getter
+
+    def metadata_for(self, indices):
+        """Per-neighbor metadata payloads for a result index array (None
+        entries for invalid indices)."""
+        getter = getattr(self, "_metadata", None)
+        if getter is None:
+            raise ValueError("call set_metadata(getter) first")
+        idx = np.asarray(indices)
+        flat = [getter.get(int(i)) if i >= 0 else None
+                for i in idx.reshape(-1)]
+        return np.asarray(flat, dtype=object).reshape(idx.shape)
 
     def get_health_stats(self):
         """Partition imbalance + quantization error stats

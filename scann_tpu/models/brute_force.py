@@ -33,23 +33,27 @@ class BruteForceSearcher(base.Searcher):
     def __init__(self, database: np.ndarray, scann_config: cfg.ScannConfig,
                  docids=None):
         super().__init__(database, scann_config, docids)
-        database = self._project_database(database)
+        if self.projector is None and self._build_x_dev is not None:
+            database = self._build_x_dev  # reuse the shared upload
+        else:
+            database = jnp.asarray(self._project_database(database),
+                                   jnp.float32)
         bf = scann_config.brute_force or cfg.BruteForceConfig()
         self.quantize_mode = bf.quantize
         self._inv_mult = None
         self._sq_norms = None
         if bf.quantize == cfg.INT8:
-            sq = quant_ops.scalar_quantize(jnp.asarray(database))
+            sq = quant_ops.scalar_quantize(database)
             self._db = sq.data
             self._inv_mult = sq.inverse_multipliers
             self._sq_norms = sq.sq_norms
         elif bf.quantize == cfg.BFLOAT16:
-            self._db = jnp.asarray(database, jnp.bfloat16)
-            self._sq_norms = jnp.sum(
-                jnp.asarray(database, jnp.float32) ** 2, axis=-1)
+            self._db = database.astype(jnp.bfloat16)
+            self._sq_norms = jnp.sum(database ** 2, axis=-1)
         else:
-            self._db = jnp.asarray(database, jnp.float32)
+            self._db = database
         self._valid = jnp.ones((database.shape[0],), bool)
+        self._build_x_dev = None
 
     def _extra_state(self):
         return {"bf_db": self._db, "bf_inv_mult": self._inv_mult,

@@ -86,6 +86,7 @@ class TreeAHSearcher(base.Searcher):
                 "lookup_type='reconstruct' (additive ||x_hat||^2 cross "
                 "terms are not LUT-decomposable)")
         self._build(database)
+        self._build_x_dev = None  # free the build-time device copy
 
     # ------------------------------------------------------------- build
     def _build(self, database: np.ndarray):
@@ -106,13 +107,22 @@ class TreeAHSearcher(base.Searcher):
         # One device upload of the database for the whole build: every
         # build phase (tokenize, split, residualize, encode) reads this
         # array — round 2 paid minutes of repeated host<->device transfer
-        # through the tunneled TPU link (VERDICT r2 missing-4).
-        x_dev = jnp.asarray(database, jnp.float32)
+        # through the tunneled TPU link (VERDICT r2 missing-4).  The base
+        # class uploaded it once already (shared with the reorder helper);
+        # only a projected database needs a fresh upload.
+        x_dev = (self._build_x_dev
+                 if self.projector is None and self._build_x_dev is not None
+                 else jnp.asarray(database, jnp.float32))
+        _phase("database uploaded")
         self.partitioner: Optional[kmeans_tree.KMeansTreePartitioner] = None
         if self.part_cfg is not None:
             self.partitioner = kmeans_tree.KMeansTreePartitioner.train(
-                database, self.part_cfg, self.measure, seed)
+                x_dev, self.part_cfg, self.measure, seed)
             _phase("partitioner trained")
+            if self.partitioner.num_leaves != self.part_cfg.num_leaves:
+                # Hierarchical training rounds num_leaves up to k1*k2.
+                self._register_centers(
+                    np.asarray(self.partitioner.centers))
             # Max-size bound per partition: oversized partitions SPLIT
             # (batched device 2-means, kmeans_tree.split_oversized) so the
             # pruned kernel's per-leaf tile count stays within MAX_NTILES
@@ -127,9 +137,11 @@ class TreeAHSearcher(base.Searcher):
                                       pruned_scan.TILE)))
             tokens = np.asarray(
                 self.partitioner.tokenize_database(x_dev))
+            _phase("primary assignment done")
             centers_np = np.asarray(self.partitioner.centers)
             tokens, grown = kmeans_tree.split_oversized(
                 x_dev, tokens, centers_np, cap_primary)
+            _phase("oversized split round 1 done")
             if grown.shape[0] != centers_np.shape[0]:
                 centers_np = grown
                 self._register_centers(centers_np)
@@ -140,8 +152,10 @@ class TreeAHSearcher(base.Searcher):
                 # re-tokenize passes (VERDICT r2 next-3).
                 tokens = np.asarray(
                     self.partitioner.tokenize_database(x_dev))
+                _phase("refinement re-assignment done")
                 tokens, grown = kmeans_tree.split_oversized(
                     x_dev, tokens, centers_np, cap_primary)
+                _phase("oversized split round 2 done")
                 if grown.shape[0] != centers_np.shape[0]:
                     centers_np = grown
                     self._register_centers(centers_np)
@@ -1207,11 +1221,20 @@ class TreeAHSearcher(base.Searcher):
         q_bf = (jnp.pad(q_c, ((0, 0), (0, pad))) if pad
                 else q_c).astype(jnp.bfloat16)
 
-        g_pad, w_pad = pruned_scan.plan_capacities(
-            nq, leaves, num_leaves, self._p_num_tiles, self._p_max_ntiles)
-        plan = pruned_scan.invert(
-            leaf_ids, valid_sel, state["p_tile_start"], state["p_ntiles"],
-            self._p_max_ntiles, g_pad, w_pad)
+        if nq * leaves <= pruned_scan.QG:
+            # Small-batch fast path: analytic per-pair plan, no sorts (the
+            # invert's serial chain of tiny ops dominates single-query
+            # latency).
+            plan = pruned_scan.invert_small(
+                leaf_ids, valid_sel, state["p_tile_start"],
+                state["p_ntiles"], self._p_max_ntiles)
+        else:
+            g_pad, w_pad = pruned_scan.plan_capacities(
+                nq, leaves, num_leaves, self._p_num_tiles,
+                self._p_max_ntiles)
+            plan = pruned_scan.invert(
+                leaf_ids, valid_sel, state["p_tile_start"],
+                state["p_ntiles"], self._p_max_ntiles, g_pad, w_pad)
         p_bias = state["p_bias"]
         if state.get("restrict") is not None:
             # Restrict allowlists fold into the per-slot bias plane, so the

@@ -43,9 +43,14 @@ class TreeXSearcher(base.Searcher):
     def _build(self, database: np.ndarray):
         database = self._project_database(database)
         n, d = database.shape
+        # Reuse the base class's one shared device upload when unprojected.
+        x_dev = (self._build_x_dev
+                 if self.projector is None and self._build_x_dev is not None
+                 else database)
         self.partitioner = kmeans_tree.KMeansTreePartitioner.train(
-            database, self.part_cfg, self.measure, self.config.seed)
-        tokens = np.asarray(self.partitioner.tokenize_database(database))
+            x_dev, self.part_cfg, self.measure, self.config.seed)
+        tokens = np.asarray(self.partitioner.tokenize_database(x_dev))
+        self._build_x_dev = None
         self.datapoint_to_token = tokens[:, None]
 
         order = np.argsort(tokens, kind="stable")

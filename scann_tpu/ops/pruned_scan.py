@@ -235,6 +235,34 @@ def invert(sel, valid_sel, tile_start, ntiles, max_ntiles: int,
                     pair_gid, pair_row)
 
 
+def invert_small(sel, valid_sel, tile_start, ntiles,
+                 max_ntiles: int) -> WorkPlan:
+    """Analytic work plan for tiny batches (B * L <= QG): one query-group
+    per (query, leaf) PAIR, no sorts, no prefix fills — the whole plan is
+    a handful of vectorized takes, collapsing the long dependency chain of
+    tiny ops that dominates single-query latency (VERDICT r2 next-6).
+    The MXU lane waste (1 live query of QG slots) is irrelevant at this
+    scale; the kernel/merge contracts are identical to invert()."""
+    b, l = sel.shape
+    p = b * l
+    leaf_flat = jnp.maximum(sel.reshape(-1), 0)
+    q_of_pair = jnp.repeat(jnp.arange(b, dtype=jnp.int32), l)
+    qg_query = jnp.broadcast_to(q_of_pair[:, None], (p, QG))
+    qg_leaf = leaf_flat
+    g_nt = jnp.where(valid_sel.reshape(-1),
+                     jnp.take(ntiles, leaf_flat), 0)
+    t_iota = jnp.arange(max_ntiles, dtype=jnp.int32)[None, :]
+    t_eff = jnp.minimum(t_iota, jnp.maximum(g_nt[:, None] - 1, 0))
+    work_tile = (jnp.take(tile_start, leaf_flat)[:, None]
+                 + t_eff).reshape(-1)
+    work_qg = jnp.repeat(jnp.arange(p, dtype=jnp.int32), max_ntiles)
+    work_active = (t_iota < g_nt[:, None]).astype(jnp.int32).reshape(-1)
+    pair_gid = jnp.arange(p, dtype=jnp.int32).reshape(b, l)
+    pair_row = jnp.zeros((b, l), jnp.int32)
+    return WorkPlan(qg_query, qg_leaf, work_tile, work_qg, work_active,
+                    pair_gid, pair_row)
+
+
 _ID_BITS = _IDX_BITS + _TILE_BITS
 _ID_MASK = (1 << _ID_BITS) - 1
 

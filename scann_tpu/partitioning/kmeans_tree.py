@@ -96,6 +96,34 @@ class KMeansTreePartitioner(NamedTuple):
             k_sample, n, part.training_sample_size)
         x = jnp.asarray(database, jnp.float32)
         sample = jnp.take(x, sample_idx, axis=0)
+        if (part.hierarchical_top
+                and part.num_leaves > part.hierarchical_top):
+            # Two-level recursive training (KMeansTreeNode::Train,
+            # kmeans_tree_node.cc:163-265): the top level doubles as the
+            # upper tree for query tokenization.
+            (centers, upper_centers,
+             upper_assign, upper_l) = _hierarchical_centers(
+                 k_train, sample, part)
+            centers_int8 = inv_mult = None
+            if part.quantize_centroids:
+                sq = quant_ops.scalar_quantize(centers)
+                centers_int8, inv_mult = sq.data, sq.inverse_multipliers
+            spill_type = getattr(part, "query_spilling_type",
+                                 "fixed_number")
+            spill_thr = getattr(part, "query_spilling_threshold", None)
+            if (spill_type in ("additive", "multiplicative")
+                    and spill_thr is None):
+                spill_thr = learn_spilling_threshold(
+                    sample, centers, spill_type,
+                    getattr(part, "expected_spill_factor", 2.0),
+                    part.num_leaves_to_search)
+            return KMeansTreePartitioner(
+                centers=centers, centers_int8=centers_int8,
+                centers_inv_mult=inv_mult, query_distance=measure,
+                upper_centers=upper_centers, upper_assign=upper_assign,
+                upper_leaves_to_search=upper_l,
+                query_spilling_type=spill_type,
+                query_spilling_threshold=float(spill_thr or 0.0))
         result = jax.jit(functools.partial(
             kmeans_ops.kmeans,
             k=part.num_leaves,
@@ -224,20 +252,14 @@ class KMeansTreePartitioner(NamedTuple):
 
     def tokenize_database(self, database) -> jax.Array:
         """Primary (unspilled) assignment under squared L2, chunked over the
-        dataset (TokenizeDatabase, kmeans_tree_partitioner.cc:485-567)."""
-        centers = self.centers
+        dataset (TokenizeDatabase, kmeans_tree_partitioner.cc:485-567).
 
-        @jax.jit
-        def run(x):
-            n = x.shape[0]
-            pad = (-n) % _TOKENIZE_CHUNK
-            xp = jnp.pad(x, ((0, pad), (0, 0)))
-            chunks = xp.reshape(-1, _TOKENIZE_CHUNK, x.shape[1])
-            a = jax.lax.map(lambda c: kmeans_ops.assign(c, centers)[0],
-                            chunks)
-            return a.reshape(-1)[:n]
-
-        return run(jnp.asarray(database, jnp.float32))
+        Centers are an ARGUMENT of the jitted program, not a closure
+        capture: a closed-over device array is lowered as an MLIR constant,
+        which silently downloads it to host at trace time and re-embeds it
+        in every executable."""
+        return _tokenize_run(jnp.asarray(database, jnp.float32),
+                             self.centers)
 
     def tokenize_database_soar(self, database, soar: cfg.SoarConfig):
         """Two-center SOAR assignment: secondary center minimizes
@@ -249,49 +271,19 @@ class KMeansTreePartitioner(NamedTuple):
 
         Returns (n, 2) int32; column 0 = primary, column 1 = secondary.
         """
-        centers = self.centers
-        lam = float(soar.lambda_)
+        return _tokenize_soar_run(jnp.asarray(database, jnp.float32),
+                                  self.centers, float(soar.lambda_))
 
-        @jax.jit
-        def run(x):
-            n = x.shape[0]
-            pad = (-n) % _TOKENIZE_CHUNK
-            xp = jnp.pad(x, ((0, pad), (0, 0)))
-            chunks = xp.reshape(-1, _TOKENIZE_CHUNK, x.shape[1])
-
-            def per_chunk(c):
-                prim, _ = kmeans_ops.assign(c, centers)
-                cprim = jnp.take(centers, prim, axis=0)
-                r = c - cprim
-                rnorm = jnp.linalg.norm(r, axis=-1, keepdims=True)
-                r_hat = jnp.where(rnorm < 1e-7, 0.0, r / jnp.maximum(
-                    rnorm, 1e-20))
-                # term1: ||x - c_j||^2 for all j
-                term1 = dist_ops.squared_l2(c, centers)
-                # term2: (x - c_j) . r_hat = x.r_hat - c_j.r_hat
-                x_dot_r = jnp.sum(c * r_hat, axis=-1, keepdims=True)
-                c_dot_r = jax.lax.dot_general(
-                    r_hat, centers,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                term2 = x_dot_r - c_dot_r
-                soar_dist = term1 + lam * term2 * term2
-                # Exclude the primary.
-                soar_dist = soar_dist.at[
-                    jnp.arange(c.shape[0]), prim].set(jnp.inf)
-                sec = jnp.argmin(soar_dist, axis=-1).astype(jnp.int32)
-                return jnp.stack([prim, sec], axis=-1)
-
-            out = jax.lax.map(per_chunk, chunks)
-            return out.reshape(-1, 2)[:n]
-
-        return run(jnp.asarray(database, jnp.float32))
+    @staticmethod
+    @jax.jit
+    def _residualize_run(x, tokens, centers):
+        return x - jnp.take(centers, tokens, axis=0)
 
     def residualize(self, database, tokens):
         """x - c_token (ComputeResiduals, tree_ah_hybrid_residual.cc:185-222;
         ResidualizeToFloat, kmeans_tree_partitioner.cc:386-392)."""
-        x = jnp.asarray(database, jnp.float32)
-        return x - jnp.take(self.centers, tokens, axis=0)
+        return self._residualize_run(jnp.asarray(database, jnp.float32),
+                                     jnp.asarray(tokens), self.centers)
 
     # -------------------------------------------------------------- AVQ
     def apply_avq(self, database, tokens, eta: float,
@@ -340,6 +332,109 @@ class KMeansTreePartitioner(NamedTuple):
         new_centers = jnp.where((counts > 0)[:, None], new_centers,
                                 self.centers)
         return self._replace(centers=new_centers)
+
+
+@jax.jit
+def _tokenize_run(x, centers):
+    n = x.shape[0]
+    pad = (-n) % _TOKENIZE_CHUNK
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    chunks = xp.reshape(-1, min(_TOKENIZE_CHUNK, xp.shape[0]), x.shape[1])
+    a = jax.lax.map(lambda c: kmeans_ops.assign(c, centers)[0], chunks)
+    return a.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _tokenize_soar_run(x, centers, lam):
+    n = x.shape[0]
+    pad = (-n) % _TOKENIZE_CHUNK
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    chunks = xp.reshape(-1, min(_TOKENIZE_CHUNK, xp.shape[0]), x.shape[1])
+
+    def per_chunk(c):
+        prim, _ = kmeans_ops.assign(c, centers)
+        cprim = jnp.take(centers, prim, axis=0)
+        r = c - cprim
+        rnorm = jnp.linalg.norm(r, axis=-1, keepdims=True)
+        r_hat = jnp.where(rnorm < 1e-7, 0.0, r / jnp.maximum(rnorm, 1e-20))
+        # term1: ||x - c_j||^2 for all j
+        term1 = dist_ops.squared_l2(c, centers)
+        # term2: (x - c_j) . r_hat = x.r_hat - c_j.r_hat
+        x_dot_r = jnp.sum(c * r_hat, axis=-1, keepdims=True)
+        c_dot_r = jax.lax.dot_general(
+            r_hat, centers, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        term2 = x_dot_r - c_dot_r
+        soar_dist = term1 + lam * term2 * term2
+        # Exclude the primary.
+        soar_dist = soar_dist.at[
+            jnp.arange(c.shape[0]), prim].set(jnp.inf)
+        sec = jnp.argmin(soar_dist, axis=-1).astype(jnp.int32)
+        return jnp.stack([prim, sec], axis=-1)
+
+    out = jax.lax.map(per_chunk, chunks)
+    return out.reshape(-1, 2)[:n]
+
+
+def _hierarchical_centers(key, sample, part: cfg.PartitioningConfig):
+    """Two-level center training: k1 = hierarchical_top top clusters on
+    the sample, then one masked sub-k-means (k2 = ceil(num_leaves / k1))
+    per top cluster, batched on device with lax.map.  Returns
+    (centers (k1*k2, d), upper_centers (k1, d), upper_assign, upper_l).
+
+    Per-iteration training cost is O(sample * (k1 + k2)) instead of the
+    flat O(sample * num_leaves) — the reference achieves the same via
+    KMeansTreeNode::Train recursion (kmeans_tree_node.cc:163-265).  The
+    top level is exposed as the upper tree, so query tokenization scores
+    k1 + (selected tops) * k2 centroids instead of all num_leaves.
+    """
+    k1 = int(part.hierarchical_top)
+    k2 = -(-part.num_leaves // k1)
+    top = jax.jit(functools.partial(
+        kmeans_ops.kmeans, k=k1,
+        iterations=part.training_iterations,
+        init="random" if part.random_init else "kmeans++",
+        spherical=part.spherical))(key, sample)
+    tokens = np.asarray(top.assignments)
+    counts = np.bincount(tokens, minlength=k1)
+    max_m = max(int(counts.max()), k2)
+    idx_t, valid_t = _pad_partition_index(tokens, k1, max_m)
+
+    def sub_one(args):
+        idx_row, valid_row = args
+        xm = jnp.take(sample, idx_row, axis=0)
+        v = valid_row.astype(jnp.float32)
+        # Deterministic spread init over the member list (members first).
+        stride = max(max_m // k2, 1)
+        c = jax.lax.slice(xm, (0, 0), (k2 * stride, xm.shape[1]),
+                          (stride, 1))
+
+        def body(_, c):
+            c_sq = jnp.sum(c * c, axis=-1)
+            dots = jax.lax.dot_general(
+                xm, c, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            a = jnp.argmin(c_sq[None, :] - 2.0 * dots, axis=-1)
+            w = v[:, None] * jax.nn.one_hot(a, k2, dtype=jnp.float32)
+            sums = jax.lax.dot_general(
+                w, xm, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cnt = jnp.sum(w, axis=0)[:, None]
+            return jnp.where(cnt > 0, sums / jnp.maximum(cnt, 1.0), c)
+
+        return jax.lax.fori_loop(0, max(part.training_iterations // 2, 4),
+                                 body, c)
+
+    sub = jax.jit(lambda it, vt: jax.lax.map(sub_one, (it, vt)))(
+        jnp.asarray(idx_t), jnp.asarray(valid_t))  # (k1, k2, d)
+    centers = sub.reshape(k1 * k2, sample.shape[1])
+    upper_assign = jnp.asarray(
+        np.repeat(np.arange(k1, dtype=np.int32), k2))
+    # Enough top clusters that the true top-L leaves are reachable:
+    # L leaves spread over ~L distinct tops in the worst case; 2x margin.
+    upper_l = max(1, min(k1, 2 * -(-part.num_leaves_to_search * k1
+                                   // max(part.num_leaves, 1)) + 4))
+    return centers, top.centers, upper_assign, upper_l
 
 
 def learn_spilling_threshold(sample, centers, spilling_type: str,
@@ -427,12 +522,16 @@ def split_oversized(x, tokens: np.ndarray, centers: np.ndarray, cap: int,
     x_dev = jnp.asarray(x, jnp.float32)
     fn = jax.jit(_two_means_batch)  # x passed as an argument, not closed
     # over: closure capture would embed the database in the executable.
-    for _ in range(max_rounds):
+    import logging
+    for _round in range(max_rounds):
         counts = np.bincount(tokens, minlength=len(centers))
         over = np.nonzero(counts > cap)[0]
         if len(over) == 0:
             break
         max_m = int(counts[over].max())
+        logging.getLogger("scann_tpu").info(
+            "split round %d: %d oversized leaves, max %d members",
+            _round, len(over), max_m)
         order = np.argsort(tokens, kind="stable")
         starts = np.searchsorted(tokens[order], over)
         idx_t = np.zeros((len(over), max_m), np.int32)

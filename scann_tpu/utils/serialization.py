@@ -113,6 +113,8 @@ def collect_assets(searcher):
                 searcher.partitioner.query_spilling_type)
             meta["query_spilling_threshold"] = (
                 searcher.partitioner.query_spilling_threshold)
+            meta["upper_leaves_to_search"] = (
+                searcher.partitioner.upper_leaves_to_search)
     elif tname == "TreeXSearcher":
         put("slot_rows", searcher.slot_rows)
         put("slot_leaf", searcher.slot_leaf)
@@ -329,6 +331,9 @@ def _load_partitioner(arrays, scann_config, meta=None):
     part = scann_config.partitioning
     if part is not None and part.upper_tree is not None:
         upper_l = part.upper_tree.num_leaves_to_search
+    # Hierarchical training derives its own upper fan-out (not present in
+    # the upper_tree config); the serialized value wins.
+    upper_l = int(meta.get("upper_leaves_to_search", upper_l))
     return kmeans_tree.KMeansTreePartitioner(
         centers=arrays["centers"],
         centers_int8=arrays.get("centers_int8"),

@@ -145,3 +145,24 @@ def test_l1_brute_force_end_to_end():
          .tree(num_leaves=4, num_leaves_to_search=2,
                training_sample_size=1000)
          .score_ah(2).create_config())
+
+
+def test_dense_dataset_wired_into_factory():
+    """DenseDataset feeds the factory/builder directly (docids +
+    normalization carry over), and MetadataGetter attaches to searchers."""
+    import scann_tpu
+    rng = np.random.default_rng(2)
+    db = rng.standard_normal((500, 16)).astype(np.float32)
+    ds = DenseDataset(db, docids=[f"d{i}" for i in range(len(db))],
+                      normalization="unitl2norm")
+    s = scann_tpu.builder(ds, 5, "dot_product").score_brute_force().build()
+    idx, _ = s.search_batched(ds.data[:3])
+    # docids came from the dataset
+    assert idx[0][0] == "d0"
+    s2 = scann_tpu.builder(db, 5, "dot_product").score_brute_force().build()
+    s2.set_metadata(MetadataGetter(payloads={i: f"p{i}"
+                                             for i in range(len(db))}))
+    i2, _ = s2.search_batched(db[:2])
+    md = s2.metadata_for(i2)
+    assert md.shape == i2.shape
+    assert md[0, 0] == f"p{i2[0, 0]}"

@@ -218,3 +218,47 @@ def test_query_spilling_types_and_learned_threshold():
     m3 = np.asarray(p3.spilling_mask(sims))
     np.testing.assert_array_equal(
         m3, [[True, True, True, True], [True, True, False, False]])
+
+
+def test_hierarchical_tree_training():
+    """Two-level center training (reference KMeansTreeNode::Train
+    recursion): k1 top clusters double as the upper tree; recall stays
+    within noise of flat training at equal leaf counts."""
+    import scann_tpu
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((64, 32)).astype(np.float32)
+    db = (centers[rng.integers(0, 64, 50000)]
+          + 0.3 * rng.standard_normal((50000, 32)).astype(np.float32))
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.standard_normal((48, 32)).astype(np.float32)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+
+    def recall(idx):
+        return np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                        for i in range(len(q))])
+
+    s_h = (scann_tpu.builder(db, 10, "dot_product")
+           .tree(num_leaves=64, num_leaves_to_search=16,
+                 training_sample_size=20000, hierarchical_top=8)
+           .score_ah(2, anisotropic_quantization_threshold=0.2)
+           .reorder(60).build())
+    # top level became the upper tree
+    assert s_h.partitioner.upper_centers is not None
+    assert s_h.partitioner.upper_centers.shape[0] == 8
+    assert s_h.partitioner.num_leaves >= 64
+    idx_h, _ = s_h.search_batched(q)
+    s_f = (scann_tpu.builder(db, 10, "dot_product")
+           .tree(num_leaves=64, num_leaves_to_search=16,
+                 training_sample_size=20000)
+           .score_ah(2, anisotropic_quantization_threshold=0.2)
+           .reorder(60).build())
+    idx_f, _ = s_f.search_batched(q)
+    rh, rf = recall(idx_h), recall(idx_f)
+    assert rh >= rf - 0.05, (rh, rf)
+    # serialization round trip preserves the hierarchy
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        s_h.serialize(td)
+        s2 = scann_tpu.load_searcher(td)
+        idx2, _ = s2.search_batched(q)
+        np.testing.assert_array_equal(idx_h, idx2)

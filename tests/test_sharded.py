@@ -241,18 +241,19 @@ def test_sharded_streaming_build_2m():
     database is only ever seen one chunk at a time (the chunker yields
     freshly generated chunks), recall against sampled exact ground truth
     >= 0.95 at generous leaf counts."""
-    d = 24
+    d = 32
     n_chunks, chunk_rows = 16, 125_000  # 2M rows total
-    n_topics = 4096  # ~500 rows/topic: realistic neighbor margins (a
-    # 40-topic corpus makes 50k near-duplicates per topic — top-10 there
-    # is an adversarial tie-break, not a retrieval test)
+    n_topics = 200_000  # ~10 rows/topic: the true top-10 is the query's
+    # topic with real inter-topic margins.  (Dense topics make top-10 an
+    # intra-topic tie-break below int8-rescore resolution at ANY scale —
+    # a quantizer stress test, not a retrieval test.)
     rng = np.random.default_rng(7)
     centers = rng.standard_normal((n_topics, d)).astype(np.float32)
 
     def make_chunk(ci):
         r = np.random.default_rng(100 + ci)
         x = (centers[r.integers(0, n_topics, chunk_rows)]
-             + 0.25 * r.standard_normal((chunk_rows, d)).astype(np.float32))
+             + 0.15 * r.standard_normal((chunk_rows, d)).astype(np.float32))
         return x / np.linalg.norm(x, axis=1, keepdims=True)
 
     def chunks():
@@ -274,7 +275,7 @@ def test_sharded_streaming_build_2m():
     # direction at 2M rows has a near-flat neighbor spectrum that no
     # 4-bit quantizer can rank.
     q = (centers[rng.integers(0, n_topics, 16)]
-         + 0.25 * rng.standard_normal((16, d)).astype(np.float32))
+         + 0.15 * rng.standard_normal((16, d)).astype(np.float32))
     q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
     idx, _ = ss.search_batched(q)
     # Exact ground truth streamed the same way (no resident database).
