@@ -153,11 +153,13 @@ class Searcher:
             raise ValueError("docids must have one entry per database row")
         # ONE device upload of the database shared by every build phase
         # (reorder quantization, partitioner training, tokenize/encode):
-        # host->device bandwidth is the scarcest build resource on a
-        # tunneled TPU (~MB/s), and each redundant jnp.asarray of the full
-        # database costs minutes at scale.  Subclasses clear it when the
-        # build finishes.
-        self._build_x_dev = jnp.asarray(database, jnp.float32)
+        # host->device transfer is the scarcest build resource on a
+        # tunneled TPU, and each redundant upload of the full database
+        # costs minutes at scale.  Chunked: single large transfers can
+        # wedge a remote PJRT worker (utils/transfer.py).  Subclasses
+        # clear it when the build finishes.
+        from scann_tpu.utils import transfer
+        self._build_x_dev = transfer.to_device(database)
         self.reorder_helper: Optional[ReorderHelper] = None
         if scann_config.reordering is not None:
             # Reordering always rescoring against the *original* vectors

@@ -354,18 +354,21 @@ class TreeAHSearcher(base.Searcher):
         # pruned tile-major layout (or decoded rows in reconstruct mode),
         # so the device upload is deferred until a dense query arrives
         # (VERDICT r2: don't hold redundant full-scan layouts in HBM).
+        from scann_tpu.utils import transfer
         defer = (self._recon_mode
                  or (self.partitioner is not None and num_leaves > 1))
-        return TreeAHIndex(codes=None if defer else jnp.asarray(codes),
-                           slot_dpid=jnp.asarray(dpid),
-                           slot_leaf=jnp.asarray(leaf))
+        return TreeAHIndex(
+            codes=None if defer else transfer.to_device(codes, jnp.uint8),
+            slot_dpid=jnp.asarray(dpid),
+            slot_leaf=jnp.asarray(leaf))
 
     def _ensure_dense_codes(self):
         """Materialize the device full-scan code array on demand (dense
         masked scoring only)."""
         if self.index.codes is None:
+            from scann_tpu.utils import transfer
             self.index = self.index._replace(
-                codes=jnp.asarray(self._host["codes"]))
+                codes=transfer.to_device(self._host["codes"], jnp.uint8))
 
     # -------------------------------------------------- reconstruct mode
     @property
@@ -557,7 +560,8 @@ class TreeAHSearcher(base.Searcher):
                     (src >= 0)[:, None], h["codes"][np.maximum(src, 0)],
                     pruned_lut._PAD_CODE).astype(np.uint8)
                 codes3 = pruned_lut.pack_codes_tiles(pad_codes, num_tiles)
-            self._p_codes = jnp.asarray(codes3)
+            from scann_tpu.utils import transfer
+            self._p_codes = transfer.to_device(codes3, jnp.uint8)
             self._p_cb = jnp.asarray(pruned_lut.expand_codebook(
                 self.model.codebook, d_pad, b_pad))
             bias = np.where(dpid >= 0, 0.0,

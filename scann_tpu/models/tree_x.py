@@ -71,6 +71,8 @@ class TreeXSearcher(base.Searcher):
         self._set_leaf_data(rows, leaf, dpid)
 
     def _set_leaf_data(self, rows, leaf, dpid):
+        from scann_tpu.utils import transfer
+        rows = transfer.to_device(rows)
         self.slot_leaf = jnp.asarray(leaf)
         self.slot_dpid = jnp.asarray(dpid)
         self._inv_mult = None

@@ -50,7 +50,7 @@ from scann_tpu.ops import topk as topk_ops
 _logger = logging.getLogger("scann_tpu")
 
 # Rows per sharded tokenize+encode pass (bounds device memory during build).
-_BUILD_CHUNK = 1 << 18
+_BUILD_CHUNK = 1 << 17
 
 
 def _round_up(x: int, m: int) -> int:

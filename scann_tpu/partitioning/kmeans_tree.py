@@ -540,8 +540,9 @@ def split_oversized(x, tokens: np.ndarray, centers: np.ndarray, cap: int,
             m = counts[lf]
             idx_t[j, :m] = order[starts[j]:starts[j] + m]
             valid_t[j, :m] = True
-        c0, c1, assign = fn(x_dev, jnp.asarray(idx_t),
-                            jnp.asarray(valid_t))
+        from scann_tpu.utils import transfer
+        c0, c1, assign = fn(x_dev, transfer.to_device(idx_t, jnp.int32),
+                            transfer.to_device(valid_t, jnp.bool_))
         c0, c1 = np.asarray(c0), np.asarray(c1)
         assign = np.asarray(assign)
         new_centers = []

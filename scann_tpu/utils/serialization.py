@@ -37,9 +37,10 @@ def _to_numpy(arr) -> tuple[np.ndarray, str]:
 
 
 def _from_numpy(a: np.ndarray, tag: str):
+    from scann_tpu.utils import transfer
     if tag == "bfloat16":
-        return jnp.asarray(a.view(jnp.bfloat16))
-    return jnp.asarray(a)
+        a = a.view(jnp.bfloat16)
+    return transfer.to_device(a, a.dtype)
 
 
 def collect_assets(searcher):
