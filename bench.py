@@ -260,11 +260,19 @@ def main():
     def nbytes(a):
         return 0 if a is None else a.size * a.dtype.itemsize
 
-    score_bytes = sum(nbytes(a) for a in (
-        searcher.index.codes, getattr(searcher, "_recon_rows", None),
-        getattr(searcher, "_p_rows", None),
-        getattr(searcher, "_p_codes", None),
-        getattr(searcher, "_p_cb", None)))
+    # Count the scoring structures the WINNING operating point reads: the
+    # pruned layout for leaf-gathered points; dense full-scan layouts only
+    # if the winner is a full scan (the sweep's full-scan point may have
+    # lazily materialized them, but a pruned serving config never holds
+    # them).
+    if best["leaves"] < num_leaves_total:
+        score_arrays = (getattr(searcher, "_p_rows", None),
+                        getattr(searcher, "_p_codes", None),
+                        getattr(searcher, "_p_cb", None))
+    else:
+        score_arrays = (searcher.index.codes,
+                        getattr(searcher, "_recon_rows", None))
+    score_bytes = sum(nbytes(a) for a in score_arrays)
     rh = searcher.reorder_helper
     rescore_bytes = (nbytes(rh._db) + nbytes(rh._sq_norms)
                      + nbytes(rh._inv_mult) if rh is not None else 0)

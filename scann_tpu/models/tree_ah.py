@@ -937,7 +937,7 @@ class TreeAHSearcher(base.Searcher):
                     bucket, min(leaves, self.partitioner.num_leaves),
                     self.partitioner.num_leaves, self._p_num_tiles,
                     self._p_max_ntiles)
-                pruned_ok = w_pad <= 100_000
+                pruned_ok = w_pad <= pruned_scan.MAX_PLAN_WORK
             else:
                 pruned_ok = False
         if not pruned_ok:
@@ -988,7 +988,7 @@ class TreeAHSearcher(base.Searcher):
                 self._p_max_ntiles)
             # The kernel's scalar-prefetch arrays live in SMEM (~1 MB):
             # very wide selections fall back to the dense masked scan.
-            if w_pad <= 100_000:
+            if w_pad <= pruned_scan.MAX_PLAN_WORK:
                 return self._pruned_select(queries, state, k_pre, leaves)
         if (self._recon_mode and full_scan
                 and state.get("restrict") is None

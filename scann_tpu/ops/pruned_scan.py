@@ -71,6 +71,9 @@ _TILE_BITS = 4     # tile-within-leaf packs above the argmax (mnt <= 16), so
 _TILE_MASK = (1 << _TILE_BITS) - 1
 MAX_NTILES = 1 << _TILE_BITS  # leaves larger than MAX_NTILES * TILE slots
 # are not supported by the pruned path (callers fall back to dense)
+MAX_PLAN_WORK = 100_000  # work-item budget: the kernel's scalar-prefetch
+# arrays (work_tile/work_active int32 each) live in SMEM (~1 MB on v5e);
+# selections whose plan exceeds this fall back to the dense masked scan
 
 _SENTINEL = jnp.int32(1 << 30)
 

@@ -208,8 +208,9 @@ def test_sharded_build_cosine():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_search_kwargs():
-    """Single-chip kwargs on the sharded searcher: restricts work;
-    unsupported features raise informative errors (VERDICT r2 weak-8)."""
+    """Single-chip kwargs on the sharded searcher: restricts, crowding
+    and pre-tokenized per-query leaf lists all work (VERDICT r2 weak-8 /
+    round-3 sharded feature parity)."""
     db, q = make_data(n=20000, d=32, nq=16, seed=5)
     cfg_ = (scann_tpu.builder(db, 10, "dot_product")
             .tree(num_leaves=32, num_leaves_to_search=32,
@@ -228,11 +229,36 @@ def test_sharded_search_kwargs():
     r = np.mean([len(set(idx[i]) & set(truth[i])) / 10
                  for i in range(len(q))])
     assert r >= 0.85, r
-    with pytest.raises(ValueError, match="crowding"):
+    # Crowding: cap results per attribute after the cross-shard merge.
+    attrs = np.arange(len(db)) % 5
+    with pytest.raises(ValueError, match="set_crowding"):
         ss.search_batched(q, per_crowding_attribute_num_neighbors=2)
-    with pytest.raises(ValueError, match="pre_tokenized"):
-        ss.search_batched(q, pre_tokenized_leaves=np.zeros((16, 2),
-                                                           np.int32))
+    ss.set_crowding(attrs)
+    idx_c, _ = ss.search_batched(q, per_crowding_attribute_num_neighbors=2)
+    for row in idx_c:
+        row = row[row >= 0]
+        _, counts = np.unique(attrs[row], return_counts=True)
+        assert counts.max() <= 2
+    # Crowding must keep the BEST representatives per attribute: every
+    # kept id appears in the plain top-k prefix.
+    idx_plain, _ = ss.search_batched(q, final_num_neighbors=10)
+    agree = np.mean([len(set(idx_c[i][idx_c[i] >= 0])
+                         & set(idx_plain[i])) /
+                     max(1, (idx_c[i] >= 0).sum()) for i in range(len(q))])
+    assert agree >= 0.6, agree
+    # Pre-tokenized per-query leaf lists: tokenize on the host, pass the
+    # exact leaf sets — results match the self-tokenized search.
+    centers = np.asarray(ss.state["centers"])
+    pt = np.argsort(-(q @ centers.T), axis=1)[:, :8].astype(np.int32)
+    idx_pt, _ = ss.search_batched(q, pre_tokenized_leaves=pt,
+                                  leaves_to_search=8)
+    idx_tok, _ = ss.search_batched(q, leaves_to_search=8)
+    agree = np.mean([len(set(idx_pt[i]) & set(idx_tok[i])) / 10
+                     for i in range(len(q))])
+    assert agree >= 0.95, agree
+    with pytest.raises(ValueError, match="out of range"):
+        ss.search_batched(q, pre_tokenized_leaves=np.full((16, 2), 99,
+                                                          np.int32))
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
@@ -263,7 +289,7 @@ def test_sharded_streaming_build_2m():
     cfg_ = (scann_tpu.builder(np.zeros((1, d), np.float32), 10,
                               "dot_product")
             .tree(num_leaves=128, num_leaves_to_search=24,
-                  training_sample_size=50_000)
+                  training_sample_size=50_000, random_init=False)
             .score_ah(2)  # plain encoding: noise-shaping at 2M rows is a
             # TPU-scale cost, not a CPU-CI one
             .reorder(100).create_config())
@@ -274,22 +300,23 @@ def test_sharded_streaming_build_2m():
     # Topic-aligned queries (the retrieval workload): a pure random
     # direction at 2M rows has a near-flat neighbor spectrum that no
     # 4-bit quantizer can rank.
-    q = (centers[rng.integers(0, n_topics, 16)]
-         + 0.15 * rng.standard_normal((16, d)).astype(np.float32))
+    nq = 64
+    q = (centers[rng.integers(0, n_topics, nq)]
+         + 0.15 * rng.standard_normal((nq, d)).astype(np.float32))
     q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
     idx, _ = ss.search_batched(q)
     # Exact ground truth streamed the same way (no resident database).
-    best_v = np.full((16, 10), -np.inf, np.float32)
-    best_i = np.full((16, 10), -1, np.int64)
+    best_v = np.full((nq, 10), -np.inf, np.float32)
+    best_i = np.full((nq, 10), -1, np.int64)
     for ci in range(n_chunks):
         x = make_chunk(ci)
         sims = q @ x.T
         v = np.concatenate([best_v, sims], axis=1)
         i = np.concatenate(
             [best_i, np.tile(np.arange(chunk_rows) + ci * chunk_rows,
-                             (16, 1))], axis=1)
+                             (nq, 1))], axis=1)
         top = np.argsort(-v, axis=1)[:, :10]
         best_v = np.take_along_axis(v, top, axis=1)
         best_i = np.take_along_axis(i, top, axis=1)
-    r = np.mean([len(set(idx[i]) & set(best_i[i])) / 10 for i in range(16)])
+    r = np.mean([len(set(idx[i]) & set(best_i[i])) / 10 for i in range(nq)])
     assert r >= 0.95, r
