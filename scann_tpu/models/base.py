@@ -56,8 +56,12 @@ class ReorderHelper:
             if not _math.isnan(thr):
                 # Noise-shaped int8 reordering dataset (reference:
                 # exact_reordering fixed_point noise_shaping_threshold).
-                sq = jax.jit(lambda x: quant_ops.scalar_quantize_noise_shaped(
-                    x, thr))(jnp.asarray(database))
+                # NOT wrapped in an outer jit: at large n the quantizer
+                # host-loops bounded per-chunk programs (ops/quantize.py
+                # _NOISE_SHAPING_CHUNK) to stay under the TPU runtime's
+                # program hang watchdog.
+                sq = quant_ops.scalar_quantize_noise_shaped(
+                    jnp.asarray(database), thr)
             else:
                 sq = quant_ops.scalar_quantize(jnp.asarray(database))
             self._db = sq.data

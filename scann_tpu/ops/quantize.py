@@ -58,6 +58,15 @@ def bfloat16_quantize(dataset):
 
 _NOISE_SHAPING_ROUNDS = 10  # kMaxRounds, utils/noise_shaping_utils.h
 
+# Row-chunk size for the noise-shaping coordinate descent.  Rows are
+# independent, so chunking is exact; each chunk is dispatched as its OWN
+# XLA program from the host.  One program over a million-row dataset runs
+# a ~10k-step sequential scan for tens of seconds and gets killed by the
+# TPU runtime's hang watchdog ("TPU worker process crashed... kernel
+# fault", first seen at glove scale — a lax.map over chunks inside a
+# single program dies the same way; separate dispatches do not).
+_NOISE_SHAPING_CHUNK = 131_072
+
 
 def scalar_quantize_noise_shaped(dataset, threshold: float,
                                  quantile: float = 1.0
@@ -71,12 +80,33 @@ def scalar_quantize_noise_shaped(dataset, threshold: float,
     per dimension consider moving one quantization step toward reducing the
     parallel residual component, accepting strictly-improving flips of
     eta * d(par^2) + d(perp^2) for up to 10 rounds.  Vectorized over
-    datapoints; dimensions visited in decreasing |residual| order.
+    datapoints (dimensions visited in decreasing |residual| order) and
+    chunked over rows — multipliers are computed globally first, so the
+    chunked result is bit-identical to the single-program form.
     """
     x = dataset.astype(jnp.float32)
     n, d = x.shape
     mult = compute_multipliers(x, quantile)
     inv = 1.0 / mult
+    chunk = _NOISE_SHAPING_CHUNK
+    if n > chunk:
+        # Host loop, one bounded program per chunk (NOT lax.map: a single
+        # long-running program trips the runtime hang watchdog).  Callers
+        # must not wrap the large-n path in an outer jit — that would
+        # unroll the loop back into one program.
+        fn = jax.jit(_noise_shape_rows, static_argnums=(3,))
+        q = jnp.concatenate(
+            [fn(x[i:i + chunk], mult, inv, threshold)
+             for i in range(0, n, chunk)], axis=0)
+    else:
+        q = _noise_shape_rows(x, mult, inv, threshold)
+    deq = q.astype(jnp.float32) * inv[None, :]
+    return ScalarQuantizedData(q, inv, jnp.sum(deq * deq, axis=-1))
+
+
+def _noise_shape_rows(x, mult, inv, threshold: float):
+    """Noise-shaping descent for one row chunk; returns (rows, d) int8."""
+    n, d = x.shape
     base = jnp.clip(jnp.round(x * mult[None, :]), -127, 127)
     sq_norms = jnp.sum(x * x, axis=-1)
     eta = parallel_cost_multiplier(threshold, jnp.maximum(sq_norms, 1e-20),
@@ -121,9 +151,7 @@ def scalar_quantize_noise_shaped(dataset, threshold: float,
     steps = jnp.arange(_NOISE_SHAPING_ROUNDS * d)
     (chosen, _), _ = jax.lax.scan(
         step_fn, (jnp.zeros((n, d), bool), p0), steps)
-    q = jnp.where(chosen, alt, base).astype(jnp.int8)
-    deq = q.astype(jnp.float32) * inv[None, :]
-    return ScalarQuantizedData(q, inv, jnp.sum(deq * deq, axis=-1))
+    return jnp.where(chosen, alt, base).astype(jnp.int8)
 
 
 def parallel_cost_multiplier(threshold, squared_norms, dims):

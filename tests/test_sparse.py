@@ -95,3 +95,103 @@ def test_sparse_l2_exact_rescore():
     # Returned order is ascending in true distance.
     assert all(np.all(np.diff(row[~np.isnan(row)]) >= -1e-5)
                for row in dist)
+
+
+# ---------------------------------------------------------------- exact
+
+
+def _densify(m: sp.SparseMatrix) -> np.ndarray:
+    out = np.zeros(m.shape, np.float32)
+    row_of = np.repeat(np.arange(m.n_rows),
+                       np.diff(m.indptr).astype(np.int64))
+    out[row_of, m.indices] = m.values
+    return out
+
+
+def _oracle_dist(qd, xd, measure):
+    if measure == "dot_product":
+        return -(qd @ xd.T)  # sort key: ascending == descending dot
+    if measure == "squared_l2":
+        return ((qd[:, None, :] - xd[None, :, :]) ** 2).sum(-1)
+    if measure == "cosine":
+        qn = qd / np.maximum(np.linalg.norm(qd, axis=1, keepdims=True),
+                             1e-20)
+        xn = xd / np.maximum(np.linalg.norm(xd, axis=1, keepdims=True),
+                             1e-20)
+        return 1.0 - qn @ xn.T
+    if measure == "l1":
+        return np.abs(qd[:, None, :] - xd[None, :, :]).sum(-1)
+    if measure == "hamming":
+        return (qd[:, None, :] != xd[None, :, :]).sum(-1).astype(np.float64)
+    if measure == "jaccard":
+        mn = np.minimum(qd[:, None, :], xd[None, :, :]).sum(-1)
+        mx = np.maximum(qd[:, None, :], xd[None, :, :]).sum(-1)
+        return np.where(mx > 0, 1.0 - mn / mx, 1.0)
+    raise ValueError(measure)
+
+
+def test_sparse_exact_all_measures():
+    """SparseExactSearcher matches a dense numpy oracle on every measure
+    (reference: SparseDataset exact search across the one-to-one zoo,
+    data_format/dataset.h:639, distance_measures/one_to_one/*.cc
+    GetDistanceSparse)."""
+    rng = np.random.default_rng(5)
+    dims = 3000
+    db = _make_sparse(n=2000, dims=dims, nnz=30, seed=1)
+    q = _make_sparse(n=24, dims=dims, nnz=30, seed=2)
+    db_pos = sp.SparseMatrix(db.indptr, db.indices, np.abs(db.values),
+                             db.shape)
+    q_pos = sp.SparseMatrix(q.indptr, q.indices, np.abs(q.values), q.shape)
+    for measure in sp.SparseExactSearcher.MEASURES:
+        dbm, qm = (db_pos, q_pos) if measure == "jaccard" else (db, q)
+        s = sp.SparseExactSearcher(dbm, 10, measure, chunk_rows=512)
+        idx, dist = s.search_batched(qm)
+        qd, xd = _densify(qm), _densify(dbm)
+        od = _oracle_dist(qd, xd, measure)
+        oracle_idx = np.argsort(od, axis=1, kind="stable")[:, :10]
+        # Compare by distance VALUES (ties permute indices freely).
+        o_d = np.take_along_axis(od, oracle_idx, axis=1)
+        got_d = np.take_along_axis(od, np.maximum(idx, 0), axis=1)
+        assert np.allclose(np.sort(got_d, axis=1), np.sort(o_d, axis=1),
+                           atol=2e-3), measure
+        # Returned distances agree with the oracle's values at those ids.
+        want = od[np.arange(len(qm.indptr) - 1)[:, None],
+                  np.maximum(idx, 0)]
+        if measure == "dot_product":
+            want = -want  # oracle key was -dot
+        assert np.allclose(dist, want, atol=2e-3), measure
+
+
+def test_sparse_exact_validations():
+    db = _make_sparse(n=100, dims=500, nnz=8, seed=3)
+    import pytest
+    with pytest.raises(ValueError, match="measure"):
+        sp.SparseExactSearcher(db, 10, "limited_inner")
+    with pytest.raises(ValueError, match="nonnegative"):
+        sp.SparseExactSearcher(db, 10, "jaccard")
+    s = sp.SparseExactSearcher(db, 10, "dot_product")
+    bad = _make_sparse(n=4, dims=400, nnz=8, seed=4)
+    with pytest.raises(ValueError, match="dims"):
+        s.search_batched(bad)
+
+
+def test_sparse_exact_binary_hamming_jaccard():
+    """Binary data: hamming == symmetric support difference, jaccard ==
+    1 - |inter|/|union| (BinaryJaccardDistance semantics)."""
+    rng = np.random.default_rng(9)
+    dims = 800
+    rows = []
+    for i in range(300):
+        sup = np.sort(rng.choice(dims, 20, replace=False))
+        rows.append(sup)
+    indptr = np.arange(301, dtype=np.int64) * 20
+    indices = np.concatenate(rows).astype(np.int64)
+    vals = np.ones(300 * 20, np.float32)
+    db = sp.SparseMatrix(indptr, indices, vals, (300, dims))
+    q = sp.SparseMatrix(indptr[:5], indices[:80], vals[:80], (4, dims))
+    for measure in ("hamming", "jaccard"):
+        s = sp.SparseExactSearcher(db, 5, measure, chunk_rows=128)
+        idx, dist = s.search_batched(q)
+        # Row i of q IS row i of db: distance 0 to itself, ranked first.
+        assert np.array_equal(idx[:, 0], np.arange(4)), (measure, idx[:, 0])
+        assert np.allclose(dist[:, 0], 0.0), measure
