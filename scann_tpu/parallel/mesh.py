@@ -148,6 +148,139 @@ class ShardedTreeAHSearcher:
         self._crowding_attrs = jax.device_put(
             jnp.asarray(attributes), NamedSharding(self.mesh, P()))
 
+    # ------------------------------------------------------- maintenance
+    def get_health_stats(self):
+        """Partition imbalance + occupancy, derived from the sharded slot
+        tables (single-chip Searcher.get_health_stats parity; reference:
+        HealthStatsCollector, base/health_stats_collector.h:36-60)."""
+        from scann_tpu.utils import health
+        hp = self._host_parts
+        leaf = np.asarray(hp["slot_leaf"]).reshape(-1)
+        dpid = np.asarray(hp["slot_dpid"]).reshape(-1)
+        sizes = np.bincount(leaf[dpid >= 0], minlength=self.num_leaves)
+        stats = health.HealthStats()
+        stats.sum_partition_sizes = int(sizes.sum())
+        (stats.partition_weighted_avg_relative_imbalance,
+         stats.partition_avg_relative_positive_imbalance) = (
+             health.partition_imbalance(sizes))
+        return stats.as_dict()
+
+    def _refresh_device(self, keys=("codes", "slot_leaf", "slot_dpid",
+                                    "rows_i8", "rows_sq")):
+        hp = self._host_parts
+        shard3 = NamedSharding(self.mesh, P(self.shard_axis, None, None))
+        shard2 = NamedSharding(self.mesh, P(self.shard_axis, None))
+        for key in keys:
+            spec = shard3 if hp[key].ndim == 3 else shard2
+            self.state[key] = jax.device_put(jnp.asarray(hp[key]), spec)
+
+    def delete(self, ids):
+        """Remove datapoints by global datapoint id.  The sharded engine
+        addresses points by integer id (there is no host docid map at this
+        scale); all slot copies (SOAR spills included) are freed."""
+        ids = np.asarray(ids, np.int64).ravel()
+        hp = self._host_parts
+        sd = np.asarray(hp["slot_dpid"])
+        mask = np.isin(sd, ids)
+        found = np.unique(sd[mask])
+        missing = np.setdiff1d(ids, found)
+        if len(missing):
+            raise KeyError(f"datapoint ids not present: {missing[:8]}")
+        sd[mask] = -1
+        hp["slot_dpid"] = sd
+        self._refresh_device(("slot_dpid",))
+
+    def upsert(self, ids, vectors):
+        """Insert or update datapoints by global id: tokenize (+SOAR
+        secondary), residual-encode with the shared codebook, int8-compress
+        with the FIXED build multipliers, and place into free slots
+        (updates free the old copies first).  The mutated shard tables are
+        re-uploaded whole — fine for incremental serving updates; bulk
+        loads should use build_sharded_streaming."""
+        ids = np.asarray(ids, np.int64).ravel()
+        vecs = np.asarray(vectors, np.float32)
+        if vecs.ndim == 1:
+            vecs = vecs[None, :]
+        if len(ids) != len(vecs):
+            raise ValueError("ids and vectors length mismatch")
+        if self.user_measure == cfg.COSINE:
+            vecs = vecs / np.maximum(
+                np.linalg.norm(vecs, axis=1, keepdims=True), 1e-20)
+        hp = self._host_parts
+        sd = np.asarray(hp["slot_dpid"])
+        # Update = delete + insert.
+        mask = np.isin(sd, ids)
+        sd[mask] = -1
+
+        centers = np.asarray(self.state["centers"])
+        diff = vecs[:, None, :] - centers[None, :, :]
+        d2 = np.einsum("nld,nld->nl", diff, diff)
+        prim = d2.argmin(axis=1).astype(np.int32)
+        token_cols = [prim]
+        soar = self.part_cfg.soar if self.part_cfg else None
+        if soar is not None:
+            r = vecs - centers[prim]
+            rn = np.linalg.norm(r, axis=1, keepdims=True)
+            r_hat = np.where(rn < 1e-7, 0.0, r / np.maximum(rn, 1e-20))
+            proj = np.einsum("nld,nd->nl", diff, r_hat)
+            score = d2 + float(soar.lambda_) * proj * proj
+            score[np.arange(len(vecs)), prim] = np.inf
+            token_cols.append(score.argmin(axis=1).astype(np.int32))
+
+        import math as _math
+        from scann_tpu.ops import ah as ah_ops_
+        threshold = self.ah_cfg.anisotropic_quantization_threshold
+        residual = bool(self.ah_cfg.residual_quantization)
+        inv_mult = np.asarray(self.state["inv_mult"])
+        new_rows = []  # (slot_leaf, dpid, codes, rows_i8, rows_sq)
+        for col in token_cols:
+            v = vecs - centers[col] if residual else vecs
+            vj = jnp.asarray(v)
+            if not _math.isnan(threshold):
+                codes = np.asarray(ah_ops_.encode_noise_shaped(
+                    vj, jnp.asarray(vecs), self.model, threshold))
+            else:
+                codes = np.asarray(ah_ops_.encode(vj, self.model))
+            q = np.clip(np.round(vecs / inv_mult[None, :]),
+                        -127, 127).astype(np.int8)
+            deq = q.astype(np.float32) * inv_mult[None, :]
+            new_rows.append((col, ids.astype(np.int32), codes, q,
+                             (deq * deq).sum(axis=1).astype(np.float32)))
+
+        total_new = sum(len(r[0]) for r in new_rows)
+        free_sh, free_slot = np.nonzero(sd < 0)
+        if len(free_sh) < total_new:
+            grow = _round_up(total_new - len(free_sh), self._shard_chunk)
+            for key, fill in (("codes", 0), ("slot_leaf", 0),
+                              ("slot_dpid", -1), ("rows_i8", 0),
+                              ("rows_sq", 0.0)):
+                a = np.asarray(hp[key])
+                pad = [(0, 0), (0, grow)] + [(0, 0)] * (a.ndim - 2)
+                hp[key] = np.pad(a, pad, constant_values=fill)
+            sd = np.asarray(hp["slot_dpid"])
+            self._shard_slots = sd.shape[1]
+            self._compiled = {}  # shapes changed; programs retrace
+            free_sh, free_slot = np.nonzero(sd < 0)
+        hp["slot_dpid"] = sd
+        cursor = 0
+        leaf_tab = np.asarray(hp["slot_leaf"])
+        codes_tab = np.asarray(hp["codes"])
+        rows_tab = np.asarray(hp["rows_i8"])
+        sq_tab = np.asarray(hp["rows_sq"])
+        for col, dpids, codes, q, sqn in new_rows:
+            take = slice(cursor, cursor + len(dpids))
+            sh, sl = free_sh[take], free_slot[take]
+            leaf_tab[sh, sl] = col
+            sd[sh, sl] = dpids
+            codes_tab[sh, sl] = codes
+            rows_tab[sh, sl] = q
+            sq_tab[sh, sl] = sqn
+            cursor += len(dpids)
+        hp.update(slot_leaf=leaf_tab, slot_dpid=sd, codes=codes_tab,
+                  rows_i8=rows_tab, rows_sq=sq_tab)
+        self.n_points = max(self.n_points, int(ids.max()) + 1)
+        self._refresh_device()
+
     # ------------------------------------------------------------ search
     def _search_fn(self, k: int, k_pre: int, leaves: int,
                    restricted: bool = False, crowding_limit=(),
