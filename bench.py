@@ -232,10 +232,11 @@ def main():
         if r >= RECALL_TARGET and (best is None
                                    or sustained > best["qps"]):
             best = {"leaves": leaves, "recall": r, "qps": sustained,
-                    "e2e_qps": qps, "batch_ms": batch_ms}
+                    "e2e_qps": qps, "batch_ms": batch_ms,
+                    "pre": PRE_REORDER}
     if best is None:
         best = {"leaves": num_leaves_total, "recall": r, "qps": sustained,
-                "e2e_qps": qps, "batch_ms": batch_ms}
+                "e2e_qps": qps, "batch_ms": batch_ms, "pre": PRE_REORDER}
     # Refine the winning operating point over the reorder budget (the
     # rescore gather is a large fixed cost at small leaf counts).
     base_pre = PRE_REORDER
@@ -254,8 +255,20 @@ def main():
         if sustained > best["qps"]:
             best = {"leaves": best["leaves"], "recall": r,
                     "qps": sustained, "e2e_qps": best.get("e2e_qps", 0.0),
-                    "batch_ms": batch_ms}
+                    "batch_ms": batch_ms, "pre": pre}
     PRE_REORDER = base_pre
+
+    trace_dir = os.environ.get("SCANN_TPU_BENCH_TRACE")
+    if trace_dir:
+        # Device-profile substantiation of the stream number: capture a
+        # jax.profiler trace of a few batches at the winning operating
+        # point (view with xprof/TensorBoard; the device compute time per
+        # batch there should match device_ms_per_batch).
+        from scann_tpu.utils import profiling
+        PRE_REORDER = best.get("pre", PRE_REORDER)
+        with profiling.trace(trace_dir):
+            _sustained_qps(searcher, q, best["leaves"], reps_a=2, reps_b=6)
+        _log(f"profiler trace written to {trace_dir}")
 
     def nbytes(a):
         return 0 if a is None else a.size * a.dtype.itemsize
@@ -283,6 +296,7 @@ def main():
         "vs_baseline": round(best["qps"] / BASELINE_QPS, 3),
         "recall_at_10": round(best["recall"], 4),
         "leaves_to_search": best["leaves"],
+        "pre_reorder_num_neighbors": best.get("pre", PRE_REORDER),
         "device_ms_per_batch": round(best.get("batch_ms", 0.0), 3),
         "end_to_end_qps_tunneled": round(best.get("e2e_qps", 0.0), 1),
         "index_build_s": round(build_s, 1),

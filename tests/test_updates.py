@@ -208,3 +208,55 @@ def test_online_incremental_split_maintenance():
     hits = sum(1 for i, row in enumerate(idx)
                if f"new5_{i}" in set(row))
     assert hits >= 5, hits
+
+
+def test_incremental_split_with_hierarchical_upper_tree():
+    """Incremental splits on a HIERARCHICALLY trained tree keep the upper
+    tree consistent: every new leaf centroid gets an upper assignment (so
+    it stays reachable through upper-tree pruned tokenization), and a
+    serialize/reload round trip after the splits is bit-identical
+    (reference: the top-level partitioner of
+    tree_x_hybrid_factory.cc:399 must track leaf additions)."""
+    import tempfile
+
+    import scann_tpu
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((32, 24)).astype(np.float32)
+    db = (centers[rng.integers(0, 32, 12000)]
+          + 0.3 * rng.standard_normal((12000, 24)).astype(np.float32))
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    docids = [str(i) for i in range(len(db))]
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=32, num_leaves_to_search=12,
+               training_sample_size=6000, hierarchical_top=4,
+               incremental_threshold=0.05,
+               incremental_mode="online_incremental")
+         .score_ah(2).reorder(60).build(docids=docids))
+    assert s.partitioner.upper_centers is not None
+    num_leaves_before = s.partitioner.num_leaves
+
+    hot = centers[5]
+    last_vecs = None
+    for batch in range(8):
+        vecs = (hot[None, :] + 0.4 * rng.standard_normal((200, 24))
+                ).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        s.upsert([f"new{batch}_{i}" for i in range(len(vecs))], vecs)
+        last_vecs = vecs
+
+    assert s.partitioner.num_leaves > num_leaves_before
+    # Every leaf (including split-created ones) has an upper assignment.
+    ua = np.asarray(s.partitioner.upper_assign)
+    assert ua.shape[0] == s.partitioner.num_leaves
+    assert ua.max() < s.partitioner.upper_centers.shape[0]
+    # The new leaves are reachable through the upper-tree tokenization:
+    # querying recently upserted vectors retrieves them.
+    idx, _ = s.search_batched(last_vecs[:8])
+    hits = sum(1 for i, row in enumerate(idx)
+               if f"new7_{i}" in set(row))
+    assert hits >= 5, hits
+    with tempfile.TemporaryDirectory() as td:
+        s.serialize(td)
+        s2 = scann_tpu.load_searcher(td)
+        idx2, _ = s2.search_batched(last_vecs[:8])
+        assert [list(r) for r in idx] == [list(r) for r in idx2]
