@@ -163,14 +163,26 @@ def encode_noise_shaped(vectors, originals, model: AHModel,
     init_rn = jnp.take_along_axis(rn, codes0[:, :, None], axis=-1)[:, :, 0]
     order = jnp.argsort(-init_rn, axis=-1)  # (n, B) blocks by desc residual
 
+    # Permute each row's blocks into visit order ONCE so the scan below
+    # reads one contiguous block-slab per step (dynamic_slice) instead of
+    # a per-row gather over the whole (n, B, J) tables — that gather
+    # makes XLA stream the full tables every step (500 steps), which
+    # dominated encode time at glove scale.  Switch decisions are
+    # bit-identical; only the indexing changes.
+    rn_pm = jnp.take_along_axis(rn, order[:, :, None], axis=1)
+    pc_pm = jnp.take_along_axis(pc, order[:, :, None], axis=1)
+    codes0_pm = jnp.take_along_axis(codes0, order, axis=1)
+
     def step(carry, s):
-        codes, p = carry  # (n, B), (n,)
-        b = order[:, s % num_blocks]  # (n,)
-        rn_b = jnp.take_along_axis(
-            rn, b[:, None, None], axis=1)[:, 0, :]  # (n, J)
-        pc_b = jnp.take_along_axis(
-            pc, b[:, None, None], axis=1)[:, 0, :]
-        cur = jnp.take_along_axis(codes, b[:, None], axis=1)[:, 0]  # (n,)
+        codes, p = carry  # (n, B) permuted-space, (n,)
+        j = s % num_blocks
+
+        def slab(a):
+            return jax.lax.dynamic_slice_in_dim(a, j, 1, axis=1)[:, 0]
+
+        rn_b = slab(rn_pm)  # (n, J)
+        pc_b = slab(pc_pm)
+        cur = slab(codes)  # (n,)
         cur_rn = jnp.take_along_axis(rn_b, cur[:, None], axis=1)[:, 0]
         cur_pc = jnp.take_along_axis(pc_b, cur[:, None], axis=1)[:, 0]
         new_p = p[:, None] - cur_pc[:, None] + pc_b  # (n, J)
@@ -187,16 +199,17 @@ def encode_noise_shaped(vectors, originals, model: AHModel,
         best_cost = jnp.take_along_axis(cost, best_j[:, None], axis=1)[:, 0]
         switch = best_cost < 0.0
         new_code = jnp.where(switch, best_j, cur)
-        codes = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, codes.shape, 1)
-            == b[:, None], new_code[:, None], codes)
+        codes = jax.lax.dynamic_update_slice_in_dim(
+            codes, new_code[:, None], j, axis=1)
         p = jnp.where(
             switch,
             jnp.take_along_axis(new_p, best_j[:, None], axis=1)[:, 0], p)
         return (codes, p), None
 
     steps = jnp.arange(_NOISE_SHAPING_ROUNDS * num_blocks)
-    (codes, _), _ = jax.lax.scan(step, (codes0, p0), steps)
+    (codes_pm, _), _ = jax.lax.scan(step, (codes0_pm, p0), steps)
+    codes = jnp.take_along_axis(codes_pm, jnp.argsort(order, axis=-1),
+                                axis=1)
     return codes.astype(jnp.uint8)
 
 

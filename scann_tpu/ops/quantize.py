@@ -123,17 +123,31 @@ def _noise_shape_rows(x, mult, inv, threshold: float):
     r_alt = alt * inv[None, :] - x
     order = jnp.argsort(-jnp.abs(r0), axis=-1)  # (n, d)
 
-    # State: chosen (n, d) bool = use alt; parallel component p (n,).
+    # Permute each row's dims into visit order ONCE, so each scan step
+    # below reads a contiguous COLUMN (dynamic_slice) instead of a
+    # per-row gather — a gather of one element per row makes XLA stream
+    # the full (n, d) operand every step, which at glove scale turned
+    # this descent into minutes of HBM traffic.  Flip decisions are
+    # bit-identical; only the indexing changes.
+    xp = jnp.take_along_axis(x, order, axis=1)
+    r0p = jnp.take_along_axis(r0, order, axis=1)
+    rap = jnp.take_along_axis(r_alt, order, axis=1)
+
+    # State: chosen (n, d) bool = use alt (permuted space); parallel
+    # component p (n,).
     p0 = jnp.sum(r0 * x, axis=-1) * inv_norm
 
     def step_fn(carry, s):
         chosen, p = carry
-        dim = order[:, s % d]  # (n,)
-        take = lambda a: jnp.take_along_axis(a, dim[:, None], axis=1)[:, 0]
-        cur_alt = take(chosen)
-        r_cur = jnp.where(cur_alt, take(r_alt), take(r0))
-        r_new = jnp.where(cur_alt, take(r0), take(r_alt))
-        xd = take(x)
+        j = s % d
+
+        def col(a):
+            return jax.lax.dynamic_slice_in_dim(a, j, 1, axis=1)[:, 0]
+
+        cur_alt = col(chosen)
+        r_cur = jnp.where(cur_alt, col(rap), col(r0p))
+        r_new = jnp.where(cur_alt, col(r0p), col(rap))
+        xd = col(xp)
         pc_cur = r_cur * xd * inv_norm
         pc_new = r_new * xd * inv_norm
         new_p = p - pc_cur + pc_new
@@ -141,16 +155,17 @@ def _noise_shape_rows(x, mult, inv, threshold: float):
         rnd = r_new * r_new - r_cur * r_cur
         cost = eta * pnd + (rnd - pnd)
         flip = jnp.logical_and(pnd <= 0.0, cost < 0.0)
-        col = jax.lax.broadcasted_iota(jnp.int32, chosen.shape, 1)
-        chosen = jnp.where(
-            jnp.logical_and(col == dim[:, None], flip[:, None]),
-            jnp.logical_not(chosen), chosen)
+        new_col = jnp.where(flip, jnp.logical_not(cur_alt), cur_alt)
+        chosen = jax.lax.dynamic_update_slice_in_dim(
+            chosen, new_col[:, None], j, axis=1)
         p = jnp.where(flip, new_p, p)
         return (chosen, p), None
 
     steps = jnp.arange(_NOISE_SHAPING_ROUNDS * d)
-    (chosen, _), _ = jax.lax.scan(
+    (chosen_p, _), _ = jax.lax.scan(
         step_fn, (jnp.zeros((n, d), bool), p0), steps)
+    inv_order = jnp.argsort(order, axis=-1)
+    chosen = jnp.take_along_axis(chosen_p, inv_order, axis=1)
     return jnp.where(chosen, alt, base).astype(jnp.int8)
 
 
