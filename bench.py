@@ -288,7 +288,10 @@ def main():
     score_bytes = sum(nbytes(a) for a in score_arrays)
     rh = searcher.reorder_helper
     rescore_bytes = (nbytes(rh._db) + nbytes(rh._sq_norms)
-                     + nbytes(rh._inv_mult) if rh is not None else 0)
+                     + nbytes(rh._inv_mult)
+                     + nbytes(getattr(rh, "_row_scale", None))
+                     + nbytes(getattr(rh, "_leaf", None))
+                     if rh is not None else 0)
     print(json.dumps({
         "metric": "synth_glove100_qps_at_recall0.95",
         "value": round(best["qps"], 1),

@@ -175,6 +175,13 @@ class ReorderConfig:
     reordering_num_neighbors: int = 100  # approx_num_neighbors
     quantize: str = FLOAT32  # float32 | int8 | bfloat16
     anisotropic_quantization_threshold: float = math.nan
+    # int8 + partitioned (unprojected) searchers quantize RESIDUALS
+    # x - c_primary and add the exact q.c_leaf back at rescore time (TPU
+    # redesign, no reference analogue): residual norms are a fraction of
+    # row norms on clustered data, so the int8 steps are several times
+    # finer at +4 B/vector.  Set False for the reference's raw-row
+    # fixed-point behavior.
+    residual: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

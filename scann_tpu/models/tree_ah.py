@@ -192,6 +192,12 @@ class TreeAHSearcher(base.Searcher):
             tokens2 = None
 
         _phase("database tokenized")
+        if self.partitioner is not None:
+            # Residual int8 reordering waits for the final primary tokens
+            # (post split/AVQ) — the rescore bias q.c_leaf must match the
+            # centers the residuals were taken against.
+            self._finish_deferred_reorder(x_dev, tokens)
+            _phase("reorder dataset quantized")
         self.datapoint_to_token = (tokens2 if tokens2 is not None
                                    else tokens[:, None])
 
@@ -750,7 +756,8 @@ class TreeAHSearcher(base.Searcher):
         self._grow_token_map(ids, tokens)
         if self.reorder_helper is not None:
             self.reorder_helper.ensure_capacity(int(ids.max()) + 1)
-            self.reorder_helper.update_rows(ids, raw)
+            self.reorder_helper.update_rows(ids, raw,
+                                            tokens=tokens[:, 0])
         if (not getattr(self, "_in_maintenance", False)
                 and getattr(self, "_leaf_mutations", None) is not None):
             np.add.at(self._leaf_mutations, leaf_arr, 1)
@@ -842,6 +849,10 @@ class TreeAHSearcher(base.Searcher):
         self.partitioner = self.partitioner._replace(
             centers=jnp.asarray(centers_np), centers_int8=centers_int8,
             centers_inv_mult=inv_mult, upper_assign=upper_assign)
+        if (self.reorder_helper is not None
+                and self.reorder_helper._leaf is not None):
+            # Residual reordering biases q.c_leaf against these centers.
+            self.reorder_helper._centers = self.partitioner.centers
         self.part_cfg = dataclasses.replace(
             self.part_cfg, num_leaves=centers_np.shape[0])
         self.config = dataclasses.replace(self.config,
@@ -895,6 +906,11 @@ class TreeAHSearcher(base.Searcher):
         self.partitioner = self.partitioner._replace(
             centers=jnp.asarray(centers), centers_int8=centers_int8,
             centers_inv_mult=inv_mult, upper_assign=upper_assign)
+        if (self.reorder_helper is not None
+                and self.reorder_helper._leaf is not None):
+            # Members re-upsert below against the refit/new centers; the
+            # helper's bias table must switch first.
+            self.reorder_helper._centers = self.partitioner.centers
         self.part_cfg = dataclasses.replace(
             self.part_cfg, num_leaves=centers.shape[0])
         self.config = dataclasses.replace(self.config,

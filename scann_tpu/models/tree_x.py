@@ -50,6 +50,7 @@ class TreeXSearcher(base.Searcher):
         self.partitioner = kmeans_tree.KMeansTreePartitioner.train(
             x_dev, self.part_cfg, self.measure, self.config.seed)
         tokens = np.asarray(self.partitioner.tokenize_database(x_dev))
+        self._finish_deferred_reorder(x_dev, tokens)
         self._build_x_dev = None
         self.datapoint_to_token = tokens[:, None]
 

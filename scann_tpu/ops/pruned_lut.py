@@ -104,7 +104,8 @@ def _kernel(work_tile_ref, work_active_ref, qg_rows_ref, codes_ref,
         scores = scores + bias_ref[0]                  # pad penalty
         grouped = scores.reshape(ps.GP, ps.SUBP, ps.QG)
         v, a = ps._group_top(grouped, axis=1, cat_axis=0, kpg=kpg)
-        out_ref[0] = jnp.transpose(ps._pack(v, a, w % mnt), (1, 0))
+        out_ref[...] = jnp.transpose(
+            ps._pack(v, a, w % mnt), (1, 0)).reshape(1, ps.QG, -1)
 
 
 def score_work_pallas_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
@@ -114,9 +115,10 @@ def score_work_pallas_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
     uint8; cb_mat: (b_pad*16, d) decode matrix (bf16); mean: (d,) f32
     subtracted from every decoded row (zeros when unused); bias2:
     (num_tiles, TILE) f32 pad penalties.  Returns packed scores
-    (W_pad, QG, kpg*GP) int32 (same contract as pruned_scan)."""
+    (G_pad, QG, mnt*kpg*GP) int32 (same contract as pruned_scan)."""
     import numpy as np
     w_pad = plan.work_tile.shape[0]
+    g_pad = plan.qg_query.shape[0]
     mnt = w_pad // plan.qg_query.shape[0]
     b_pad = codes3.shape[-1]
     d = cb_mat.shape[-1]
@@ -142,7 +144,7 @@ def score_work_pallas_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
         ],
         out_specs=[
             pl.BlockSpec((1, ps.QG, kpg * ps.GP),
-                         lambda w, wt, wa: (w, 0, 0)),
+                         lambda w, wt, wa: (w // mnt, 0, w % mnt)),
         ],
     )
     (packed,) = pl.pallas_call(
@@ -150,7 +152,8 @@ def score_work_pallas_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
                           mnt=mnt, kpg=kpg, b_pad=b_pad, d=d),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((w_pad, ps.QG, kpg * ps.GP), jnp.int32),
+            jax.ShapeDtypeStruct((g_pad, ps.QG, mnt * kpg * ps.GP),
+                                 jnp.int32),
         ],
         interpret=interpret,
     )(plan.work_tile, plan.work_active, qg_rows, codes3, cb3, mean2, bias3)
@@ -249,7 +252,8 @@ def _lut_kernel(work_tile_ref, work_active_ref, qg_t_ref, codes_ref,
         scores = acc.astype(jnp.float32) * inv_ref[:] + bias_ref[0]
         grouped = scores.reshape(ps.GP, ps.SUBP, ps.QG)
         v, a = ps._group_top(grouped, axis=1, cat_axis=0, kpg=kpg)
-        out_ref[0] = jnp.transpose(ps._pack(v, a, w % mnt), (1, 0))
+        out_ref[...] = jnp.transpose(
+            ps._pack(v, a, w % mnt), (1, 0)).reshape(1, ps.QG, -1)
 
 
 def _centered_cb(cb_mat, mean, dims_per_block: int):
@@ -276,8 +280,9 @@ def score_work_pallas_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
     pair-packed codes; cb_mat: (b_pad*16, d) f32 expanded codebook in
     standard row order (pre-centering); mean: (d,) f32; bias2:
     (num_tiles, TILE) f32 pad penalties.  Returns packed survivor scores
-    (W_pad, QG, kpg*GP) int32 (same contract as pruned_scan)."""
+    (G_pad, QG, mnt*kpg*GP) int32 (same contract as pruned_scan)."""
     w_pad = plan.work_tile.shape[0]
+    g_pad = plan.qg_query.shape[0]
     mnt = w_pad // plan.qg_query.shape[0]
     b_pad = codes3p.shape[-1] * 2
     wdim = b_pad * 16
@@ -302,7 +307,7 @@ def score_work_pallas_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
         ],
         out_specs=[
             pl.BlockSpec((1, ps.QG, kpg * ps.GP),
-                         lambda w, wt, wa: (w, 0, 0)),
+                         lambda w, wt, wa: (w // mnt, 0, w % mnt)),
         ],
         scratch_shapes=[
             pltpu.VMEM((wdim, ps.QG), jnp.int8),
@@ -314,7 +319,8 @@ def score_work_pallas_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
                           mnt=mnt, kpg=kpg, b_pad=b_pad),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((w_pad, ps.QG, kpg * ps.GP), jnp.int32),
+            jax.ShapeDtypeStruct((g_pad, ps.QG, mnt * kpg * ps.GP),
+                                 jnp.int32),
         ],
         interpret=interpret,
     )(plan.work_tile, plan.work_active, qg_t, codes3p, cb_k, csq_k, bias3)
@@ -374,7 +380,11 @@ def score_work_xla_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
     packed = jax.lax.map(
         chunk, (wt.reshape(n_chunks, -1), wq.reshape(n_chunks, -1),
                 wi.reshape(n_chunks, -1)))
-    return packed.reshape(-1, ps.QG, kpg * ps.GP)[:w_pad]
+    packed = packed.reshape(-1, ps.QG, kpg * ps.GP)[:w_pad]
+    g = w_pad // mnt
+    return jnp.transpose(
+        packed.reshape(g, mnt, ps.QG, kpg * ps.GP),
+        (0, 2, 1, 3)).reshape(g, ps.QG, mnt * kpg * ps.GP)
 
 
 def score_work_xla_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
@@ -417,4 +427,8 @@ def score_work_xla_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
     packed = jax.lax.map(
         chunk, (wt.reshape(n_chunks, -1), wq.reshape(n_chunks, -1),
                 wi.reshape(n_chunks, -1)))
-    return packed.reshape(-1, ps.QG, kpg * ps.GP)[:w_pad]
+    packed = packed.reshape(-1, ps.QG, kpg * ps.GP)[:w_pad]
+    g = w_pad // mnt
+    return jnp.transpose(
+        packed.reshape(g, mnt, ps.QG, kpg * ps.GP),
+        (0, 2, 1, 3)).reshape(g, ps.QG, mnt * kpg * ps.GP)

@@ -305,9 +305,12 @@ def _kernel(work_tile_ref, work_active_ref,
         scores = scale * scores + bias_ref[0]  # bias block (TILE, 1)
         grouped = scores.reshape(GP, SUBP, QG)
         v, a = _group_top(grouped, axis=1, cat_axis=0, kpg=kpg)
-        # Transposed output (QG, KGP): a pair's candidates land contiguous,
-        # so the merge is a wide-slice gather instead of scalar gathers.
-        out_ref[0] = jnp.transpose(_pack(v, a, w % mnt), (1, 0))
+        # Output lands at (group, query-row, tile*KGP) so one PAIR's
+        # candidates across all its tiles are one contiguous
+        # (mnt * KGP)-wide slice — the merge gather cost is slice-count
+        # bound on TPU, and this layout cuts the slice count mnt-fold.
+        out_ref[...] = jnp.transpose(
+            _pack(v, a, w % mnt), (1, 0)).reshape(1, QG, -1)
 
 
 def _group_top(grouped, axis: int, cat_axis: int, kpg: int = KPG):
@@ -331,8 +334,10 @@ def score_work_pallas(plan: WorkPlan, qg_rows, rows3, bias2, *,
                       kpg: int = KPG):
     """Score all work items on TPU.  qg_rows: (G_pad, QG, d) bf16 gathered
     query blocks; rows3: (num_tiles, TILE, d) bf16; bias2: (num_tiles, TILE)
-    f32.  Returns packed scores (W_pad, QG, KPG*GP) int32 (see _pack)."""
+    f32.  Returns packed scores (G_pad, QG, mnt*KPG*GP) int32 (see
+    _pack)."""
     w_pad = plan.work_tile.shape[0]
+    g_pad = plan.qg_query.shape[0]
     mnt = w_pad // plan.qg_query.shape[0]
     d = rows3.shape[-1]
     # Trailing singleton so the bias block is (TILE, 1) — Mosaic requires
@@ -350,7 +355,8 @@ def score_work_pallas(plan: WorkPlan, qg_rows, rows3, bias2, *,
             pl.BlockSpec((1, TILE, 1), lambda w, wt, wa: (wt[w], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, QG, kpg * GP), lambda w, wt, wa: (w, 0, 0)),
+            pl.BlockSpec((1, QG, kpg * GP),
+                         lambda w, wt, wa: (w // mnt, 0, w % mnt)),
         ],
     )
     (packed,) = pl.pallas_call(
@@ -358,7 +364,7 @@ def score_work_pallas(plan: WorkPlan, qg_rows, rows3, bias2, *,
                           mnt=mnt, kpg=kpg),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((w_pad, QG, kpg * GP), jnp.int32),
+            jax.ShapeDtypeStruct((g_pad, QG, mnt * kpg * GP), jnp.int32),
         ],
         interpret=interpret,
     )(plan.work_tile, plan.work_active, qg_rows, rows3, bias3)
@@ -397,7 +403,11 @@ def score_work_xla(plan: WorkPlan, qg_rows, rows3, bias2, *,
     packed = jax.lax.map(
         chunk, (wt.reshape(n_chunks, -1), wq.reshape(n_chunks, -1),
                 wi.reshape(n_chunks, -1)))
-    return packed.reshape(-1, QG, kpg * GP)[:w_pad]
+    packed = packed.reshape(-1, QG, kpg * GP)[:w_pad]
+    g = w_pad // mnt
+    return jnp.transpose(
+        packed.reshape(g, mnt, QG, kpg * GP),
+        (0, 2, 1, 3)).reshape(g, QG, mnt * kpg * GP)
 
 
 HOT_LEAVES = 8  # leaves (per query, by tokenization rank) gathered at full
@@ -413,7 +423,9 @@ def merge_candidates(plan: WorkPlan, packed, sel, valid_sel, tile_start,
                      pair_bias=None, hot: int = HOT_LEAVES):
     """Assemble per-query candidates from packed work outputs, take top-k.
 
-    packed: (W_pad, QG, KPG*GP) int32 packed scores (see _pack).  Returns
+    packed: (G_pad, QG, mnt*KPG*GP) int32 packed scores (see _pack) —
+    one pair's candidates across all its tiles are contiguous, so the hot
+    stratum costs ONE gather slice per (query, hot leaf).  Returns
     (cand_vals (B, k), cand_slots (B, k)) where slots index the tile-major
     pruned layout (slot = tile * TILE + offset); dead candidates have -inf
     values and slot -1.  pair_bias: optional (B, L) additive per-(query,
@@ -421,14 +433,13 @@ def merge_candidates(plan: WorkPlan, packed, sel, valid_sel, tile_start,
 
     Two strata bound the gather cost: hot leaves fetch the full per-tile
     survivor lists; cold leaves fetch one GP-wide slice per *pair* — the
-    tile dimension is collapsed beforehand by a vectorized float max in
-    work-major layout (each packed float carries its own (tile, argmax)
-    identity in its mantissa tail, so the max needs no separate argmax).
+    tile dimension is collapsed beforehand by a vectorized float max
+    (each packed float carries its own (tile, argmax) identity in its
+    mantissa tail, so the max needs no separate argmax).
     """
     b, l = sel.shape
-    w_pad = packed.shape[0]
     g_pad = plan.qg_query.shape[0]
-    kgp = packed.shape[-1]
+    kgp = packed.shape[-1] // max_ntiles
     hot = min(hot, l)
     t_iota = jnp.arange(max_ntiles, dtype=jnp.int32)
 
@@ -441,27 +452,27 @@ def merge_candidates(plan: WorkPlan, packed, sel, valid_sel, tile_start,
             vals = vals + pair_bias[:, cols][:, :, None, None]
         return vals.reshape(b, -1), slots.reshape(b, -1)
 
-    # Hot stratum: full survivor width per (pair, tile).
+    # Hot stratum: full survivor width per (pair, tile) — one contiguous
+    # (mnt * kgp)-wide slice per pair.
     sel_h = sel[:, :hot]
-    w_blt = (plan.pair_gid[:, :hot, None] * max_ntiles
-             + t_iota[None, None, :])
     live_h = jnp.logical_and(
         t_iota[None, None, :] < jnp.take(ntiles, sel_h)[:, :, None],
         valid_sel[:, :hot, None])
-    row_h = jnp.broadcast_to(plan.pair_row[:, :hot, None], w_blt.shape)
-    cand_h = packed[jnp.clip(w_blt, 0, w_pad - 1), row_h]  # (B,hot,mnt,kgp)
+    cand_h = packed[plan.pair_gid[:, :hot],
+                    plan.pair_row[:, :hot]].reshape(
+                        b, hot, max_ntiles, kgp)
     v_h, a_h, t_h = _unpack(cand_h)
     v_h = jnp.where(live_h[..., None], v_h, -jnp.inf)
     cand_vals, slots = finish(v_h, a_h, t_h, sel_h, slice(0, hot))
 
     if hot < l:
-        # Cold stratum: collapse tiles by float max in work-major layout
-        # (no gather), then one GP-slice per pair.
-        cold = packed.reshape(g_pad, max_ntiles, QG, kgp)[..., :GP]
+        # Cold stratum: collapse tiles by float max (no gather), then one
+        # GP-slice per pair.
+        cold = packed.reshape(g_pad, QG, max_ntiles, kgp)[..., :GP]
         cold_f = jax.lax.bitcast_convert_type(cold, jnp.float32)
         act = plan.work_active.reshape(g_pad, max_ntiles)
-        cold_f = jnp.where(act[:, :, None, None] == 1, cold_f, -jnp.inf)
-        cold_red = jnp.max(cold_f, axis=1)           # (g_pad, QG, GP)
+        cold_f = jnp.where(act[:, None, :, None] == 1, cold_f, -jnp.inf)
+        cold_red = jnp.max(cold_f, axis=2)           # (g_pad, QG, GP)
         sel_c = sel[:, hot:]
         cand_c = cold_red[plan.pair_gid[:, hot:], plan.pair_row[:, hot:]]
         cand_ci = jax.lax.bitcast_convert_type(cand_c, jnp.int32)

@@ -69,7 +69,7 @@ _NOISE_SHAPING_CHUNK = 131_072
 
 
 def scalar_quantize_noise_shaped(dataset, threshold: float,
-                                 quantile: float = 1.0
+                                 quantile: float = 1.0, originals=None
                                  ) -> ScalarQuantizedData:
     """int8 quantization with score-aware rounding.
 
@@ -83,32 +83,40 @@ def scalar_quantize_noise_shaped(dataset, threshold: float,
     datapoints (dimensions visited in decreasing |residual| order) and
     chunked over rows — multipliers are computed globally first, so the
     chunked result is bit-identical to the single-program form.
+
+    ``originals``: optional (n, d) rows defining the DIRECTION the
+    parallel error component is measured against (and the norms eta(T)
+    uses) when ``dataset`` holds residuals of those rows — queries
+    correlate with the full row, not with its residual (the same split
+    as encode_noise_shaped's vectors/originals arguments).
     """
     x = dataset.astype(jnp.float32)
     n, d = x.shape
     mult = compute_multipliers(x, quantile)
     inv = 1.0 / mult
+    o = x if originals is None else originals.astype(jnp.float32)
     chunk = _NOISE_SHAPING_CHUNK
     if n > chunk:
         # Host loop, one bounded program per chunk (NOT lax.map: a single
         # long-running program trips the runtime hang watchdog).  Callers
         # must not wrap the large-n path in an outer jit — that would
         # unroll the loop back into one program.
-        fn = jax.jit(_noise_shape_rows, static_argnums=(3,))
+        fn = jax.jit(_noise_shape_rows, static_argnums=(4,))
         q = jnp.concatenate(
-            [fn(x[i:i + chunk], mult, inv, threshold)
+            [fn(x[i:i + chunk], o[i:i + chunk], mult, inv, threshold)
              for i in range(0, n, chunk)], axis=0)
     else:
-        q = _noise_shape_rows(x, mult, inv, threshold)
+        q = _noise_shape_rows(x, o, mult, inv, threshold)
     deq = q.astype(jnp.float32) * inv[None, :]
     return ScalarQuantizedData(q, inv, jnp.sum(deq * deq, axis=-1))
 
 
-def _noise_shape_rows(x, mult, inv, threshold: float):
-    """Noise-shaping descent for one row chunk; returns (rows, d) int8."""
+def _noise_shape_rows(x, o, mult, inv, threshold: float):
+    """Noise-shaping descent for one row chunk (direction rows ``o``);
+    returns (rows, d) int8."""
     n, d = x.shape
     base = jnp.clip(jnp.round(x * mult[None, :]), -127, 127)
-    sq_norms = jnp.sum(x * x, axis=-1)
+    sq_norms = jnp.sum(o * o, axis=-1)
     eta = parallel_cost_multiplier(threshold, jnp.maximum(sq_norms, 1e-20),
                                    d)
     inv_norm = 1.0 / jnp.maximum(jnp.sqrt(sq_norms), 1e-20)
@@ -129,13 +137,13 @@ def _noise_shape_rows(x, mult, inv, threshold: float):
     # the full (n, d) operand every step, which at glove scale turned
     # this descent into minutes of HBM traffic.  Flip decisions are
     # bit-identical; only the indexing changes.
-    xp = jnp.take_along_axis(x, order, axis=1)
+    op = jnp.take_along_axis(o, order, axis=1)
     r0p = jnp.take_along_axis(r0, order, axis=1)
     rap = jnp.take_along_axis(r_alt, order, axis=1)
 
     # State: chosen (n, d) bool = use alt (permuted space); parallel
     # component p (n,).
-    p0 = jnp.sum(r0 * x, axis=-1) * inv_norm
+    p0 = jnp.sum(r0 * o, axis=-1) * inv_norm
 
     def step_fn(carry, s):
         chosen, p = carry
@@ -147,9 +155,9 @@ def _noise_shape_rows(x, mult, inv, threshold: float):
         cur_alt = col(chosen)
         r_cur = jnp.where(cur_alt, col(rap), col(r0p))
         r_new = jnp.where(cur_alt, col(r0p), col(rap))
-        xd = col(xp)
-        pc_cur = r_cur * xd * inv_norm
-        pc_new = r_new * xd * inv_norm
+        od = col(op)
+        pc_cur = r_cur * od * inv_norm
+        pc_new = r_new * od * inv_norm
         new_p = p - pc_cur + pc_new
         pnd = new_p * new_p - p * p
         rnd = r_new * r_new - r_cur * r_cur

@@ -63,6 +63,12 @@ def collect_assets(searcher):
         put("reorder_db", rh._db)
         put("reorder_inv_mult", rh._inv_mult)
         put("reorder_sq_norms", rh._sq_norms)
+        if getattr(rh, "_leaf", None) is not None:
+            # Residual int8 reordering: the primary-leaf table + per-row
+            # dequant scales (centers reload from the partitioner assets).
+            put("reorder_leaf", rh._leaf)
+            put("reorder_row_scale", rh._row_scale)
+            meta["reorder_residual"] = True
     if searcher.projector is not None:
         put("proj_matrix", searcher.projector.matrix)
         meta["proj_out_dims"] = searcher.projector.out_dims
@@ -250,6 +256,9 @@ def _restore_searcher(blob: dict, arrays: dict, docids):
         s._encoded_slots = meta.get("encoded_slots", 0)
         s.datapoint_to_token = np.asarray(arrays["datapoint_to_token"])
         s.partitioner = _load_partitioner(arrays, scann_config, meta)
+        if (s.reorder_helper is not None
+                and s.reorder_helper._leaf is not None):
+            s.reorder_helper._centers = s.partitioner.centers
         s._host = {"codes": codes_np,
                    "leaf": np.asarray(s.index.slot_leaf),
                    "dpid": np.asarray(s.index.slot_dpid)}
@@ -283,6 +292,9 @@ def _restore_searcher(blob: dict, arrays: dict, docids):
         s._chunk = meta["chunk"]
         s.datapoint_to_token = np.asarray(arrays["datapoint_to_token"])
         s.partitioner = _load_partitioner(arrays, scann_config, meta)
+        if (s.reorder_helper is not None
+                and s.reorder_helper._leaf is not None):
+            s.reorder_helper._centers = s.partitioner.centers
         return s
     raise ValueError(f"unknown searcher type in artifacts: {tname}")
 
@@ -320,7 +332,14 @@ def _init_base(s, scann_config, meta, arrays, docids):
         rh._db = arrays["reorder_db"]
         rh._inv_mult = arrays.get("reorder_inv_mult")
         rh._sq_norms = arrays.get("reorder_sq_norms")
+        rh._leaf = arrays.get("reorder_leaf")
+        rh._row_scale = arrays.get("reorder_row_scale")
+        # Residual mode biases against the partitioner centers; the
+        # partitioner loads after _init_base, so the searcher branches
+        # sync rh._centers once it exists.
+        rh._centers = None
         s.reorder_helper = rh
+    s._reorder_deferred = False
 
 
 def _load_partitioner(arrays, scann_config, meta=None):

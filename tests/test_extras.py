@@ -418,3 +418,71 @@ def test_post_reordering_epsilon():
     eps2 = float(np.median(d2))
     _, d2f = s2.search_batched(q, post_reordering_epsilon=eps2)
     assert np.all(np.isnan(d2f) | (d2f <= eps2))
+
+
+def test_residual_int8_reordering():
+    """Residual int8 reordering (x - c_primary quantized with per-row
+    scales, exact q.c_leaf added back at rescore) must beat raw-row int8
+    rescore accuracy, serialize/reload bit-identically, and stay
+    consistent through upsert/delete (the leaf table and scales follow
+    the mutations)."""
+    import dataclasses
+    import tempfile
+
+    import jax.numpy as jnp
+
+    import scann_tpu
+    import scann_tpu.factory as factory
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((64, 48)).astype(np.float32)
+    db = (centers[rng.integers(0, 64, 15000)]
+          + 0.2 * rng.standard_normal((15000, 48)).astype(np.float32))
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = (db[rng.integers(0, 15000, 64)]
+         + 0.02 * rng.standard_normal((64, 48)).astype(np.float32))
+
+    b = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=64, num_leaves_to_search=10)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(40, quantize="int8",
+                  anisotropic_quantization_threshold=0.2))
+    cfg_res = b.create_config()
+    cfg_raw = dataclasses.replace(
+        cfg_res, reordering=dataclasses.replace(cfg_res.reordering,
+                                                residual=False))
+    s_res = factory.create_searcher(db, cfg_res)
+    s_raw = factory.create_searcher(db, cfg_raw)
+    assert s_res.reorder_helper._leaf is not None
+    assert s_raw.reorder_helper._leaf is None
+
+    # Rescore numeric accuracy: residual must be strictly tighter.
+    cand = rng.integers(0, len(db), (64, 40)).astype(np.int32)
+    exact = np.take_along_axis(q @ db.T, cand, axis=1)
+
+    def err(s):
+        sim = np.asarray(s.reorder_helper.rescore(
+            jnp.asarray(q), jnp.asarray(cand), s.reorder_helper.state()))
+        return float(np.abs(sim - exact).std())
+
+    e_res, e_raw = err(s_res), err(s_raw)
+    assert e_res < 0.7 * e_raw, (e_res, e_raw)
+
+    # Serialize round trip.
+    with tempfile.TemporaryDirectory() as td:
+        s_res.serialize(td)
+        s2 = scann_tpu.load_searcher(td)
+        assert s2.reorder_helper._leaf is not None
+        i1, d1 = s_res.search_batched(q)
+        i2, d2 = s2.search_batched(q)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+    # Mutation keeps the residual tables consistent.
+    s_m = factory.create_searcher(db, cfg_res,
+                                  docids=[str(i) for i in range(len(db))])
+    s_m.upsert(["new0"], q[:1])
+    idx, _ = s_m.search(q[0])
+    assert "new0" in set(idx)
+    s_m.delete(["new0"])
+    idx, _ = s_m.search(q[0])
+    assert "new0" not in set(idx)
