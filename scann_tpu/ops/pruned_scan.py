@@ -213,15 +213,19 @@ def invert(sel, valid_sel, tile_start, ntiles, max_ntiles: int,
     qg_leaf = jnp.maximum(_forward_fill_max(leaf_mark) - 1, 0)
     g_active = jnp.arange(g_pad, dtype=jnp.int32) < g_total
 
-    # Query ids per group: contiguous slices of the leaf-sorted query list.
+    # Query ids per group: contiguous slices of the leaf-sorted query
+    # list — one QG-wide dynamic slice per group instead of a
+    # g_pad * QG ELEMENT gather (element gathers run at ~ns/element on
+    # TPU; slices amortize).  Slots beyond a group's live count read
+    # neighboring queries — they are dead lanes the merge never reads.
     group_pos = (jnp.take(lb, qg_leaf)
                  + (jnp.arange(g_pad, dtype=jnp.int32)
                     - jnp.take(gbase, qg_leaf)) * QG)
-    gather_pos = jnp.clip(group_pos[:, None]
-                          + jnp.arange(QG, dtype=jnp.int32)[None, :],
-                          0, p - 1)
-    qg_query = jnp.take(q_s, gather_pos.reshape(-1),
-                        mode="clip").reshape(g_pad, QG)
+    q_s_pad = jnp.pad(q_s, (0, QG))  # slices starting at any live
+    # group_pos <= p stay in bounds without shifting row alignment;
+    # XLA clamps the (garbage) starts of inactive padded groups.
+    qg_query = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(q_s_pad, (s,), (QG,)))(group_pos)
 
     # Uncompacted work layout: w = gid * mnt + t.
     g_nt = jnp.where(g_active, jnp.take(ntiles, qg_leaf), 0)

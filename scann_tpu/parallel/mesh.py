@@ -101,7 +101,8 @@ class ShardedTreeAHSearcher:
                                         shard2),
             "rows_i8": jax.device_put(jnp.asarray(hp["rows_i8"]), shard3),
             "rows_sq": jax.device_put(jnp.asarray(hp["rows_sq"]), shard2),
-            "inv_mult": jax.device_put(jnp.asarray(hp["inv_mult"]), repl),
+            "rows_scale": jax.device_put(jnp.asarray(hp["rows_scale"]),
+                                         shard2),
             "codebook": jax.device_put(self.model.codebook, repl),
             "centers": jax.device_put(jnp.asarray(centers), repl),
         }
@@ -126,7 +127,8 @@ class ShardedTreeAHSearcher:
         num_leaves = searcher.partitioner.num_leaves
         host_parts = _layout_shards(
             codes, slot_leaf, slot_dpid, database, num_leaves, n_shards,
-            dims=searcher.model.dims)
+            dims=searcher.model.dims,
+            centers=np.asarray(searcher.partitioner.centers))
         return cls(searcher.config, mesh,
                    np.asarray(searcher.model.codebook),
                    np.asarray(searcher.partitioner.centers), host_parts,
@@ -166,7 +168,7 @@ class ShardedTreeAHSearcher:
         return stats.as_dict()
 
     def _refresh_device(self, keys=("codes", "slot_leaf", "slot_dpid",
-                                    "rows_i8", "rows_sq")):
+                                    "rows_i8", "rows_sq", "rows_scale")):
         hp = self._host_parts
         shard3 = NamedSharding(self.mesh, P(self.shard_axis, None, None))
         shard2 = NamedSharding(self.mesh, P(self.shard_axis, None))
@@ -231,8 +233,7 @@ class ShardedTreeAHSearcher:
         from scann_tpu.ops import ah as ah_ops_
         threshold = self.ah_cfg.anisotropic_quantization_threshold
         residual = bool(self.ah_cfg.residual_quantization)
-        inv_mult = np.asarray(self.state["inv_mult"])
-        new_rows = []  # (slot_leaf, dpid, codes, rows_i8, rows_sq)
+        new_rows = []  # (slot_leaf, dpid, codes, rows_i8, rows_sq, scale)
         for col in token_cols:
             v = vecs - centers[col] if residual else vecs
             vj = jnp.asarray(v)
@@ -241,11 +242,18 @@ class ShardedTreeAHSearcher:
                     vj, jnp.asarray(vecs), self.model, threshold))
             else:
                 codes = np.asarray(ah_ops_.encode(vj, self.model))
-            q = np.clip(np.round(vecs / inv_mult[None, :]),
+            # Residual per-row int8 rescore rows vs this slot's center
+            # (single-chip residual-reorder parity).
+            delta = vecs - centers[col]
+            m = np.abs(delta).max(axis=1)
+            scale = (m / 127.0).astype(np.float32)
+            inv = np.where(m > 0, 127.0 / np.maximum(m, 1e-30), 0.0)
+            q = np.clip(np.round(delta * inv[:, None]),
                         -127, 127).astype(np.int8)
-            deq = q.astype(np.float32) * inv_mult[None, :]
+            deq = q.astype(np.float32) * scale[:, None] + centers[col]
             new_rows.append((col, ids.astype(np.int32), codes, q,
-                             (deq * deq).sum(axis=1).astype(np.float32)))
+                             (deq * deq).sum(axis=1).astype(np.float32),
+                             scale))
 
         total_new = sum(len(r[0]) for r in new_rows)
         free_sh, free_slot = np.nonzero(sd < 0)
@@ -253,7 +261,7 @@ class ShardedTreeAHSearcher:
             grow = _round_up(total_new - len(free_sh), self._shard_chunk)
             for key, fill in (("codes", 0), ("slot_leaf", 0),
                               ("slot_dpid", -1), ("rows_i8", 0),
-                              ("rows_sq", 0.0)):
+                              ("rows_sq", 0.0), ("rows_scale", 0.0)):
                 a = np.asarray(hp[key])
                 pad = [(0, 0), (0, grow)] + [(0, 0)] * (a.ndim - 2)
                 hp[key] = np.pad(a, pad, constant_values=fill)
@@ -267,7 +275,8 @@ class ShardedTreeAHSearcher:
         codes_tab = np.asarray(hp["codes"])
         rows_tab = np.asarray(hp["rows_i8"])
         sq_tab = np.asarray(hp["rows_sq"])
-        for col, dpids, codes, q, sqn in new_rows:
+        scale_tab = np.asarray(hp["rows_scale"])
+        for col, dpids, codes, q, sqn, scale in new_rows:
             take = slice(cursor, cursor + len(dpids))
             sh, sl = free_sh[take], free_slot[take]
             leaf_tab[sh, sl] = col
@@ -275,9 +284,10 @@ class ShardedTreeAHSearcher:
             codes_tab[sh, sl] = codes
             rows_tab[sh, sl] = q
             sq_tab[sh, sl] = sqn
+            scale_tab[sh, sl] = scale
             cursor += len(dpids)
         hp.update(slot_leaf=leaf_tab, slot_dpid=sd, codes=codes_tab,
-                  rows_i8=rows_tab, rows_sq=sq_tab)
+                  rows_i8=rows_tab, rows_sq=sq_tab, rows_scale=scale_tab)
         self.n_points = max(self.n_points, int(ids.max()) + 1)
         self._refresh_device()
 
@@ -303,7 +313,7 @@ class ShardedTreeAHSearcher:
         shard_axis, data_axis = self.shard_axis, self.data_axis
 
         def local_step(queries, codes, slot_leaf, slot_dpid, rows_i8,
-                       rows_sq, inv_mult, codebook, centers, *rest):
+                       rows_sq, rows_scale, codebook, centers, *rest):
             # queries: (q_local, d); codes: (1, S, B) local shard block.
             rest = list(rest)
             allow = rest.pop(0) if restricted else None
@@ -314,6 +324,7 @@ class ShardedTreeAHSearcher:
             slot_dpid = slot_dpid[0]
             rows_i8 = rows_i8[0]
             rows_sq = rows_sq[0]
+            rows_scale = rows_scale[0]
             model = ah_ops.AHModel(codebook=codebook, dims=model_dims)
             luts = ah_ops.build_luts(queries, model, measure, lookup)
             nq = queries.shape[0]
@@ -384,15 +395,27 @@ class ShardedTreeAHSearcher:
                               -1)
             if soar is not None:
                 vals, dpids, lslots = _dedup_slots(vals, dpids, lslots)
-            # Exact local rescore on this shard's int8-compressed rows
-            # (reference-style memory; the int8 asymmetric kernel pattern
-            # of one_to_many_asymmetric.h: query folded with the inverse
-            # multipliers, true query norm supplied separately).
-            q_fold = queries * inv_mult[None, :]
-            exact = dist_ops.one_to_many_gathered(
-                q_fold, rows_i8, jnp.maximum(lslots, 0), measure,
-                db_sq_norms=rows_sq,
-                query_sq_norms=jnp.sum(queries * queries, axis=-1))
+            # Exact local rescore on this shard's RESIDUAL int8 rows
+            # (single-chip ReorderHelper residual-mode parity): each slot
+            # stores x - c_{slot_leaf} with a per-row scale; the exact
+            # q.c bias comes from the replicated float centroids.
+            safe_sl = jnp.maximum(lslots, 0)
+            qd = dist_ops.one_to_many_gathered(
+                queries, rows_i8, safe_sl, cfg.DOT_PRODUCT)
+            qd = qd * jnp.take(rows_scale, safe_sl)
+            qc_dot = jax.lax.dot_general(
+                queries, centers,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            bias_c = jnp.take_along_axis(
+                qc_dot, jnp.take(slot_leaf, safe_sl), axis=-1)
+            dots_x = qd + bias_c
+            if measure == cfg.SQUARED_L2:
+                q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+                row_sq = jnp.take(rows_sq, safe_sl)
+                exact = -jnp.maximum(q_sq - 2.0 * dots_x + row_sq, 0.0)
+            else:
+                exact = dots_x
             exact = jnp.where(lslots >= 0, exact, -jnp.inf)
             # all_gather candidate lists over the shard axis, merge.
             g_vals = jax.lax.all_gather(exact, shard_axis, axis=1,
@@ -427,7 +450,7 @@ class ShardedTreeAHSearcher:
                     P(shard_axis, None),     # slot_dpid
                     P(shard_axis, None, None),  # rows_i8
                     P(shard_axis, None),     # rows_sq
-                    P(),                     # inv_mult
+                    P(shard_axis, None),     # rows_scale
                     P(),                     # codebook
                     P())                     # centers
         if restricted:
@@ -514,7 +537,7 @@ class ShardedTreeAHSearcher:
             jnp.asarray(padded),
             NamedSharding(self.mesh, P(self.data_axis, None)))
         args = [q_dev, st["codes"], st["slot_leaf"], st["slot_dpid"],
-                st["rows_i8"], st["rows_sq"], st["inv_mult"],
+                st["rows_i8"], st["rows_sq"], st["rows_scale"],
                 st["codebook"], st["centers"]]
         if restricted:
             allow = np.asarray(restrict_allowlist, bool)
@@ -549,7 +572,7 @@ class ShardedTreeAHSearcher:
         np.savez(os.path.join(artifacts_dir, "sharded_assets.npz"),
                  codes=hp["codes"], slot_leaf=hp["slot_leaf"],
                  slot_dpid=hp["slot_dpid"], rows_i8=hp["rows_i8"],
-                 rows_sq=hp["rows_sq"], inv_mult=hp["inv_mult"],
+                 rows_sq=hp["rows_sq"], rows_scale=hp["rows_scale"],
                  codebook=np.asarray(self.model.codebook),
                  centers=np.asarray(self.state["centers"]))
         meta = {"num_leaves": self.num_leaves, "dims": self.model.dims,
@@ -571,9 +594,13 @@ def load_sharded(artifacts_dir: str, mesh: Mesh, shard_axis: str = "shard",
             f"index was sharded {meta['n_shards']}-way; mesh has "
             f"{mesh.shape[shard_axis]} shards")
     scann_config = cfg._config_from_dict(meta["config"])
+    if "rows_scale" not in raw:
+        raise ValueError(
+            "sharded artifacts predate residual per-row rescore "
+            "(no rows_scale); rebuild the sharded index")
     host_parts = {k: raw[k] for k in
                   ("codes", "slot_leaf", "slot_dpid", "rows_i8", "rows_sq",
-                   "inv_mult")}
+                   "rows_scale")}
     host_parts.update(num_leaves=meta["num_leaves"], dims=meta["dims"],
                       chunk=meta["chunk"])
     return ShardedTreeAHSearcher(scann_config, mesh, raw["codebook"],
@@ -746,11 +773,6 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
             ah.training_iterations, dims=d).codebook)(
         jax.random.PRNGKey(seed + 1), resid_sample)
     model = ah_ops.AHModel(codebook=codebook, dims=d)
-    # Global int8 rescore multipliers from the sample
-    # (ScalarQuantizeFloatDataset semantics: per-dimension max-abs).
-    max_abs = np.maximum(np.abs(sample).max(axis=0), 1e-12)
-    inv_mult = (max_abs / 127.0).astype(np.float32)
-    inv_dev = jnp.asarray(inv_mult)
     _logger.info("sharded build: AH codebook trained")
 
     # -- 3. second streaming pass: tokenize (+SOAR) + encode + compress.
@@ -764,17 +786,28 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
             return ah_ops.encode_noise_shaped(vecs, x, m, threshold)
         return ah_ops.encode(vecs, m)
 
-    @jax.jit
-    def _tokenize_encode(x, c, cb, im):
-        tokens, _ = kmeans_ops.assign(x, c)
-        vecs = (x - jnp.take(c, tokens, axis=0)) if residual else x
-        codes = _enc(vecs, x, cb)
-        rows_q = jnp.clip(jnp.round(x / im[None, :]), -127, 127
+    def _row_compress(x, c_rows):
+        """Residual per-row int8 rescore rows vs the slot's center
+        (single-chip residual-reorder parity)."""
+        delta = x - c_rows
+        m = jnp.max(jnp.abs(delta), axis=-1)
+        scale = m / 127.0
+        inv = jnp.where(m > 0, 127.0 / jnp.maximum(m, 1e-30), 0.0)
+        rows_q = jnp.clip(jnp.round(delta * inv[:, None]), -127, 127
                           ).astype(jnp.int8)
-        rows_sq = jnp.sum((rows_q.astype(jnp.float32) * im[None, :]) ** 2,
-                          axis=-1)
+        deq = rows_q.astype(jnp.float32) * scale[:, None] + c_rows
+        return rows_q, jnp.sum(deq * deq, axis=-1), scale
+
+    @jax.jit
+    def _tokenize_encode(x, c, cb):
+        tokens, _ = kmeans_ops.assign(x, c)
+        cprim0 = jnp.take(c, tokens, axis=0)
+        vecs = (x - cprim0) if residual else x
+        codes = _enc(vecs, x, cb)
+        rows_q, rows_sq, rows_scale = _row_compress(x, cprim0)
         if soar is None:
-            return tokens.astype(jnp.int32), codes, rows_q, rows_sq
+            return (tokens.astype(jnp.int32), codes, rows_q, rows_sq,
+                    rows_scale)
         # SOAR secondary: argmin ||x-c||^2 + lambda ((x-c).r_hat)^2
         # excluding the primary (orthogonality_amplification_utils.h).
         cprim = jnp.take(c, tokens, axis=0)
@@ -790,17 +823,23 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         sdist = term1 + soar_lam * t2 * t2
         sdist = sdist.at[jnp.arange(x.shape[0]), tokens].set(jnp.inf)
         tokens2 = jnp.argmin(sdist, axis=-1).astype(jnp.int32)
-        codes2 = _enc(x - jnp.take(c, tokens2, axis=0), x, cb)
+        c2_rows = jnp.take(c, tokens2, axis=0)
+        codes2 = _enc(x - c2_rows, x, cb)
+        # Secondary slots store residuals vs THEIR OWN center so every
+        # slot's rescore bias is q.c_{slot_leaf}.
+        rows_q2, rows_sq2, rows_scale2 = _row_compress(x, c2_rows)
         return (tokens.astype(jnp.int32), codes, rows_q, rows_sq,
-                tokens2, codes2)
+                rows_scale, tokens2, codes2, rows_q2, rows_sq2,
+                rows_scale2)
 
     row_sharding = NamedSharding(flat_mesh, P("data", None))
     n_shards = mesh.shape[shard_axis]
     leaves_per_shard = -(-part.num_leaves // n_shards)
-    acc = [{"codes": [], "leaf": [], "dpid": [], "rows": [], "sq": []}
+    acc = [{"codes": [], "leaf": [], "dpid": [], "rows": [], "sq": [],
+            "scale": []}
            for _ in range(n_shards)]
 
-    def _append(sh_tokens, sh_codes, sh_rows, sh_sq, dpids):
+    def _append(sh_tokens, sh_codes, sh_rows, sh_sq, sh_scale, dpids):
         owner = sh_tokens // leaves_per_shard
         for sh in range(n_shards):
             sel = np.nonzero(owner == sh)[0]
@@ -812,6 +851,7 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
             a["dpid"].append(dpids[sel])
             a["rows"].append(sh_rows[sel])
             a["sq"].append(sh_sq[sel])
+            a["scale"].append(sh_scale[sel])
 
     row_base = 0
     for rows in chunks_fn():
@@ -821,22 +861,24 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         if pad:
             rows = np.pad(rows, ((0, pad), (0, 0)))
         x_dev = jax.device_put(jnp.asarray(rows), row_sharding)
-        out = _tokenize_encode(x_dev, centers, codebook, inv_dev)
+        out = _tokenize_encode(x_dev, centers, codebook)
         dpids = np.arange(row_base, row_base + m_rows, dtype=np.int32)
         t = np.asarray(out[0][:m_rows])
         _append(t, np.asarray(out[1][:m_rows]), np.asarray(out[2][:m_rows]),
-                np.asarray(out[3][:m_rows]), dpids)
+                np.asarray(out[3][:m_rows]), np.asarray(out[4][:m_rows]),
+                dpids)
         if soar is not None:
-            _append(np.asarray(out[4][:m_rows]),
-                    np.asarray(out[5][:m_rows]),
-                    np.asarray(out[2][:m_rows]),
-                    np.asarray(out[3][:m_rows]), dpids)
+            _append(np.asarray(out[5][:m_rows]),
+                    np.asarray(out[6][:m_rows]),
+                    np.asarray(out[7][:m_rows]),
+                    np.asarray(out[8][:m_rows]),
+                    np.asarray(out[9][:m_rows]), dpids)
         row_base += m_rows
     _logger.info("sharded build: %d rows tokenized + encoded", row_base)
 
     # -- 4. per-shard leaf-sorted layout from the compressed buffers.
     host_parts = _layout_shards_from_parts(acc, part.num_leaves, n_shards,
-                                           dims=d, inv_mult=inv_mult,
+                                           dims=d,
                                            num_blocks=model.num_blocks)
     _logger.info("sharded build: slots laid out over %d shards", n_shards)
     return ShardedTreeAHSearcher(scann_config, mesh, np.asarray(codebook),
@@ -845,8 +887,7 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
 
 
 def _layout_shards_from_parts(acc, num_leaves: int, n_shards: int,
-                              dims: int, inv_mult: np.ndarray,
-                              num_blocks: int) -> dict:
+                              dims: int, num_blocks: int) -> dict:
     """Concatenate per-shard compressed buffers, leaf-sort within each
     shard, pad to a common chunk-aligned size."""
     parts = []
@@ -859,7 +900,8 @@ def _layout_shards_from_parts(acc, num_leaves: int, n_shards: int,
                           "leaf": np.zeros((0,), np.int32),
                           "dpid": np.zeros((0,), np.int32),
                           "rows": np.zeros((0, dims), np.int8),
-                          "sq": np.zeros((0,), np.float32)})
+                          "sq": np.zeros((0,), np.float32),
+                          "scale": np.zeros((0,), np.float32)})
     max_slots = max((len(p["leaf"]) for p in parts), default=1)
     chunk = min(65536, _round_up(max(max_slots, 128), 128))
     slots_padded = _round_up(max(max_slots, chunk), chunk)
@@ -868,6 +910,7 @@ def _layout_shards_from_parts(acc, num_leaves: int, n_shards: int,
     sh_dpid = np.full((n_shards, slots_padded), -1, np.int32)
     sh_rows = np.zeros((n_shards, slots_padded, dims), np.int8)
     sh_sq = np.zeros((n_shards, slots_padded), np.float32)
+    sh_scale = np.zeros((n_shards, slots_padded), np.float32)
     for sh, p in enumerate(parts):
         order = np.argsort(p["leaf"], kind="stable")
         m = len(order)
@@ -876,31 +919,37 @@ def _layout_shards_from_parts(acc, num_leaves: int, n_shards: int,
         sh_dpid[sh, :m] = p["dpid"][order]
         sh_rows[sh, :m] = p["rows"][order]
         sh_sq[sh, :m] = p["sq"][order]
+        sh_scale[sh, :m] = p["scale"][order]
     return {"codes": sh_codes, "slot_leaf": sh_leaf, "slot_dpid": sh_dpid,
-            "rows_i8": sh_rows, "rows_sq": sh_sq, "inv_mult": inv_mult,
+            "rows_i8": sh_rows, "rows_sq": sh_sq, "rows_scale": sh_scale,
             "num_leaves": num_leaves, "dims": dims, "chunk": chunk}
 
 
 def _layout_shards(codes: np.ndarray, slot_leaf: np.ndarray,
                    slot_dpid: np.ndarray, database: np.ndarray,
-                   num_leaves: int, n_shards: int, dims: int) -> dict:
+                   num_leaves: int, n_shards: int, dims: int,
+                   centers: np.ndarray) -> dict:
     """Group live slots of a resident index into leaf-owner shards
-    (from_searcher path): quantize rescore rows, then defer to the
-    compressed-parts layout."""
+    (from_searcher path): residual-compress rescore rows per slot, then
+    defer to the compressed-parts layout."""
     valid = np.nonzero(slot_dpid >= 0)[0]
-    sample = database[:: max(1, len(database) // 65536)]
-    max_abs = np.maximum(np.abs(sample).max(axis=0), 1e-12)
-    inv_mult = (max_abs / 127.0).astype(np.float32)
+    centers = np.asarray(centers, np.float32)
     leaves_per_shard = -(-num_leaves // n_shards)
-    acc = [{"codes": [], "leaf": [], "dpid": [], "rows": [], "sq": []}
+    acc = [{"codes": [], "leaf": [], "dpid": [], "rows": [], "sq": [],
+            "scale": []}
            for _ in range(n_shards)]
     step = 1 << 18
     for s in range(0, len(valid), step):
         sel = valid[s:s + step]
         rows = database[slot_dpid[sel]]
-        q = np.clip(np.round(rows / inv_mult[None, :]), -127, 127
+        c_rows = centers[slot_leaf[sel]]
+        delta = rows - c_rows
+        m = np.abs(delta).max(axis=1)
+        scale = (m / 127.0).astype(np.float32)
+        inv = np.where(m > 0, 127.0 / np.maximum(m, 1e-30), 0.0)
+        q = np.clip(np.round(delta * inv[:, None]), -127, 127
                     ).astype(np.int8)
-        deq = q.astype(np.float32) * inv_mult[None, :]
+        deq = q.astype(np.float32) * scale[:, None] + c_rows
         sq = (deq * deq).sum(axis=1)
         owner = slot_leaf[sel] // leaves_per_shard
         for sh in range(n_shards):
@@ -913,8 +962,8 @@ def _layout_shards(codes: np.ndarray, slot_leaf: np.ndarray,
             a["dpid"].append(slot_dpid[sel[pick]].astype(np.int32))
             a["rows"].append(q[pick])
             a["sq"].append(sq[pick])
+            a["scale"].append(scale[pick])
     return _layout_shards_from_parts(acc, num_leaves, n_shards, dims=dims,
-                                     inv_mult=inv_mult,
                                      num_blocks=codes.shape[1])
 
 
