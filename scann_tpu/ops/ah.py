@@ -280,14 +280,25 @@ def build_luts(queries, model: AHModel, measure: str,
 
 def quantize_luts(raw, base, lookup_dtype: str) -> LookupTables:
     """Apply the per-query fixed-point conversion to raw (q, B, J) tables
-    (ConvertLookupToFixedPoint semantics, multiplier 127/max|entry|)."""
+    (ConvertLookupToFixedPoint semantics, multiplier 127/max|entry|).
+
+    Before quantizing, each block's entries are centered on the block's
+    midpoint and the sum of midpoints folds into ``base`` — exactly one
+    entry per block contributes to a score, so the sum is unchanged while
+    the per-query fixed-point step shrinks to the largest within-block
+    half-range (the reference's int8 conversion subtracts per-block
+    offsets the same way, ConvertLookupToFixedPoint)."""
     nq = raw.shape[0]
     if lookup_dtype == cfg.INT8:
+        mid = 0.5 * (jnp.max(raw, axis=2, keepdims=True)
+                     + jnp.min(raw, axis=2, keepdims=True))  # (q, B, 1)
+        centered = raw - mid
+        base = base + jnp.sum(mid[:, :, 0], axis=1)
         max_abs = jnp.maximum(
-            jnp.max(jnp.abs(raw), axis=(1, 2)),
+            jnp.max(jnp.abs(centered), axis=(1, 2)),
             jnp.sqrt(jnp.finfo(jnp.float32).eps))
         mult = 127.0 / max_abs
-        q8 = jnp.clip(jnp.round(raw * mult[:, None, None]),
+        q8 = jnp.clip(jnp.round(centered * mult[:, None, None]),
                       -127, 127).astype(jnp.int8)
         return LookupTables(int8=q8, raw=None, inv_multiplier=1.0 / mult,
                             base=base)
