@@ -120,7 +120,8 @@ def _sustained_qps(searcher, q, leaves, reps_a=4, reps_b=16):
     # same sub-batches search_batched would use.
     nq = q.shape[0]
     if pruned:
-        nq = min(nq, 4096)
+        from scann_tpu.models.base import _PRUNED_MAX_BATCH
+        nq = min(nq, _PRUNED_MAX_BATCH)
     bucket = 8
     while bucket < nq:
         bucket *= 2

@@ -33,8 +33,11 @@ def _next_bucket(n: int) -> int:
 
 
 # Device-batch cap for the pruned leaf-gather path (its work-plan scratch
-# arrays scale with batch * leaves_to_search).
-_PRUNED_MAX_BATCH = 4096
+# arrays scale with batch * leaves_to_search).  Larger batches also RAISE
+# kernel efficiency: leaf-major query groups fill toward QG=128 live
+# lanes as batch * leaves / num_leaves grows, so the scoring matmul's
+# wasted lanes shrink while the per-tile work stays constant.
+_PRUNED_MAX_BATCH = 8192
 
 
 def _row_quantize(delta):
