@@ -293,3 +293,40 @@ def test_tree_ah_batch_single_consistency():
         si, sd = s.search(q[i])
         np.testing.assert_array_equal(si, bi[i])
         np.testing.assert_allclose(sd, bd[i], rtol=1e-6)
+
+
+def test_int8_lut_block_centering():
+    """Per-block midpoint centering in quantize_luts: the decoded int8
+    score (acc * inv_multiplier + base) must track the float LUT sum
+    within the quantization step, and the step must be no larger than
+    the uncentered 127/max|entry| conversion (reference:
+    ConvertLookupToFixedPoint, asymmetric_hashing_impl.cc:590-646)."""
+    import jax.numpy as jnp
+
+    from scann_tpu.ops import ah as ah_ops
+    rng = np.random.default_rng(3)
+    nq, blocks, j = 8, 25, 16
+    # Blocks with strong nonzero means: centering should shrink the step.
+    raw = (rng.standard_normal((nq, blocks, j)) * 0.02
+           + rng.standard_normal((nq, blocks, 1)) * 0.3).astype(np.float32)
+    base0 = rng.standard_normal((nq,)).astype(np.float32)
+    luts = ah_ops.quantize_luts(jnp.asarray(raw), jnp.asarray(base0),
+                                "int8")
+    codes = rng.integers(0, j, (64, blocks))
+    exact = base0[:, None] + raw[np.arange(nq)[:, None, None],
+                                 np.arange(blocks)[None, None, :],
+                                 codes[None, :, :]].sum(-1)
+    got = (np.asarray(luts.int8)[np.arange(nq)[:, None, None],
+                                 np.arange(blocks)[None, None, :],
+                                 codes[None, :, :]].astype(np.float32)
+           .sum(-1) * np.asarray(luts.inv_multiplier)[:, None]
+           + np.asarray(luts.base)[:, None])
+    step = np.asarray(luts.inv_multiplier)
+    # Error bounded by half a step per block.
+    assert np.all(np.abs(got - exact) <= step[:, None] * blocks * 0.51), \
+        np.abs(got - exact).max()
+    # Centering beats the uncentered conversion's step.
+    step_uncentered = np.abs(raw).max(axis=(1, 2)) / 127.0
+    assert np.all(step <= step_uncentered + 1e-9)
+    assert step.mean() < 0.7 * step_uncentered.mean(), \
+        (step.mean(), step_uncentered.mean())
