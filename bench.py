@@ -216,7 +216,7 @@ def main():
     # fused Pallas kernel (num_leaves may exceed 2000 after partition
     # splitting).
     num_leaves_total = searcher.part_cfg.num_leaves
-    for leaves in (12, 20, 35, 50, 100, num_leaves_total):
+    for leaves in (8, 12, 20, 35, 50, 100, num_leaves_total):
         idx, _ = searcher.search_batched(
             q[:N_QUERY], pre_reorder_num_neighbors=PRE_REORDER,
             leaves_to_search=leaves)  # warmup
@@ -241,7 +241,7 @@ def main():
     # Refine the winning operating point over the reorder budget (the
     # rescore gather is a large fixed cost at small leaf counts).
     base_pre = PRE_REORDER
-    for pre in (60, 80, 120, 250):
+    for pre in (40, 60, 80, 120, 250):
         PRE_REORDER = pre
         idx, _ = searcher.search_batched(
             q, pre_reorder_num_neighbors=pre,
