@@ -1241,6 +1241,7 @@ class TreeAHSearcher(base.Searcher):
         q_bf = (jnp.pad(q_c, ((0, 0), (0, pad))) if pad
                 else q_c).astype(jnp.bfloat16)
 
+        merge_hot = pruned_scan.HOT_LEAVES
         if nq * leaves <= pruned_scan.QG:
             # Small-batch fast path: analytic per-pair plan, no sorts (the
             # invert's serial chain of tiny ops dominates single-query
@@ -1248,6 +1249,11 @@ class TreeAHSearcher(base.Searcher):
             plan = pruned_scan.invert_small(
                 leaf_ids, valid_sel, state["p_tile_start"],
                 state["p_ntiles"], self._p_max_ntiles)
+            # All-hot merge: with <= QG pairs total, the full-survivor
+            # gather is tiny and skipping the cold stratum removes its
+            # whole serial op chain (batch-1 latency is dispatch-count
+            # bound: ~120 sequential kernels measured at bucket 8).
+            merge_hot = leaves
         else:
             g_pad, w_pad = pruned_scan.plan_capacities(
                 nq, leaves, num_leaves, self._p_num_tiles,
@@ -1332,7 +1338,8 @@ class TreeAHSearcher(base.Searcher):
         cand_vals, cand_slots = pruned_scan.merge_candidates(
             plan, packed, leaf_ids, valid_sel, state["p_tile_start"],
             state["p_ntiles"], self._p_max_ntiles, k_fetch,
-            pair_bias=center_sims if residual_bias else None)
+            pair_bias=center_sims if residual_bias else None,
+            hot=merge_hot)
         dpids = jnp.where(cand_slots >= 0,
                           jnp.take(state["p_dpid"],
                                    jnp.maximum(cand_slots, 0)), -1)
