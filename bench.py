@@ -174,18 +174,29 @@ def main():
     db, q = make_glove_like(N_DB, N_QUERY, DIM)
     _log("corpus ready")
 
-    # Headline config: same quantization spec AND index memory as the
-    # reference benchmark (2000 partitions, 2 dims/block 16-center
-    # codebooks, anisotropic 0.2, reorder 100): 4-bit pair-packed codes
-    # scored by the int8-LUT pruned kernel, rescored against the
-    # noise-shaped int8 dataset (the reference's fixed_point reorder).
-    lookup = os.environ.get("SCANN_TPU_BENCH_LOOKUP", "int8")
+    # Headline config: "sq" = tree + residual per-row int8 leaves scored
+    # EXACTLY on the selected leaves (the reference's Tree-SQ shape,
+    # tree_x_hybrid_factory.cc:416-520, redesigned TPU-first — see
+    # ops/pruned_sq.py: on the MXU an exact int8 scan of the selected
+    # leaves beats LUT16-emulation + separate reorder, and it needs no
+    # rescore stage at all).  Index memory: d+8 B/vector total — BELOW the
+    # reference benchmark's ~50 B codes + ~100 B int8 reorder rows.
+    # "int8"/"reconstruct"/"float32" select the tree-AH paths (4-bit AH
+    # codes + int8 reorder at the reference's exact quantization spec).
+    lookup = os.environ.get("SCANN_TPU_BENCH_LOOKUP", "sq")
     load_dir = os.environ.get("SCANN_TPU_BENCH_LOAD")
     t0 = time.perf_counter()
     if load_dir and os.path.exists(load_dir):
         searcher = scann_tpu.load_searcher(load_dir)
         build_s = time.perf_counter() - t0
         _log(f"index loaded from {load_dir} in {build_s:.1f}s")
+    elif lookup == "sq":
+        searcher = (scann_tpu.builder(db, K, "dot_product")
+                    .tree(num_leaves=2000, num_leaves_to_search=100,
+                          training_sample_size=100_000)
+                    .score_brute_force(quantize="int8").build())
+        build_s = time.perf_counter() - t0
+        _log(f"index built in {build_s:.1f}s (tree-SQ pruned-exact)")
     else:
         reorder_q = os.environ.get("SCANN_TPU_BENCH_REORDER", "int8")
         reorder_kw = ({"anisotropic_quantization_threshold": 0.2}
@@ -202,6 +213,8 @@ def main():
         searcher = factory.create_searcher(db, config)
         build_s = time.perf_counter() - t0
         _log(f"index built in {build_s:.1f}s (lookup={lookup})")
+    if searcher.reorder_helper is None:
+        PRE_REORDER = None  # exact scores: no reordering stage exists
     save_dir = os.environ.get("SCANN_TPU_BENCH_SAVE")
     if save_dir and not (load_dir and os.path.exists(load_dir)):
         searcher.serialize(save_dir)
@@ -216,7 +229,7 @@ def main():
     # fused Pallas kernel (num_leaves may exceed 2000 after partition
     # splitting).
     num_leaves_total = searcher.part_cfg.num_leaves
-    for leaves in (8, 12, 20, 35, 50, 100, num_leaves_total):
+    for leaves in (4, 6, 8, 12, 20, 50, num_leaves_total):
         idx, _ = searcher.search_batched(
             q[:N_QUERY], pre_reorder_num_neighbors=PRE_REORDER,
             leaves_to_search=leaves)  # warmup
@@ -239,9 +252,10 @@ def main():
         best = {"leaves": num_leaves_total, "recall": r, "qps": sustained,
                 "e2e_qps": qps, "batch_ms": batch_ms, "pre": PRE_REORDER}
     # Refine the winning operating point over the reorder budget (the
-    # rescore gather is a large fixed cost at small leaf counts).
+    # rescore gather is a large fixed cost at small leaf counts).  The
+    # exact tree-SQ path has no reordering stage to refine.
     base_pre = PRE_REORDER
-    for pre in (40, 60, 80, 120, 250):
+    for pre in ((40, 60, 80, 120, 250) if PRE_REORDER is not None else ()):
         PRE_REORDER = pre
         idx, _ = searcher.search_batched(
             q, pre_reorder_num_neighbors=pre,
@@ -279,7 +293,11 @@ def main():
     # if the winner is a full scan (the sweep's full-scan point may have
     # lazily materialized them, but a pruned serving config never holds
     # them).
-    if best["leaves"] < num_leaves_total:
+    if lookup == "sq":
+        # ONE structure serves selection AND exact scoring.
+        score_arrays = (searcher.slot_rows, searcher.slot_scale,
+                        getattr(searcher, "_sq_norms", None))
+    elif best["leaves"] < num_leaves_total:
         score_arrays = (getattr(searcher, "_p_rows", None),
                         getattr(searcher, "_p_codes", None),
                         getattr(searcher, "_p_cb", None))

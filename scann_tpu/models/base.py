@@ -360,6 +360,49 @@ class Searcher:
         for this (batch, leaves, mode) will read.  Default: nothing."""
         del bucket, leaves, full_scan, restricted, pre_tokenized
 
+    def _register_centers(self, centers_np: np.ndarray):
+        """Install a grown/modified center set on the partitioner and
+        propagate num_leaves through part_cfg/config (int8 centroids and
+        upper-tree assignment recomputed).  Shared by every partitioned
+        searcher whose build splits oversized leaves."""
+        import dataclasses
+        centers_int8 = inv_mult = None
+        if self.partitioner.centers_int8 is not None:
+            from scann_tpu.ops import quantize as quant_ops
+            sq = quant_ops.scalar_quantize(jnp.asarray(centers_np))
+            centers_int8, inv_mult = sq.data, sq.inverse_multipliers
+        upper_assign = self.partitioner.upper_assign
+        if upper_assign is not None:
+            old_n = upper_assign.shape[0]
+            if centers_np.shape[0] > old_n:
+                up = np.asarray(self.partitioner.upper_centers)
+                new_c = centers_np[old_n:]
+                d = ((new_c[:, None, :] - up[None, :, :]) ** 2).sum(-1)
+                if upper_assign.ndim == 2:  # SOAR-spilled upper assignment
+                    two = np.argsort(d, axis=1)[:, :2].astype(np.int32)
+                    upper_assign = jnp.concatenate(
+                        [upper_assign, jnp.asarray(two)], axis=0)
+                else:
+                    upper_assign = jnp.concatenate(
+                        [upper_assign,
+                         jnp.asarray(d.argmin(1).astype(np.int32))])
+        self.partitioner = self.partitioner._replace(
+            centers=jnp.asarray(centers_np), centers_int8=centers_int8,
+            centers_inv_mult=inv_mult, upper_assign=upper_assign)
+        if (self.reorder_helper is not None
+                and self.reorder_helper._leaf is not None):
+            # Residual reordering biases q.c_leaf against these centers.
+            self.reorder_helper._centers = self.partitioner.centers
+        self.part_cfg = dataclasses.replace(
+            self.part_cfg, num_leaves=centers_np.shape[0])
+        self.config = dataclasses.replace(self.config,
+                                          partitioning=self.part_cfg)
+        if getattr(self, "_leaf_mutations", None) is not None:
+            grow = centers_np.shape[0] - len(self._leaf_mutations)
+            if grow > 0:
+                self._leaf_mutations = np.concatenate(
+                    [self._leaf_mutations, np.zeros((grow,), np.int64)])
+
     # ------------------------------------------------------------ pipeline
     def _search_impl(self, queries, state, k: int, k_pre: int, leaves: int,
                      crowding_limit=(), full_scan: bool = False,

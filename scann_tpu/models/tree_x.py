@@ -2,10 +2,21 @@
 
 TPU-native equivalent of the reference's TreeXHybridSMMD with brute-force /
 scalar-quantized / bf16 leaves (scann/tree_x_hybrid/tree_x_hybrid_smmd.h:51-130,
-leaf builders in base/internal/tree_x_hybrid_factory.cc:416-520).  The same
-dense-scan-with-mask design as tree-AH: database rows live leaf-sorted; each
-chunk is scored for the full query batch on the MXU and masked by per-query
-leaf selection, with a running global top-k merge.
+leaf builders in base/internal/tree_x_hybrid_factory.cc:416-520).  Two
+scoring paths:
+
+  * int8 leaves with a partitioner ride the PRUNED exact path
+    (ops/pruned_sq.py): residual per-row int8 rows stored tile-major per
+    leaf, scored exactly on the MXU for only the selected leaves — the
+    TPU-first winner over tree-AH + reorder (exact scores need no rescore
+    pass, see ops/pruned_sq.py header).  Index memory ~d+8 B/vector.
+    Deviation from the reference's SQ leaves (global per-dimension
+    multipliers over raw vectors, scalar_quantization_helpers.h:52-64):
+    residual per-row scales are several times finer on clustered data.
+  * everything else (float32/bf16 leaves, L2-int8 without a partitioner,
+    pathological layouts) uses the dense scan-with-mask design shared with
+    tree-AH: leaf-sorted rows scored chunk-by-chunk for the full batch and
+    masked by per-query leaf selection.
 """
 
 from __future__ import annotations
@@ -21,6 +32,7 @@ from scann_tpu.ops import topk as topk_ops
 from scann_tpu.partitioning import kmeans_tree
 
 _SCORE_CHUNK = 65536
+_ENCODE_CHUNK = 131072
 
 
 def _round_up(x: int, m: int) -> int:
@@ -38,6 +50,7 @@ class TreeXSearcher(base.Searcher):
             scann_config.distance_measure)
         bf = scann_config.brute_force or cfg.BruteForceConfig()
         self.quantize_mode = bf.quantize
+        self._sq_mode = False
         self._build(database)
 
     def _build(self, database: np.ndarray):
@@ -50,9 +63,42 @@ class TreeXSearcher(base.Searcher):
         self.partitioner = kmeans_tree.KMeansTreePartitioner.train(
             x_dev, self.part_cfg, self.measure, self.config.seed)
         tokens = np.asarray(self.partitioner.tokenize_database(x_dev))
+        if self.quantize_mode == cfg.INT8 and self.partitioner.num_leaves > 1:
+            # Max-size bound per partition for the pruned exact path (the
+            # kernel's per-leaf tile budget is MAX_NTILES): oversized
+            # partitions split via batched device 2-means, one global
+            # refinement pass, one more split round (same time-boxed
+            # discipline as tree-AH).
+            from scann_tpu.ops import pruned_scan
+            nl = self.part_cfg.num_leaves
+            hard_cap = pruned_scan.MAX_NTILES * pruned_scan.TILE
+            cap = int(min(hard_cap,
+                          max(2.0 * n / max(nl, 1), pruned_scan.TILE)))
+            centers_np = np.asarray(self.partitioner.centers)
+            tokens, grown = kmeans_tree.split_oversized(
+                x_dev, tokens, centers_np, cap)
+            if grown.shape[0] != centers_np.shape[0]:
+                centers_np = grown
+                self._register_centers(centers_np)
+                tokens = np.asarray(self.partitioner.tokenize_database(x_dev))
+                tokens, grown = kmeans_tree.split_oversized(
+                    x_dev, tokens, centers_np, cap)
+                if grown.shape[0] != centers_np.shape[0]:
+                    centers_np = grown
+                    self._register_centers(centers_np)
+            counts = np.bincount(tokens, minlength=centers_np.shape[0])
+            if counts.max() > hard_cap:
+                tokens = kmeans_tree.cap_partition_sizes(
+                    database, tokens, centers_np, hard_cap)
         self._finish_deferred_reorder(x_dev, tokens)
-        self._build_x_dev = None
         self.datapoint_to_token = tokens[:, None]
+
+        if (self.quantize_mode == cfg.INT8
+                and self.partitioner.num_leaves > 1
+                and self._build_sq(x_dev, tokens)):
+            self._build_x_dev = None
+            return
+        self._build_x_dev = None
 
         order = np.argsort(tokens, kind="stable")
         rows = database[order]
@@ -70,6 +116,84 @@ class TreeXSearcher(base.Searcher):
             dpid = np.pad(dpid, (0, pad), constant_values=-1)
 
         self._set_leaf_data(rows, leaf, dpid)
+
+    # ------------------------------------------- residual int8 (tile-major)
+    def _build_sq(self, x_dev, tokens) -> bool:
+        """Tile-major residual per-row int8 leaves (the pruned exact path,
+        ops/pruned_sq.py).  Returns False when the layout cannot be built
+        (a leaf outgrew the kernel's tile budget) — callers fall back to
+        the dense global-int8 layout."""
+        from scann_tpu.ops import fused_scan
+        from scann_tpu.ops import pruned_scan
+
+        num_leaves = self.partitioner.num_leaves
+        order, tile_start, ntiles, num_tiles = pruned_scan.build_layout_host(
+            tokens.astype(np.int64), num_leaves, seed=self.config.seed)
+        if int(ntiles.max()) > pruned_scan.MAX_NTILES:
+            return False
+        # Pad the tile count so the dense fallback scan's chunk divides the
+        # slot count; the extra tiles sit past every leaf's range, so the
+        # pruned plan never touches them and dpid=-1 masks the dense scan.
+        chunk_tiles = min(_SCORE_CHUNK // pruned_scan.TILE,
+                          _round_up(num_tiles, 8))
+        total_tiles = _round_up(num_tiles, chunk_tiles)
+        s_pad = total_tiles * pruned_scan.TILE
+        src = np.full((s_pad,), -1, np.int64)
+        src[:order.shape[0]] = order
+        leaf = np.where(src >= 0, tokens[np.maximum(src, 0)], 0
+                        ).astype(np.int32)
+        dpid = np.where(src >= 0, src, -1).astype(np.int32)
+
+        d = self.dims if self.projector is None else self.projector.out_dims
+        d_pad = _round_up(d, 8)
+        l2 = self.measure == cfg.SQUARED_L2
+
+        def enc(src_c, lf_c, x, c):
+            xs = jnp.take(x, jnp.maximum(src_c, 0), axis=0)
+            crows = jnp.take(c, lf_c, axis=0)
+            delta = jnp.where((src_c >= 0)[:, None], xs - crows, 0.0)
+            q8, scale = base._row_quantize(delta)
+            deq = q8.astype(jnp.float32) * scale[:, None] + crows
+            sq = jnp.sum(deq * deq, axis=-1)
+            if d_pad > d:
+                q8 = jnp.pad(q8, ((0, 0), (0, d_pad - d)))
+            return q8, scale, sq
+
+        fn = jax.jit(enc)
+        rows_c, scale_c, sq_c = [], [], []
+        for s0 in range(0, s_pad, _ENCODE_CHUNK):
+            q8, sc, sq = fn(jnp.asarray(src[s0:s0 + _ENCODE_CHUNK]),
+                            jnp.asarray(leaf[s0:s0 + _ENCODE_CHUNK]),
+                            x_dev, self.partitioner.centers)
+            rows_c.append(q8)
+            scale_c.append(sc)
+            sq_c.append(sq)
+        rows = jnp.concatenate(rows_c, axis=0)
+        scale = jnp.concatenate(scale_c, axis=0)
+        sq = jnp.concatenate(sq_c, axis=0)
+        dpid_dev = jnp.asarray(dpid)
+        bias = jnp.where(dpid_dev >= 0,
+                         -sq if l2 else jnp.zeros_like(sq),
+                         fused_scan._PAD_PENALTY)
+        self.slot_rows = rows.reshape(total_tiles, pruned_scan.TILE, d_pad)
+        self.slot_scale = scale.reshape(total_tiles, pruned_scan.TILE)
+        self._bias2 = bias.reshape(total_tiles, pruned_scan.TILE)
+        self._sq_norms = sq if l2 else None
+        self._inv_mult = None
+        self.slot_leaf = jnp.asarray(leaf)
+        self.slot_dpid = dpid_dev
+        self._p_tile_start = jnp.asarray(tile_start)
+        self._p_ntiles = jnp.asarray(ntiles)
+        self._p_max_ntiles = int(ntiles.max())
+        self._p_num_tiles = num_tiles
+        self._num_slots = int((dpid >= 0).sum())
+        self._chunk = chunk_tiles * pruned_scan.TILE
+        self._sq_mode = True
+        return True
+
+    @property
+    def _pruned_available(self) -> bool:
+        return self._sq_mode
 
     def _set_leaf_data(self, rows, leaf, dpid):
         from scann_tpu.utils import transfer
@@ -97,17 +221,32 @@ class TreeXSearcher(base.Searcher):
         return self.part_cfg.num_leaves_to_search
 
     def _extra_state(self):
-        return {"tx_rows": self.slot_rows, "tx_leaf": self.slot_leaf,
-                "tx_dpid": self.slot_dpid, "tx_inv_mult": self._inv_mult,
-                "tx_sq_norms": self._sq_norms,
-                "tx_centers": self.partitioner.centers,
-                "tx_centers_int8": self.partitioner.centers_int8,
-                "tx_centers_inv_mult": self.partitioner.centers_inv_mult,
-                "tx_upper_centers": self.partitioner.upper_centers,
-                "tx_upper_assign": self.partitioner.upper_assign}
+        st = {"tx_rows": self.slot_rows, "tx_leaf": self.slot_leaf,
+              "tx_dpid": self.slot_dpid, "tx_inv_mult": self._inv_mult,
+              "tx_sq_norms": self._sq_norms,
+              "tx_centers": self.partitioner.centers,
+              "tx_centers_int8": self.partitioner.centers_int8,
+              "tx_centers_inv_mult": self.partitioner.centers_inv_mult,
+              "tx_upper_centers": self.partitioner.upper_centers,
+              "tx_upper_assign": self.partitioner.upper_assign}
+        if self._sq_mode:
+            st["tx_scale"] = self.slot_scale
+            st["tx_bias2"] = self._bias2
+            st["tx_tile_start"] = self._p_tile_start
+            st["tx_ntiles"] = self._p_ntiles
+        return st
 
     def _select_candidates(self, queries, state, k_pre: int, leaves: int,
                            full_scan: bool = False):
+        if (self._sq_mode and not full_scan
+                and leaves < self.partitioner.num_leaves):
+            from scann_tpu.ops import pruned_scan
+            _, w_pad = pruned_scan.plan_capacities(
+                queries.shape[0], min(leaves, self.partitioner.num_leaves),
+                self.partitioner.num_leaves, self._p_num_tiles,
+                self._p_max_ntiles)
+            if w_pad <= pruned_scan.MAX_PLAN_WORK:
+                return self._pruned_select(queries, state, k_pre, leaves)
         nq = queries.shape[0]
         partitioner = self.partitioner._replace(
             centers=state["tx_centers"],
@@ -137,8 +276,21 @@ class TreeXSearcher(base.Searcher):
         rows = state["tx_rows"]
         inv_mult = state["tx_inv_mult"]
         sq_norms = state["tx_sq_norms"]
+        sq_res = self._sq_mode  # residual int8 rows (dense fallback path)
         q_sq = jnp.sum(queries * queries, axis=-1)
-        if inv_mult is not None:
+        if sq_res:
+            d_pad = rows.shape[-1]
+            rows = rows.reshape(-1, d_pad)
+            scale_flat = state["tx_scale"].reshape(-1)
+            pad = d_pad - queries.shape[1]
+            q = (jnp.pad(queries, ((0, 0), (0, pad))) if pad
+                 else queries).astype(jnp.bfloat16)
+            # Exact f32 q.c per leaf, added back per slot via its leaf id.
+            q_c = jax.lax.dot_general(
+                queries, state["tx_centers"],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (nq, num_leaves)
+        elif inv_mult is not None:
             q = queries * inv_mult[None, :]
         elif rows.dtype == jnp.bfloat16:
             q = queries.astype(jnp.bfloat16)
@@ -157,17 +309,32 @@ class TreeXSearcher(base.Searcher):
                                                   chunk)
             dpid_c = jax.lax.dynamic_slice_in_dim(state["tx_dpid"], start,
                                                   chunk)
-            dots = jax.lax.dot_general(
-                q, rows_c, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if self.measure == cfg.DOT_PRODUCT:
-                sim = dots
+            if sq_res:
+                dots = jax.lax.dot_general(
+                    q, rows_c.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                sc = jax.lax.dynamic_slice_in_dim(scale_flat, start, chunk)
+                qx = (dots * sc[None, :]
+                      + jnp.take(q_c, leaf_c, axis=1))   # q . x_hat
+                if self.measure == cfg.DOT_PRODUCT:
+                    sim = qx
+                else:
+                    norms_c = jax.lax.dynamic_slice_in_dim(sq_norms, start,
+                                                           chunk)
+                    sim = 2.0 * qx - norms_c[None, :] - q_sq[:, None]
             else:
-                norms_c = (jax.lax.dynamic_slice_in_dim(sq_norms, start,
-                                                        chunk)
-                           if sq_norms is not None
-                           else jnp.sum(rows_c * rows_c, axis=-1))
-                sim = -(q_sq[:, None] - 2.0 * dots + norms_c[None, :])
+                dots = jax.lax.dot_general(
+                    q, rows_c, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if self.measure == cfg.DOT_PRODUCT:
+                    sim = dots
+                else:
+                    norms_c = (jax.lax.dynamic_slice_in_dim(
+                        sq_norms, start, chunk)
+                        if sq_norms is not None
+                        else jnp.sum(rows_c * rows_c, axis=-1))
+                    sim = -(q_sq[:, None] - 2.0 * dots + norms_c[None, :])
             valid = jnp.logical_and((dpid_c >= 0)[None, :],
                                     jnp.take(mask_dense, leaf_c, axis=1))
             if state.get("restrict") is not None:
@@ -188,3 +355,102 @@ class TreeXSearcher(base.Searcher):
                           jnp.take(state["tx_dpid"],
                                    jnp.maximum(slots, 0)), -1)
         return vals, dpids
+
+    def _pruned_select(self, queries, state, k_pre: int, leaves: int):
+        """Leaf-gathered EXACT selection over residual int8 rows
+        (ops/pruned_sq.py): cost O(B * leaves * avg_leaf) like the tree-AH
+        pruned path, but scores are exact — no reordering pass follows."""
+        from scann_tpu.ops import pruned_scan
+        from scann_tpu.ops import pruned_sq
+        partitioner = self.partitioner._replace(
+            centers=state["tx_centers"],
+            centers_int8=state["tx_centers_int8"],
+            centers_inv_mult=state["tx_centers_inv_mult"],
+            upper_centers=state["tx_upper_centers"],
+            upper_assign=state["tx_upper_assign"])
+        num_leaves = partitioner.num_leaves
+        leaves = max(1, min(leaves, num_leaves))
+        nq = queries.shape[0]
+        if state.get("pre_tokenized") is not None:
+            pt = state["pre_tokenized"]
+            leaf_ids = jnp.maximum(pt, 0)
+            valid_sel = pt >= 0
+        else:
+            leaf_ids, c_sims = partitioner.tokenize_queries(queries, leaves)
+            valid_sel = jnp.ones((nq, leaves), bool)
+            if state.get("leaves_dynamic") is not None:
+                col = jax.lax.broadcasted_iota(jnp.int32, (nq, leaves), 1)
+                valid_sel = col < state["leaves_dynamic"]
+            if partitioner.query_spilling_type != "fixed_number":
+                valid_sel = jnp.logical_and(
+                    valid_sel, partitioner.spilling_mask(c_sims))
+        # Exact f32 q.c_leaf joins per (query, leaf) at merge time
+        # (independent of the tokenizer's ranking scores, so int8/upper
+        # tokenization never perturbs the returned distances).
+        c_sel = jnp.take(state["tx_centers"], leaf_ids, axis=0)
+        pair_bias = jnp.einsum("nd,nld->nl", queries, c_sel,
+                               precision=jax.lax.Precision.HIGHEST)
+        l2 = self.measure == cfg.SQUARED_L2
+        if l2:
+            pair_bias = 2.0 * pair_bias
+
+        d_pad = state["tx_rows"].shape[-1]
+        pad = d_pad - queries.shape[1]
+        q_bf = (jnp.pad(queries, ((0, 0), (0, pad))) if pad
+                else queries).astype(jnp.bfloat16)
+
+        merge_hot = pruned_scan.HOT_LEAVES
+        if nq * leaves <= pruned_scan.QG:
+            plan = pruned_scan.invert_small(
+                leaf_ids, valid_sel, state["tx_tile_start"],
+                state["tx_ntiles"], self._p_max_ntiles)
+            merge_hot = leaves
+        else:
+            g_pad, w_pad = pruned_scan.plan_capacities(
+                nq, leaves, num_leaves, self._p_num_tiles,
+                self._p_max_ntiles)
+            plan = pruned_scan.invert(
+                leaf_ids, valid_sel, state["tx_tile_start"],
+                state["tx_ntiles"], self._p_max_ntiles, g_pad, w_pad)
+        bias2 = state["tx_bias2"]
+        if state.get("restrict") is not None:
+            # Allowlists fold into the per-slot bias plane (in-kernel exact
+            # masking, the lut16_args.h:74-95 role).
+            from scann_tpu.ops import fused_scan
+            dp = state["tx_dpid"]
+            allow = jnp.take(state["restrict"],
+                             jnp.clip(dp, 0, state["restrict"].shape[0] - 1))
+            allow = jnp.logical_and(allow, dp >= 0)
+            bias2 = bias2 + jnp.where(
+                allow.reshape(bias2.shape), 0.0, fused_scan._PAD_PENALTY)
+        qg_rows = jnp.take(q_bf, plan.qg_query, axis=0)
+        k_fetch = min(k_pre, state["tx_dpid"].shape[0])
+        # Exact scores need only enough survivors per slot group to cover
+        # the final k (no reorder overretrieve): small kpg cuts both the
+        # selection passes and the merge gather volume.  kpg=4 holds the
+        # within-group collision loss under ~1e-3 at k=10 (a loss needs
+        # 5+ of a query's top-k randomly permuted into one SUBP group);
+        # kpg=2 measurably drops triples (~1.4% disagreement vs dense).
+        kpg = 4 if k_fetch <= 64 else 8
+        interp = getattr(self, "_pruned_interpret", False)
+        use_pallas = jax.default_backend() == "tpu" or interp
+        if use_pallas:
+            packed = pruned_sq.score_work_pallas_sq(
+                plan, qg_rows, state["tx_rows"], state["tx_scale"], bias2,
+                measure_l2=l2, interpret=interp, kpg=kpg)
+        else:
+            packed = pruned_sq.score_work_xla_sq(
+                plan, qg_rows, state["tx_rows"], state["tx_scale"], bias2,
+                measure_l2=l2, kpg=kpg)
+        cand_vals, cand_slots = pruned_scan.merge_candidates(
+            plan, packed, leaf_ids, valid_sel, state["tx_tile_start"],
+            state["tx_ntiles"], self._p_max_ntiles, k_fetch,
+            pair_bias=pair_bias, hot=merge_hot)
+        dpids = jnp.where(cand_slots >= 0,
+                          jnp.take(state["tx_dpid"],
+                                   jnp.maximum(cand_slots, 0)), -1)
+        if l2:
+            # Restore the rank-invariant -||q||^2 (true squared distances).
+            cand_vals = cand_vals - jnp.sum(queries * queries,
+                                            axis=-1)[:, None]
+        return cand_vals, dpids

@@ -103,9 +103,9 @@ def _kernel(work_tile_ref, work_active_ref, qg_rows_ref, codes_ref,
             scores = scale * scores - sq
         scores = scores + bias_ref[0]                  # pad penalty
         grouped = scores.reshape(ps.GP, ps.SUBP, ps.QG)
-        v, a = ps._group_top(grouped, axis=1, cat_axis=0, kpg=kpg)
-        out_ref[...] = jnp.transpose(
-            ps._pack(v, a, w % mnt), (1, 0)).reshape(1, ps.QG, -1)
+        packed = ps._group_top_packed(grouped, w % mnt, axis=1,
+                                      cat_axis=0, kpg=kpg)
+        out_ref[...] = jnp.transpose(packed, (1, 0)).reshape(1, ps.QG, -1)
 
 
 def score_work_pallas_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
@@ -217,11 +217,9 @@ def _lane_maps(b_pad: int):
 
 
 def _lut_kernel(work_tile_ref, work_active_ref, qg_t_ref, codes_ref,
-                cb_ref, csq_ref, bias_ref, out_ref, lut_ref, inv_ref, *,
-                scale, mnt, kpg, b_pad):
+                cb_ref, csq_ref, shift_ref, targ_ref, bias_ref, out_ref,
+                lut_ref, inv_ref, *, scale, mnt, kpg, b_pad):
     w = pl.program_id(0)
-    b2 = b_pad // 2
-    wdim = b_pad * 16
 
     @pl.when(jnp.logical_and(work_active_ref[w] == 1, w % mnt == 0))
     def _build_lut():
@@ -242,18 +240,21 @@ def _lut_kernel(work_tile_ref, work_active_ref, qg_t_ref, codes_ref,
     def _score():
         codes = codes_ref[0].astype(jnp.int32)          # (TILE, b2)
         rep = pltpu.repeat(codes, 32, axis=1)           # (TILE, W)
-        copy = jax.lax.broadcasted_iota(jnp.int32, (ps.TILE, wdim), 1) // b2
-        nib = (rep >> ((copy % 2) * 4)) & 15
-        oh = (nib == (copy // 2)).astype(jnp.int8)
+        # Nibble-select and one-hot against PRECOMPUTED lane planes
+        # (shift = 4*(copy%2), target = copy//2) instead of deriving them
+        # from a broadcasted iota each step — 5 VPU passes over the
+        # (TILE, W) plane instead of ~9.
+        nib = (rep >> shift_ref[0]) & 15
+        oh = (nib == targ_ref[0]).astype(jnp.int8)
         acc = jax.lax.dot_general(
             oh, lut_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)            # (TILE, QG)
         scores = acc.astype(jnp.float32) * inv_ref[:] + bias_ref[0]
         grouped = scores.reshape(ps.GP, ps.SUBP, ps.QG)
-        v, a = ps._group_top(grouped, axis=1, cat_axis=0, kpg=kpg)
-        out_ref[...] = jnp.transpose(
-            ps._pack(v, a, w % mnt), (1, 0)).reshape(1, ps.QG, -1)
+        packed = ps._group_top_packed(grouped, w % mnt, axis=1,
+                                      cat_axis=0, kpg=kpg)
+        out_ref[...] = jnp.transpose(packed, (1, 0)).reshape(1, ps.QG, -1)
 
 
 def _centered_cb(cb_mat, mean, dims_per_block: int):
@@ -294,6 +295,11 @@ def score_work_pallas_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
     perm = jnp.asarray(_lane_maps(b_pad))
     cb_k = jnp.take(cb_c, perm, axis=0).astype(jnp.bfloat16)[None]
     csq_k = jnp.take(csq, perm, axis=0)[None]  # (1, W, 1)
+    import numpy as np
+    b2 = b_pad // 2
+    copy = np.arange(wdim, dtype=np.int32) // b2
+    shift_k = jnp.asarray(((copy % 2) * 4)[None, :])   # (1, W)
+    targ_k = jnp.asarray((copy // 2)[None, :])          # (1, W)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(w_pad,),
@@ -303,6 +309,8 @@ def score_work_pallas_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
                          lambda w, wt, wa: (wt[w], 0, 0)),
             pl.BlockSpec((1, wdim, d), lambda w, wt, wa: (0, 0, 0)),
             pl.BlockSpec((1, wdim, 1), lambda w, wt, wa: (0, 0, 0)),
+            pl.BlockSpec((1, wdim), lambda w, wt, wa: (0, 0)),
+            pl.BlockSpec((1, wdim), lambda w, wt, wa: (0, 0)),
             pl.BlockSpec((1, ps.TILE, 1), lambda w, wt, wa: (wt[w], 0, 0)),
         ],
         out_specs=[
@@ -323,7 +331,8 @@ def score_work_pallas_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
                                  jnp.int32),
         ],
         interpret=interpret,
-    )(plan.work_tile, plan.work_active, qg_t, codes3p, cb_k, csq_k, bias3)
+    )(plan.work_tile, plan.work_active, qg_t, codes3p, cb_k, csq_k,
+      shift_k, targ_k, bias3)
     return packed
 
 
@@ -373,8 +382,9 @@ def score_work_xla_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
             preferred_element_type=jnp.int32)            # (C, TILE, QG)
         s = acc.astype(jnp.float32) * (m * (1.0 / 127.0)) + b[:, :, None]
         g = s.reshape(s.shape[0], ps.GP, ps.SUBP, ps.QG)
-        v, a = ps._group_top(g, axis=2, cat_axis=1, kpg=kpg)
-        return jnp.transpose(ps._pack(v, a, wi_c[:, None, None]), (0, 2, 1))
+        packed = ps._group_top_packed(g, wi_c[:, None, None, None],
+                                      axis=2, cat_axis=1, kpg=kpg)
+        return jnp.transpose(packed, (0, 2, 1))
 
     n_chunks = (w_pad + pad) // _XLA_WORK_CHUNK
     packed = jax.lax.map(
@@ -420,8 +430,9 @@ def score_work_xla_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
             s = scale * s - jnp.sum(recon * recon, axis=-1, keepdims=True)
         s = s + b[:, :, None]
         g = s.reshape(s.shape[0], ps.GP, ps.SUBP, ps.QG)
-        v, a = ps._group_top(g, axis=2, cat_axis=1, kpg=kpg)
-        return jnp.transpose(ps._pack(v, a, wi_c[:, None, None]), (0, 2, 1))
+        packed = ps._group_top_packed(g, wi_c[:, None, None, None],
+                                      axis=2, cat_axis=1, kpg=kpg)
+        return jnp.transpose(packed, (0, 2, 1))
 
     n_chunks = (w_pad + pad) // _XLA_WORK_CHUNK
     packed = jax.lax.map(

@@ -308,13 +308,13 @@ def _kernel(work_tile_ref, work_active_ref,
             preferred_element_type=jnp.float32)
         scores = scale * scores + bias_ref[0]  # bias block (TILE, 1)
         grouped = scores.reshape(GP, SUBP, QG)
-        v, a = _group_top(grouped, axis=1, cat_axis=0, kpg=kpg)
+        packed = _group_top_packed(grouped, w % mnt, axis=1, cat_axis=0,
+                                   kpg=kpg)
         # Output lands at (group, query-row, tile*KGP) so one PAIR's
         # candidates across all its tiles are one contiguous
         # (mnt * KGP)-wide slice — the merge gather cost is slice-count
         # bound on TPU, and this layout cuts the slice count mnt-fold.
-        out_ref[...] = jnp.transpose(
-            _pack(v, a, w % mnt), (1, 0)).reshape(1, QG, -1)
+        out_ref[...] = jnp.transpose(packed, (1, 0)).reshape(1, QG, -1)
 
 
 def _group_top(grouped, axis: int, cat_axis: int, kpg: int = KPG):
@@ -331,6 +331,35 @@ def _group_top(grouped, axis: int, cat_axis: int, kpg: int = KPG):
                             -jnp.inf, grouped)
     return (jnp.concatenate(vs, axis=cat_axis),
             jnp.concatenate(as_, axis=cat_axis))
+
+
+def _group_top_packed(grouped, t, axis: int, cat_axis: int,
+                      kpg: int = KPG):
+    """Top-kpg PACKED survivors per SUBP group (the kernels' hot
+    selection).  Each slot's identity (tile-within-leaf ``t``, sublane
+    within its group) is embedded into its score's low mantissa bits
+    BEFORE the selection passes, so every pass is a pure max + equality
+    mask — no argmax (which lowers to ~4 extra VPU passes) and no iota
+    compare.  The embedded bits also make all values within a group
+    distinct, so the equality mask eliminates exactly one slot per pass.
+    The <= 2^-15 relative perturbation now also orders near-ties WITHIN a
+    group (previously only across tiles) — invisible at candidate
+    granularity, and exact reordering replaces the values anyway.
+    Returns int32-packed survivors stacked on the group axis,
+    bit-compatible with _pack/_unpack."""
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, grouped.shape, axis)
+    bits = jax.lax.bitcast_convert_type(grouped, jnp.int32)
+    ident = jnp.bitwise_or(jnp.left_shift(t, _IDX_BITS), sub_iota)
+    pv = jax.lax.bitcast_convert_type(
+        jnp.bitwise_or(jnp.bitwise_and(bits, ~_ID_MASK), ident),
+        jnp.float32)
+    outs = []
+    for _ in range(kpg):
+        m = jnp.max(pv, axis=axis)
+        outs.append(m)
+        pv = jnp.where(pv == jnp.expand_dims(m, axis), -jnp.inf, pv)
+    return jax.lax.bitcast_convert_type(
+        jnp.concatenate(outs, axis=cat_axis), jnp.int32)
 
 
 def score_work_pallas(plan: WorkPlan, qg_rows, rows3, bias2, *,
@@ -400,8 +429,9 @@ def score_work_xla(plan: WorkPlan, qg_rows, rows3, bias2, *,
             preferred_element_type=jnp.float32)  # (C, TILE, QG)
         s = scale * s + b[:, :, None]
         g = s.reshape(s.shape[0], GP, SUBP, QG)
-        v, a = _group_top(g, axis=2, cat_axis=1, kpg=kpg)
-        return jnp.transpose(_pack(v, a, wi_c[:, None, None]), (0, 2, 1))
+        packed = _group_top_packed(g, wi_c[:, None, None, None], axis=2,
+                                   cat_axis=1, kpg=kpg)
+        return jnp.transpose(packed, (0, 2, 1))
 
     n_chunks = (w_pad + pad) // _XLA_WORK_CHUNK
     packed = jax.lax.map(
@@ -489,7 +519,13 @@ def merge_candidates(plan: WorkPlan, packed, sel, valid_sel, tile_start,
         cand_vals = jnp.concatenate([cand_vals, v2], axis=-1)
         slots = jnp.concatenate([slots, s2], axis=-1)
     k = min(k_fetch, cand_vals.shape[-1])
-    if cand_vals.shape[-1] > 4 * k and cand_vals.shape[-1] >= 1024:
+    if (k >= 32 and cand_vals.shape[-1] > 4 * k
+            and cand_vals.shape[-1] >= 1024):
+        # Approximate final top-k only on reorder-bound paths (k here is a
+        # pre-reorder candidate budget and exact rescoring absorbs the
+        # ~3% loss).  With EXACT leaf scores (tree-SQ, k = final k) an
+        # approx pass would hit recall@k directly — measured 1.3pt at
+        # glove scale the moment the candidate width crossed 1024.
         top_vals, pos = jax.lax.approx_max_k(cand_vals, k,
                                              recall_target=0.97)
     else:

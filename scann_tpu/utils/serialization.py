@@ -131,6 +131,15 @@ def collect_assets(searcher):
         put("datapoint_to_token", jnp.asarray(searcher.datapoint_to_token))
         meta["num_slots"] = searcher._num_slots
         meta["chunk"] = searcher._chunk
+        if getattr(searcher, "_sq_mode", False):
+            # Residual int8 tile-major leaves (pruned exact path).
+            meta["tx_mode"] = "residual_int8"
+            meta["max_ntiles"] = searcher._p_max_ntiles
+            meta["num_tiles"] = searcher._p_num_tiles
+            put("tx_scale", searcher.slot_scale)
+            put("tx_bias2", searcher._bias2)
+            put("tx_tile_start", searcher._p_tile_start)
+            put("tx_ntiles", searcher._p_ntiles)
         put("centers", searcher.partitioner.centers)
         put("centers_int8", searcher.partitioner.centers_int8)
         put("centers_inv_mult", searcher.partitioner.centers_inv_mult)
@@ -290,6 +299,14 @@ def _restore_searcher(blob: dict, arrays: dict, docids):
         s._sq_norms = arrays.get("tx_sq_norms")
         s._num_slots = meta["num_slots"]
         s._chunk = meta["chunk"]
+        s._sq_mode = meta.get("tx_mode") == "residual_int8"
+        if s._sq_mode:
+            s.slot_scale = arrays["tx_scale"]
+            s._bias2 = arrays["tx_bias2"]
+            s._p_tile_start = arrays["tx_tile_start"]
+            s._p_ntiles = arrays["tx_ntiles"]
+            s._p_max_ntiles = meta["max_ntiles"]
+            s._p_num_tiles = meta["num_tiles"]
         s.datapoint_to_token = np.asarray(arrays["datapoint_to_token"])
         s.partitioner = _load_partitioner(arrays, scann_config, meta)
         if (s.reorder_helper is not None
