@@ -33,6 +33,13 @@ from scann_tpu.partitioning import kmeans_tree
 
 _SCORE_CHUNK = 65536
 _ENCODE_CHUNK = 131072
+# Leaf-tile size for the pruned exact layout: leaves pad to a multiple of
+# this.  Smaller than pruned_scan.TILE (512) because tree-SQ leaf counts
+# put average leaf sizes near ~n/num_leaves ~ 500: at 512 the average
+# leaf wastes ~half its padded slots (kernel work AND index bytes); at
+# 256 the waste drops to ~25% while (256, d) x (d, 128) still fills the
+# MXU.
+_SQ_TILE = 256
 
 
 def _round_up(x: int, m: int) -> int:
@@ -71,9 +78,9 @@ class TreeXSearcher(base.Searcher):
             # discipline as tree-AH).
             from scann_tpu.ops import pruned_scan
             nl = self.part_cfg.num_leaves
-            hard_cap = pruned_scan.MAX_NTILES * pruned_scan.TILE
+            hard_cap = pruned_scan.MAX_NTILES * _SQ_TILE
             cap = int(min(hard_cap,
-                          max(2.0 * n / max(nl, 1), pruned_scan.TILE)))
+                          max(2.0 * n / max(nl, 1), _SQ_TILE)))
             centers_np = np.asarray(self.partitioner.centers)
             tokens, grown = kmeans_tree.split_oversized(
                 x_dev, tokens, centers_np, cap)
@@ -128,16 +135,17 @@ class TreeXSearcher(base.Searcher):
 
         num_leaves = self.partitioner.num_leaves
         order, tile_start, ntiles, num_tiles = pruned_scan.build_layout_host(
-            tokens.astype(np.int64), num_leaves, seed=self.config.seed)
+            tokens.astype(np.int64), num_leaves, seed=self.config.seed,
+            tile=_SQ_TILE)
         if int(ntiles.max()) > pruned_scan.MAX_NTILES:
             return False
         # Pad the tile count so the dense fallback scan's chunk divides the
         # slot count; the extra tiles sit past every leaf's range, so the
         # pruned plan never touches them and dpid=-1 masks the dense scan.
-        chunk_tiles = min(_SCORE_CHUNK // pruned_scan.TILE,
+        chunk_tiles = min(_SCORE_CHUNK // _SQ_TILE,
                           _round_up(num_tiles, 8))
         total_tiles = _round_up(num_tiles, chunk_tiles)
-        s_pad = total_tiles * pruned_scan.TILE
+        s_pad = total_tiles * _SQ_TILE
         src = np.full((s_pad,), -1, np.int64)
         src[:order.shape[0]] = order
         leaf = np.where(src >= 0, tokens[np.maximum(src, 0)], 0
@@ -175,9 +183,9 @@ class TreeXSearcher(base.Searcher):
         bias = jnp.where(dpid_dev >= 0,
                          -sq if l2 else jnp.zeros_like(sq),
                          fused_scan._PAD_PENALTY)
-        self.slot_rows = rows.reshape(total_tiles, pruned_scan.TILE, d_pad)
-        self.slot_scale = scale.reshape(total_tiles, pruned_scan.TILE)
-        self._bias2 = bias.reshape(total_tiles, pruned_scan.TILE)
+        self.slot_rows = rows.reshape(total_tiles, _SQ_TILE, d_pad)
+        self.slot_scale = scale.reshape(total_tiles, _SQ_TILE)
+        self._bias2 = bias.reshape(total_tiles, _SQ_TILE)
         self._sq_norms = sq if l2 else None
         self._inv_mult = None
         self.slot_leaf = jnp.asarray(leaf)
@@ -187,7 +195,7 @@ class TreeXSearcher(base.Searcher):
         self._p_max_ntiles = int(ntiles.max())
         self._p_num_tiles = num_tiles
         self._num_slots = int((dpid >= 0).sum())
-        self._chunk = chunk_tiles * pruned_scan.TILE
+        self._chunk = chunk_tiles * _SQ_TILE
         self._sq_mode = True
         return True
 
@@ -445,7 +453,8 @@ class TreeXSearcher(base.Searcher):
         cand_vals, cand_slots = pruned_scan.merge_candidates(
             plan, packed, leaf_ids, valid_sel, state["tx_tile_start"],
             state["tx_ntiles"], self._p_max_ntiles, k_fetch,
-            pair_bias=pair_bias, hot=merge_hot)
+            pair_bias=pair_bias, hot=merge_hot,
+            tile=state["tx_rows"].shape[1])
         dpids = jnp.where(cand_slots >= 0,
                           jnp.take(state["tx_dpid"],
                                    jnp.maximum(cand_slots, 0)), -1)

@@ -454,7 +454,8 @@ HOT_LEAVES = 8  # leaves (per query, by tokenization rank) gathered at full
 
 def merge_candidates(plan: WorkPlan, packed, sel, valid_sel, tile_start,
                      ntiles, max_ntiles: int, k_fetch: int,
-                     pair_bias=None, hot: int = HOT_LEAVES):
+                     pair_bias=None, hot: int = HOT_LEAVES,
+                     tile: int = TILE):
     """Assemble per-query candidates from packed work outputs, take top-k.
 
     packed: (G_pad, QG, mnt*KPG*GP) int32 packed scores (see _pack) —
@@ -474,14 +475,15 @@ def merge_candidates(plan: WorkPlan, packed, sel, valid_sel, tile_start,
     b, l = sel.shape
     g_pad = plan.qg_query.shape[0]
     kgp = packed.shape[-1] // max_ntiles
+    gp = tile // SUBP
     hot = min(hot, l)
     t_iota = jnp.arange(max_ntiles, dtype=jnp.int32)
 
     def finish(vals, arg, t, sel_s, cols):
         tile0 = jnp.take(tile_start, sel_s)[:, :, None, None]
         slots = (tile0 + t[..., None] if t.ndim < arg.ndim else tile0 + t)
-        slots = slots * TILE \
-            + (jnp.arange(arg.shape[-1], dtype=jnp.int32) % GP) * SUBP + arg
+        slots = slots * tile \
+            + (jnp.arange(arg.shape[-1], dtype=jnp.int32) % gp) * SUBP + arg
         if pair_bias is not None:
             vals = vals + pair_bias[:, cols][:, :, None, None]
         return vals.reshape(b, -1), slots.reshape(b, -1)
@@ -502,7 +504,7 @@ def merge_candidates(plan: WorkPlan, packed, sel, valid_sel, tile_start,
     if hot < l:
         # Cold stratum: collapse tiles by float max (no gather), then one
         # GP-slice per pair.
-        cold = packed.reshape(g_pad, QG, max_ntiles, kgp)[..., :GP]
+        cold = packed.reshape(g_pad, QG, max_ntiles, kgp)[..., :gp]
         cold_f = jax.lax.bitcast_convert_type(cold, jnp.float32)
         act = plan.work_active.reshape(g_pad, max_ntiles)
         cold_f = jnp.where(act[:, None, :, None] == 1, cold_f, -jnp.inf)
@@ -536,30 +538,33 @@ def merge_candidates(plan: WorkPlan, packed, sel, valid_sel, tile_start,
     return top_vals, top_slots
 
 
-def build_layout_host(leaf: np.ndarray, num_leaves: int, seed: int = 0):
+def build_layout_host(leaf: np.ndarray, num_leaves: int, seed: int = 0,
+                      tile: int = TILE):
     """Host-side tile-major layout: returns (order, tile_start, ntiles,
     num_tiles, slot_of_order) where ``order`` lists source slot indices in
     tile-major order with -1 for intra-leaf padding.
 
     leaf: (S,) int32 leaf id per source slot (only live slots).  Slots are
     grouped by leaf, randomly permuted within the leaf (the group-max
-    collision contract), and each leaf padded to a multiple of TILE.
+    collision contract), and each leaf padded to a multiple of ``tile``
+    (smaller tiles waste fewer padded slots per leaf — the exact-int8
+    engine uses 256 where avg leaves run ~500 rows).
     """
     rng = np.random.default_rng(seed)
     order_by_leaf = np.argsort(leaf, kind="stable")
     counts = np.bincount(leaf, minlength=num_leaves)
-    ntiles = np.maximum(1, -(-counts // TILE)).astype(np.int32)
+    ntiles = np.maximum(1, -(-counts // tile)).astype(np.int32)
     # Leaves with zero members still get one (fully padded) tile so that
     # tile indices stay valid for any selected leaf.
     tile_start = np.concatenate([[0], np.cumsum(ntiles)[:-1]]).astype(
         np.int32)
     num_tiles = int(ntiles.sum())
-    order = np.full((num_tiles * TILE,), -1, np.int64)
+    order = np.full((num_tiles * tile,), -1, np.int64)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     for lf in range(num_leaves):
         members = order_by_leaf[starts[lf]:starts[lf] + counts[lf]]
         if len(members) > 1:
             members = members[rng.permutation(len(members))]
-        base = tile_start[lf] * TILE
+        base = tile_start[lf] * tile
         order[base:base + len(members)] = members
     return order, tile_start, ntiles, num_tiles

@@ -41,27 +41,28 @@ from scann_tpu.ops import pruned_scan as ps
 
 
 def _kernel(work_tile_ref, work_active_ref, qg_rows_ref, rows_ref,
-            scale_ref, bias_ref, out_ref, *, smult, mnt, kpg):
+            scale_ref, bias_ref, out_ref, *, smult, mnt, kpg, tile):
     w = pl.program_id(0)
 
     @pl.when(work_active_ref[w] == 1)
     def _():
-        # int8 -> bf16 is exact for |code| <= 127; one (TILE, d) x (d, QG)
+        # int8 -> bf16 is exact for |code| <= 127; one (tile, d) x (d, QG)
         # MXU matmul replaces both the one-hot LUT expansion AND the
         # downstream exact rescore.
         rows_bf = rows_ref[0].astype(jnp.bfloat16)
         dots = jax.lax.dot_general(
             rows_bf, qg_rows_ref[0],
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (TILE, QG)
+            preferred_element_type=jnp.float32)        # (tile, QG)
         scores = dots * (scale_ref[0] * smult) + bias_ref[0]
-        grouped = scores.reshape(ps.GP, ps.SUBP, ps.QG)
+        grouped = scores.reshape(tile // ps.SUBP, ps.SUBP, ps.QG)
         packed = ps._group_top_packed(grouped, w % mnt, axis=1,
                                       cat_axis=0, kpg=kpg)
-        # Survivor-major block (kpg*GP, QG): with kpg < 8 a query-major
-        # (1, QG, kpg*GP) block would violate Mosaic's 128-divisible
-        # last-dim rule, and this also drops the per-step transpose; one
-        # XLA transpose after the kernel restores the merge layout.
+        # Survivor-major block (kpg*gp, QG): with kpg*gp < 128 a
+        # query-major (1, QG, kpg*gp) block would violate Mosaic's
+        # 128-divisible last-dim rule, and this also drops the per-step
+        # transpose; one XLA transpose after the kernel restores the
+        # merge layout.
         out_ref[...] = packed.reshape(1, -1, ps.QG)
 
 
@@ -69,26 +70,28 @@ def score_work_pallas_sq(plan, qg_rows, rows3, scale2, bias2, *,
                          measure_l2: bool, interpret: bool = False,
                          kpg: int = 4):
     """Pallas exact-int8 scorer.  qg_rows: (G_pad, QG, d) bf16 gathered
-    query groups; rows3: (num_tiles, TILE, d) int8 residual rows; scale2:
-    (num_tiles, TILE) f32 per-row dequant scales; bias2: (num_tiles, TILE)
+    query groups; rows3: (num_tiles, tile, d) int8 residual rows (tile
+    inferred from the array; 256 for the sq layout); scale2:
+    (num_tiles, tile) f32 per-row dequant scales; bias2: (num_tiles, tile)
     f32 per-slot bias (pad penalty; under L2 also -||x_hat||^2).  Returns
-    packed survivor scores (G_pad, QG, mnt*kpg*GP) int32 (contract of
+    packed survivor scores (G_pad, QG, mnt*kpg*gp) int32 (contract of
     pruned_scan._pack)."""
     w_pad = plan.work_tile.shape[0]
     g_pad = plan.qg_query.shape[0]
     mnt = w_pad // g_pad
+    tile = rows3.shape[1]
     d = rows3.shape[-1]
-    seg = kpg * ps.GP
-    scale3 = scale2.reshape(scale2.shape[0], ps.TILE, 1)
-    bias3 = bias2.reshape(bias2.shape[0], ps.TILE, 1)
+    seg = kpg * (tile // ps.SUBP)
+    scale3 = scale2.reshape(scale2.shape[0], tile, 1)
+    bias3 = bias2.reshape(bias2.shape[0], tile, 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(w_pad,),
         in_specs=[
             pl.BlockSpec((1, ps.QG, d), lambda w, wt, wa: (w // mnt, 0, 0)),
-            pl.BlockSpec((1, ps.TILE, d), lambda w, wt, wa: (wt[w], 0, 0)),
-            pl.BlockSpec((1, ps.TILE, 1), lambda w, wt, wa: (wt[w], 0, 0)),
-            pl.BlockSpec((1, ps.TILE, 1), lambda w, wt, wa: (wt[w], 0, 0)),
+            pl.BlockSpec((1, tile, d), lambda w, wt, wa: (wt[w], 0, 0)),
+            pl.BlockSpec((1, tile, 1), lambda w, wt, wa: (wt[w], 0, 0)),
+            pl.BlockSpec((1, tile, 1), lambda w, wt, wa: (wt[w], 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, seg, ps.QG),
@@ -97,7 +100,7 @@ def score_work_pallas_sq(plan, qg_rows, rows3, scale2, bias2, *,
     )
     (packed_t,) = pl.pallas_call(
         functools.partial(_kernel, smult=2.0 if measure_l2 else 1.0,
-                          mnt=mnt, kpg=kpg),
+                          mnt=mnt, kpg=kpg, tile=tile),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((g_pad, mnt * seg, ps.QG), jnp.int32),
@@ -122,17 +125,20 @@ def score_work_xla_sq(plan, qg_rows, rows3, scale2, bias2, *,
     wq = jnp.pad(plan.work_qg, (0, pad))
     wi = jnp.arange(w_pad + pad, dtype=jnp.int32) % mnt
 
+    tile = rows3.shape[1]
+    gp = tile // ps.SUBP
+
     def chunk(args):
         wt_c, wq_c, wi_c = args
         r = jnp.take(rows3, wt_c, axis=0).astype(jnp.bfloat16)
         q = jnp.take(qg_rows, wq_c, axis=0)     # (C, QG, d)
-        sc = jnp.take(scale2, wt_c, axis=0)     # (C, TILE)
+        sc = jnp.take(scale2, wt_c, axis=0)     # (C, tile)
         b = jnp.take(bias2, wt_c, axis=0)
         dots = jax.lax.dot_general(
             r, q, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (C, TILE, QG)
+            preferred_element_type=jnp.float32)  # (C, tile, QG)
         s = dots * (sc * smult)[:, :, None] + b[:, :, None]
-        g = s.reshape(s.shape[0], ps.GP, ps.SUBP, ps.QG)
+        g = s.reshape(s.shape[0], gp, ps.SUBP, ps.QG)
         packed = ps._group_top_packed(g, wi_c[:, None, None, None],
                                       axis=2, cat_axis=1, kpg=kpg)
         return jnp.transpose(packed, (0, 2, 1))
@@ -141,8 +147,8 @@ def score_work_xla_sq(plan, qg_rows, rows3, scale2, bias2, *,
     packed = jax.lax.map(
         chunk, (wt.reshape(n_chunks, -1), wq.reshape(n_chunks, -1),
                 wi.reshape(n_chunks, -1)))
-    packed = packed.reshape(-1, ps.QG, kpg * ps.GP)[:w_pad]
+    packed = packed.reshape(-1, ps.QG, kpg * gp)[:w_pad]
     g = w_pad // mnt
     return jnp.transpose(
-        packed.reshape(g, mnt, ps.QG, kpg * ps.GP),
-        (0, 2, 1, 3)).reshape(g, ps.QG, mnt * kpg * ps.GP)
+        packed.reshape(g, mnt, ps.QG, kpg * gp),
+        (0, 2, 1, 3)).reshape(g, ps.QG, mnt * kpg * gp)
