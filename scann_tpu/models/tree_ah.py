@@ -470,7 +470,9 @@ class TreeAHSearcher(base.Searcher):
                       jnp.asarray(h["dpid"][s:s + _ENCODE_CHUNK]))
             rows.append(r)
             sqs.append(q)
-        self._recon_rows = jnp.concatenate(rows, axis=0)
+        from scann_tpu.utils import transfer
+        self._recon_rows = transfer.default_layout(
+            jnp.concatenate(rows, axis=0))
         self._recon_sq = jnp.concatenate(sqs, axis=0)
         self._recon_bias = self._make_bias(self._recon_sq,
                                            jnp.asarray(h["dpid"]))
@@ -567,13 +569,16 @@ class TreeAHSearcher(base.Searcher):
                     pruned_lut._PAD_CODE).astype(np.uint8)
                 codes3 = pruned_lut.pack_codes_tiles(pad_codes, num_tiles)
             from scann_tpu.utils import transfer
-            self._p_codes = transfer.to_device(codes3, jnp.uint8)
+            self._p_codes = transfer.default_layout(
+                transfer.to_device(codes3, jnp.uint8))
             self._p_cb = jnp.asarray(pruned_lut.expand_codebook(
                 self.model.codebook, d_pad, b_pad))
             bias = np.where(dpid >= 0, 0.0,
                             fused_scan._PAD_PENALTY).astype(np.float32)
+            # Pre-shaped (n, TILE, 1): a per-call reshape of a jit argument
+            # into a trailing-1 layout copies the plane on every dispatch.
             self._p_bias = jnp.asarray(
-                bias.reshape(num_tiles, pruned_scan.TILE))
+                bias.reshape(num_tiles, pruned_scan.TILE, 1))
             mean = np.zeros((d_pad,), np.float32)
             if self._recon_mean is not None:
                 m = np.asarray(self._recon_mean)
@@ -594,8 +599,13 @@ class TreeAHSearcher(base.Searcher):
         sq = jnp.concatenate(sqs, axis=0)
         bias = self._make_bias(sq, jnp.asarray(dpid))
         d = rows.shape[1]
-        self._p_rows = rows.reshape(num_tiles, pruned_scan.TILE, d)
-        self._p_bias = bias.reshape(num_tiles, pruned_scan.TILE)
+        from scann_tpu.utils import transfer
+        # Default layout: XLA may emit the decode program's output in a
+        # transposed layout, which a pallas operand re-copies per call.
+        self._p_rows = transfer.default_layout(
+            rows.reshape(num_tiles, pruned_scan.TILE, d))
+        self._p_bias = transfer.default_layout(
+            bias.reshape(num_tiles, pruned_scan.TILE, 1))
 
     def _make_bias(self, sq, dpid):
         """Per-slot additive bias for the fused kernel: -||x||^2 under L2

@@ -183,9 +183,17 @@ class TreeXSearcher(base.Searcher):
         bias = jnp.where(dpid_dev >= 0,
                          -sq if l2 else jnp.zeros_like(sq),
                          fused_scan._PAD_PENALTY)
-        self.slot_rows = rows.reshape(total_tiles, _SQ_TILE, d_pad)
-        self.slot_scale = scale.reshape(total_tiles, _SQ_TILE)
-        self._bias2 = bias.reshape(total_tiles, _SQ_TILE)
+        # Planes stored PRE-SHAPED (n, tile, 1) and in DEFAULT layout:
+        # reshaping them per call as jit arguments — or letting XLA keep
+        # the build program's transposed output layout — copies the whole
+        # index on every search dispatch (utils/transfer.default_layout).
+        from scann_tpu.utils import transfer
+        self.slot_rows = transfer.default_layout(
+            rows.reshape(total_tiles, _SQ_TILE, d_pad))
+        self.slot_scale = transfer.default_layout(
+            scale.reshape(total_tiles, _SQ_TILE, 1))
+        self._bias2 = transfer.default_layout(
+            bias.reshape(total_tiles, _SQ_TILE, 1))
         self._sq_norms = sq if l2 else None
         self._inv_mult = None
         self.slot_leaf = jnp.asarray(leaf)
@@ -289,7 +297,7 @@ class TreeXSearcher(base.Searcher):
         if sq_res:
             d_pad = rows.shape[-1]
             rows = rows.reshape(-1, d_pad)
-            scale_flat = state["tx_scale"].reshape(-1)
+            scale_flat = state["tx_scale"].reshape(-1)  # (n, tile, 1) plane
             pad = d_pad - queries.shape[1]
             q = (jnp.pad(queries, ((0, 0), (0, pad))) if pad
                  else queries).astype(jnp.bfloat16)

@@ -122,7 +122,8 @@ def score_work_pallas_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
     mnt = w_pad // plan.qg_query.shape[0]
     b_pad = codes3.shape[-1]
     d = cb_mat.shape[-1]
-    bias3 = bias2.reshape(bias2.shape[0], ps.TILE, 1)
+    bias3 = (bias2 if bias2.ndim == 3
+             else bias2.reshape(bias2.shape[0], ps.TILE, 1))
     # Permute decode-matrix rows from standard (block*16 + center) order
     # into the kernel's tiled lane order (see _kernel).
     ridx = np.arange(b_pad * 16)
@@ -288,7 +289,8 @@ def score_work_pallas_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
     b_pad = codes3p.shape[-1] * 2
     wdim = b_pad * 16
     d = cb_mat.shape[-1]
-    bias3 = bias2.reshape(bias2.shape[0], ps.TILE, 1)
+    bias3 = (bias2 if bias2.ndim == 3
+             else bias2.reshape(bias2.shape[0], ps.TILE, 1))
     cb_c, csq = _centered_cb(cb_mat, mean, dims_per_block)
     if not measure_l2:
         csq = jnp.zeros_like(csq)  # dot-product LUT is just q.c
@@ -343,6 +345,7 @@ def score_work_xla_lut(plan, qg_t, codes3p, cb_mat, mean, bias2, *,
     Mirrors the kernel op-for-op in standard block order (the kernel's lane
     permutation cancels between its one-hot and LUT operands)."""
     w_pad = plan.work_tile.shape[0]
+    bias2 = bias2.reshape(bias2.shape[0], -1)
     mnt = w_pad // plan.qg_query.shape[0]
     scale = 2.0 if measure_l2 else 1.0
     b_pad = codes3p.shape[-1] * 2
@@ -401,6 +404,7 @@ def score_work_xla_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
                          measure_l2: bool, kpg: int = ps.KPG):
     """XLA fallback with identical outputs (CPU tests, non-TPU)."""
     w_pad = plan.work_tile.shape[0]
+    bias2 = bias2.reshape(bias2.shape[0], -1)
     mnt = w_pad // plan.qg_query.shape[0]
     scale = 2.0 if measure_l2 else 1.0
     b_pad = codes3.shape[-1]

@@ -375,7 +375,10 @@ def score_work_pallas(plan: WorkPlan, qg_rows, rows3, bias2, *,
     d = rows3.shape[-1]
     # Trailing singleton so the bias block is (TILE, 1) — Mosaic requires
     # the last two block dims be (8k, 128k) or match the array dims.
-    bias3 = bias2.reshape(bias2.shape[0], TILE, 1)
+    # Callers should hold it pre-shaped: reshaping a jit ARGUMENT into a
+    # trailing-1 layout copies the plane on every call.
+    bias3 = bias2 if bias2.ndim == 3 else bias2.reshape(
+        bias2.shape[0], TILE, 1)
     # The query-group index is analytic (w // mnt), so only (tile, active)
     # need scalar-prefetch SMEM — at large work counts the prefetched
     # arrays are the SMEM budget (1 MB total on v5e).
@@ -414,6 +417,7 @@ def score_work_xla(plan: WorkPlan, qg_rows, rows3, bias2, *,
     w_pad = plan.work_tile.shape[0]
     mnt = w_pad // plan.qg_query.shape[0]
     scale = 2.0 if measure_l2 else 1.0
+    bias2 = bias2.reshape(bias2.shape[0], -1)
     pad = _round_up(w_pad, _XLA_WORK_CHUNK) - w_pad
     wt = jnp.pad(plan.work_tile, (0, pad))
     wq = jnp.pad(plan.work_qg, (0, pad))

@@ -82,8 +82,14 @@ def score_work_pallas_sq(plan, qg_rows, rows3, scale2, bias2, *,
     tile = rows3.shape[1]
     d = rows3.shape[-1]
     seg = kpg * (tile // ps.SUBP)
-    scale3 = scale2.reshape(scale2.shape[0], tile, 1)
-    bias3 = bias2.reshape(bias2.shape[0], tile, 1)
+    # Callers hold these planes pre-shaped (n, tile, 1): reshaping a jit
+    # ARGUMENT to a trailing-1 layout is a full relayout copy per call
+    # (measured 2.5 ms/call on 2x 6.4 MB planes — the whole single-query
+    # latency budget).
+    scale3 = (scale2 if scale2.ndim == 3
+              else scale2.reshape(scale2.shape[0], tile, 1))
+    bias3 = (bias2 if bias2.ndim == 3
+             else bias2.reshape(bias2.shape[0], tile, 1))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(w_pad,),
@@ -127,6 +133,8 @@ def score_work_xla_sq(plan, qg_rows, rows3, scale2, bias2, *,
 
     tile = rows3.shape[1]
     gp = tile // ps.SUBP
+    scale2 = scale2.reshape(scale2.shape[0], tile)
+    bias2 = bias2.reshape(bias2.shape[0], tile)
 
     def chunk(args):
         wt_c, wq_c, wi_c = args

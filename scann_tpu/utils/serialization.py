@@ -301,8 +301,16 @@ def _restore_searcher(blob: dict, arrays: dict, docids):
         s._chunk = meta["chunk"]
         s._sq_mode = meta.get("tx_mode") == "residual_int8"
         if s._sq_mode:
-            s.slot_scale = arrays["tx_scale"]
-            s._bias2 = arrays["tx_bias2"]
+            from scann_tpu.utils import transfer
+            tile = s.slot_rows.shape[1]
+            # Planes live pre-shaped (n, tile, 1) in DEFAULT layout (a
+            # layout-mismatched pallas operand is re-copied per dispatch);
+            # older saves hold 2-D.
+            s.slot_rows = transfer.default_layout(s.slot_rows)
+            s.slot_scale = transfer.default_layout(
+                arrays["tx_scale"].reshape(-1, tile, 1))
+            s._bias2 = transfer.default_layout(
+                arrays["tx_bias2"].reshape(-1, tile, 1))
             s._p_tile_start = arrays["tx_tile_start"]
             s._p_ntiles = arrays["tx_ntiles"]
             s._p_max_ntiles = meta["max_ntiles"]

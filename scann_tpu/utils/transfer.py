@@ -56,3 +56,33 @@ def to_device(x, dtype=jnp.float32):
     _logger.info("to_device: %d MB in %d slices",
                  x.nbytes >> 20, len(parts))
     return out
+
+
+def default_layout(x):
+    """Re-lay a device array into the default (row-major) layout.
+
+    XLA freely picks transposed layouts for jit OUTPUTS (e.g. a build
+    program's (n, tile, d) rows emerged major_to_minor=(0, 2, 1)), but
+    Pallas kernels require default-layout operands — a mismatched
+    persistent array gets a full relayout COPY inserted on every search
+    dispatch (measured: ~2.6 ms/call on the tree-SQ index, the entire
+    single-query latency budget).  One device_put at build time fixes the
+    layout for the array's lifetime.  No-op for host arrays / already-
+    default layouts / runtimes without the layout API.
+    """
+    try:
+        if not isinstance(x, jax.Array):
+            return x
+        mtm = x.format.layout.major_to_minor
+        if tuple(mtm) == tuple(range(x.ndim)):
+            return x
+        import jax.experimental.layout as jex_layout
+        from jax.sharding import SingleDeviceSharding
+        fmt = jex_layout.Format(
+            jex_layout.Layout(major_to_minor=tuple(range(x.ndim))),
+            SingleDeviceSharding(list(x.devices())[0]))
+        out = jax.device_put(x, fmt)
+        out.block_until_ready()
+        return out
+    except Exception:  # layout API unavailable: keep the array as-is
+        return x
