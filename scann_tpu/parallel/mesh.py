@@ -58,7 +58,18 @@ def _round_up(x: int, m: int) -> int:
 
 
 class ShardedTreeAHSearcher:
-    """Leaf-sharded tree-AH searcher over a 2-D ("data", "shard") mesh.
+    """Leaf-sharded tree searcher over a 2-D ("data", "shard") mesh.
+
+    Two leaf formats share one engine:
+      * "ah" — 4-bit AH codes scored by LUT16 one-hot matmuls, exact
+        residual-int8 rescore of the local candidates (the historical
+        tree-AH sharding).
+      * "sq" — NO codes: the residual per-row int8 rows (which the "ah"
+        format already stores for its rescore) are scored EXACTLY,
+        chunk by chunk, so selection and rescore are one pass (the
+        sharded counterpart of the single-chip pruned-exact tree-SQ
+        engine, ops/pruned_sq.py; config tree + score_brute_force
+        int8).  Index memory drops to d+8 B/vector.
 
     Construct via build_sharded() (multi-chip build), from_searcher()
     (re-shard a single-host index), or load_sharded().
@@ -70,6 +81,7 @@ class ShardedTreeAHSearcher:
         self.config = scann_config
         self.part_cfg = scann_config.partitioning
         self.ah_cfg = scann_config.asymmetric_hash
+        self.leaf_format = "ah" if self.ah_cfg is not None else "sq"
         self.measure = cfg.internal_measure(
             scann_config.distance_measure)
         self.user_measure = scann_config.distance_measure
@@ -78,11 +90,12 @@ class ShardedTreeAHSearcher:
         self.data_axis = data_axis
         self.n_shards = mesh.shape[shard_axis]
         self.n_data = mesh.shape[data_axis]
-        self.model = ah_ops.AHModel(codebook=jnp.asarray(codebook),
-                                    dims=int(host_parts["dims"]))
+        self.model = (ah_ops.AHModel(codebook=jnp.asarray(codebook),
+                                     dims=int(host_parts["dims"]))
+                      if codebook is not None else None)
         self.num_leaves = int(host_parts["num_leaves"])
         self._shard_chunk = int(host_parts["chunk"])
-        self._shard_slots = int(host_parts["codes"].shape[1])
+        self._shard_slots = int(host_parts["rows_i8"].shape[1])
         self._host_parts = host_parts
         self._compiled = {}
         self.n_points = int(max(0, np.asarray(
@@ -94,7 +107,6 @@ class ShardedTreeAHSearcher:
         repl = NamedSharding(mesh, P())
         hp = host_parts
         self.state = {
-            "codes": jax.device_put(jnp.asarray(hp["codes"]), shard3),
             "slot_leaf": jax.device_put(jnp.asarray(hp["slot_leaf"]),
                                         shard2),
             "slot_dpid": jax.device_put(jnp.asarray(hp["slot_dpid"]),
@@ -103,9 +115,13 @@ class ShardedTreeAHSearcher:
             "rows_sq": jax.device_put(jnp.asarray(hp["rows_sq"]), shard2),
             "rows_scale": jax.device_put(jnp.asarray(hp["rows_scale"]),
                                          shard2),
-            "codebook": jax.device_put(self.model.codebook, repl),
             "centers": jax.device_put(jnp.asarray(centers), repl),
         }
+        if self.leaf_format == "ah":
+            self.state["codes"] = jax.device_put(jnp.asarray(hp["codes"]),
+                                                 shard3)
+            self.state["codebook"] = jax.device_put(self.model.codebook,
+                                                    repl)
 
     # ---------------------------------------------------------- builders
     @classmethod
@@ -121,16 +137,26 @@ class ShardedTreeAHSearcher:
                 "searchers yet: codes live in the rotated space but the "
                 "sharded query path has no projection stage (ADVICE r2)")
         n_shards = mesh.shape[shard_axis]
-        codes = np.asarray(searcher._host["codes"])
-        slot_leaf = np.asarray(searcher.index.slot_leaf)
-        slot_dpid = np.asarray(searcher.index.slot_dpid)
         num_leaves = searcher.partitioner.num_leaves
+        if getattr(searcher, "_sq_mode", False):
+            # Tree-SQ searcher: no codes; the residual rows re-derive from
+            # the database (the sharded sq format stores exactly them).
+            slot_leaf = np.asarray(searcher.slot_leaf)
+            slot_dpid = np.asarray(searcher.slot_dpid)
+            codes = np.zeros((slot_leaf.shape[0], 0), np.uint8)
+            codebook = None
+            dims = database.shape[1]
+        else:
+            codes = np.asarray(searcher._host["codes"])
+            slot_leaf = np.asarray(searcher.index.slot_leaf)
+            slot_dpid = np.asarray(searcher.index.slot_dpid)
+            codebook = np.asarray(searcher.model.codebook)
+            dims = searcher.model.dims
         host_parts = _layout_shards(
             codes, slot_leaf, slot_dpid, database, num_leaves, n_shards,
-            dims=searcher.model.dims,
+            dims=dims,
             centers=np.asarray(searcher.partitioner.centers))
-        return cls(searcher.config, mesh,
-                   np.asarray(searcher.model.codebook),
+        return cls(searcher.config, mesh, codebook,
                    np.asarray(searcher.partitioner.centers), host_parts,
                    shard_axis, data_axis)
 
@@ -173,6 +199,8 @@ class ShardedTreeAHSearcher:
         shard3 = NamedSharding(self.mesh, P(self.shard_axis, None, None))
         shard2 = NamedSharding(self.mesh, P(self.shard_axis, None))
         for key in keys:
+            if key == "codes" and self.leaf_format == "sq":
+                continue  # the sq format stores no codes
             spec = shard3 if hp[key].ndim == 3 else shard2
             self.state[key] = jax.device_put(jnp.asarray(hp[key]), spec)
 
@@ -231,13 +259,17 @@ class ShardedTreeAHSearcher:
 
         import math as _math
         from scann_tpu.ops import ah as ah_ops_
-        threshold = self.ah_cfg.anisotropic_quantization_threshold
-        residual = bool(self.ah_cfg.residual_quantization)
+        sq_fmt = self.leaf_format == "sq"
+        threshold = (float("nan") if sq_fmt
+                     else self.ah_cfg.anisotropic_quantization_threshold)
+        residual = sq_fmt or bool(self.ah_cfg.residual_quantization)
         new_rows = []  # (slot_leaf, dpid, codes, rows_i8, rows_sq, scale)
         for col in token_cols:
             v = vecs - centers[col] if residual else vecs
             vj = jnp.asarray(v)
-            if not _math.isnan(threshold):
+            if sq_fmt:
+                codes = np.zeros((len(vecs), 0), np.uint8)
+            elif not _math.isnan(threshold):
                 codes = np.asarray(ah_ops_.encode_noise_shaped(
                     vj, jnp.asarray(vecs), self.model, threshold))
             else:
@@ -295,6 +327,9 @@ class ShardedTreeAHSearcher:
     def _search_fn(self, k: int, k_pre: int, leaves: int,
                    restricted: bool = False, crowding_limit=(),
                    pre_tokenized: bool = False):
+        if self.leaf_format == "sq":
+            return self._search_fn_sq(k, k_pre, leaves, restricted,
+                                      crowding_limit, pre_tokenized)
         measure = self.measure
         user_measure = self.user_measure
         model_dims = self.model.dims
@@ -465,6 +500,140 @@ class ShardedTreeAHSearcher:
                                      out_specs=out_specs,
                                      check_vma=False))
 
+    def _search_fn_sq(self, k: int, k_pre: int, leaves: int,
+                      restricted: bool = False, crowding_limit=(),
+                      pre_tokenized: bool = False):
+        """Sharded EXACT residual-int8 search (leaf_format="sq"): each
+        shard scores its resident rows chunk-by-chunk at the rescore's
+        exact formula — selection and rescore are one pass, so k_pre is
+        moot and only k * n_shards candidates ride ICI."""
+        del k_pre  # exact scores: no reordering budget exists
+        measure = self.measure
+        user_measure = self.user_measure
+        num_leaves = self.num_leaves
+        leaves = max(1, min(leaves, num_leaves))
+        chunk = self._shard_chunk
+        slots = self._shard_slots
+        k_fetch = min(k, slots)
+        shard_axis, data_axis = self.shard_axis, self.data_axis
+
+        def local_step(queries, slot_leaf, slot_dpid, rows_i8,
+                       rows_sq, rows_scale, centers, *rest):
+            rest = list(rest)
+            allow = rest.pop(0) if restricted else None
+            attrs = rest.pop(0) if crowding_limit else None
+            pre_tok = rest.pop(0) if pre_tokenized else None
+            slot_leaf = slot_leaf[0]
+            slot_dpid = slot_dpid[0]
+            rows_i8 = rows_i8[0]
+            rows_sq = rows_sq[0]
+            rows_scale = rows_scale[0]
+            nq = queries.shape[0]
+            riota = jnp.arange(nq)[:, None]
+            if pre_tok is not None:
+                valid_pt = pre_tok >= 0
+                leaf_ids = jnp.maximum(pre_tok, 0)
+                tgt = jnp.where(valid_pt, leaf_ids, num_leaves)
+                mask_dense = jnp.zeros((nq, num_leaves + 1), bool
+                                       ).at[riota, tgt].set(
+                                           True)[:, :num_leaves]
+            else:
+                sims_qc = dist_ops.similarity(
+                    queries, centers, measure,
+                    precision=jax.lax.Precision.DEFAULT)
+                _, leaf_ids = jax.lax.top_k(sims_qc, leaves)
+                mask_dense = jnp.zeros((nq, num_leaves), bool
+                                       ).at[riota, leaf_ids].set(True)
+            # Exact f32 q.c per leaf, gathered per slot by its leaf id.
+            qc_dot = jax.lax.dot_general(
+                queries, centers,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            q_bf = queries.astype(jnp.bfloat16)
+            q_sq = jnp.sum(queries * queries, axis=-1)
+
+            num_chunks = slots // chunk
+
+            def body(carry, ci):
+                vals, pos = carry
+                start = ci * chunk
+                rows_c = jax.lax.dynamic_slice_in_dim(rows_i8, start, chunk)
+                leaf_c = jax.lax.dynamic_slice_in_dim(slot_leaf, start,
+                                                      chunk)
+                dpid_c = jax.lax.dynamic_slice_in_dim(slot_dpid, start,
+                                                      chunk)
+                sc_c = jax.lax.dynamic_slice_in_dim(rows_scale, start,
+                                                    chunk)
+                dots = jax.lax.dot_general(
+                    q_bf, rows_c.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                qx = (dots * sc_c[None, :]
+                      + jnp.take(qc_dot, leaf_c, axis=1))
+                if measure == cfg.SQUARED_L2:
+                    sq_c = jax.lax.dynamic_slice_in_dim(rows_sq, start,
+                                                        chunk)
+                    sim = -(q_sq[:, None] - 2.0 * qx + sq_c[None, :])
+                else:
+                    sim = qx
+                vmask = jnp.logical_and(
+                    (dpid_c >= 0)[None, :],
+                    jnp.take(mask_dense, leaf_c, axis=1))
+                if allow is not None:
+                    ok = jnp.take(allow, jnp.clip(dpid_c, 0,
+                                                  allow.shape[0] - 1))
+                    vmask = jnp.logical_and(vmask, ok[None, :])
+                cvals, cpos = topk_ops.chunk_top_k(
+                    sim, min(k_fetch, chunk), valid=vmask)
+                cslot = jnp.where(cpos >= 0, start + cpos, -1)
+                return topk_ops.merge_top_k(vals, pos, cvals, cslot,
+                                            k_fetch), None
+
+            init = (jnp.full((nq, k_fetch), -jnp.inf, jnp.float32),
+                    jnp.full((nq, k_fetch), -1, jnp.int32))
+            (vals, lslots), _ = jax.lax.scan(body, init,
+                                             jnp.arange(num_chunks))
+            dpids = jnp.where(lslots >= 0,
+                              jnp.take(slot_dpid, jnp.maximum(lslots, 0)),
+                              -1)
+            g_vals = jax.lax.all_gather(vals, shard_axis, axis=1,
+                                        tiled=True)
+            g_ids = jax.lax.all_gather(dpids, shard_axis, axis=1,
+                                       tiled=True)
+            if crowding_limit:
+                a_g = jnp.take(attrs, jnp.clip(g_ids, 0,
+                                               attrs.shape[0] - 1), axis=0)
+                g_vals, g_ids = topk_ops.crowding_filter_multi(
+                    g_vals, g_ids, a_g, crowding_limit)
+            kk = min(k, g_vals.shape[-1])
+            vals_k, posk = jax.lax.top_k(g_vals, kk)
+            ids_k = jnp.take_along_axis(g_ids, posk, axis=-1)
+            ids_k = jnp.where(jnp.isneginf(vals_k), -1, ids_k)
+            dist = dist_ops.similarity_to_user_distance(vals_k,
+                                                        user_measure)
+            return ids_k, dist
+
+        mesh = self.mesh
+        in_specs = (P(data_axis, None),         # queries
+                    P(shard_axis, None),        # slot_leaf
+                    P(shard_axis, None),        # slot_dpid
+                    P(shard_axis, None, None),  # rows_i8
+                    P(shard_axis, None),        # rows_sq
+                    P(shard_axis, None),        # rows_scale
+                    P())                        # centers
+        if restricted:
+            in_specs = in_specs + (P(),)
+        if crowding_limit:
+            in_specs = in_specs + (P(),)
+        if pre_tokenized:
+            in_specs = in_specs + (P(data_axis, None),)
+        out_specs = (P(data_axis, None), P(data_axis, None))
+        return jax.jit(jax.shard_map(local_step, mesh=mesh,
+                                     in_specs=in_specs,
+                                     out_specs=out_specs,
+                                     check_vma=False))
+
     def search_batched(self, queries, final_num_neighbors=None,
                        pre_reorder_num_neighbors=None, leaves_to_search=None,
                        restrict_allowlist=None,
@@ -536,9 +705,14 @@ class ShardedTreeAHSearcher:
         q_dev = jax.device_put(
             jnp.asarray(padded),
             NamedSharding(self.mesh, P(self.data_axis, None)))
-        args = [q_dev, st["codes"], st["slot_leaf"], st["slot_dpid"],
-                st["rows_i8"], st["rows_sq"], st["rows_scale"],
-                st["codebook"], st["centers"]]
+        if self.leaf_format == "sq":
+            args = [q_dev, st["slot_leaf"], st["slot_dpid"],
+                    st["rows_i8"], st["rows_sq"], st["rows_scale"],
+                    st["centers"]]
+        else:
+            args = [q_dev, st["codes"], st["slot_leaf"], st["slot_dpid"],
+                    st["rows_i8"], st["rows_sq"], st["rows_scale"],
+                    st["codebook"], st["centers"]]
         if restricted:
             allow = np.asarray(restrict_allowlist, bool)
             args.append(jax.device_put(
@@ -569,15 +743,18 @@ class ShardedTreeAHSearcher:
         scann_ops/cc/scann.cc:504-601)."""
         os.makedirs(artifacts_dir, exist_ok=True)
         hp = self._host_parts
+        extra = ({} if self.model is None
+                 else {"codebook": np.asarray(self.model.codebook)})
         np.savez(os.path.join(artifacts_dir, "sharded_assets.npz"),
                  codes=hp["codes"], slot_leaf=hp["slot_leaf"],
                  slot_dpid=hp["slot_dpid"], rows_i8=hp["rows_i8"],
                  rows_sq=hp["rows_sq"], rows_scale=hp["rows_scale"],
-                 codebook=np.asarray(self.model.codebook),
-                 centers=np.asarray(self.state["centers"]))
-        meta = {"num_leaves": self.num_leaves, "dims": self.model.dims,
+                 centers=np.asarray(self.state["centers"]), **extra)
+        meta = {"num_leaves": self.num_leaves,
+                "dims": int(self._host_parts["dims"]),
                 "chunk": self._shard_chunk,
                 "n_shards": self.n_shards,
+                "leaf_format": self.leaf_format,
                 "config": json.loads(self.config.to_json())}
         with open(os.path.join(artifacts_dir, "sharded_config.json"),
                   "w") as f:
@@ -603,7 +780,8 @@ def load_sharded(artifacts_dir: str, mesh: Mesh, shard_axis: str = "shard",
                    "rows_scale")}
     host_parts.update(num_leaves=meta["num_leaves"], dims=meta["dims"],
                       chunk=meta["chunk"])
-    return ShardedTreeAHSearcher(scann_config, mesh, raw["codebook"],
+    codebook = raw["codebook"] if "codebook" in raw.files else None
+    return ShardedTreeAHSearcher(scann_config, mesh, codebook,
                                  raw["centers"], host_parts, shard_axis,
                                  data_axis)
 
@@ -677,14 +855,23 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
     """
     part = scann_config.partitioning
     ah = scann_config.asymmetric_hash
-    if part is None or ah is None:
-        raise ValueError("build_sharded requires tree + score_ah config")
+    bf = scann_config.brute_force
+    sq_mode = (ah is None and bf is not None and bf.quantize == cfg.INT8)
+    if part is None or (ah is None and not sq_mode):
+        raise ValueError(
+            "build_sharded requires tree + score_ah, or tree + "
+            "score_brute_force(quantize='int8') for the exact sq format")
     soar = part.soar
+    if sq_mode and soar is not None:
+        raise ValueError(
+            "the sq leaf format stores one residual row per point; SOAR "
+            "spilling requires the AH format (tree + score_ah)")
     # Residual-quantization decision must match what search assumes
     # (ah.residual_quantization, set by the builder from the internal
     # measure) — deciding from the raw user measure here corrupted cosine
-    # configs (ADVICE r2 medium).
-    residual = bool(ah.residual_quantization)
+    # configs (ADVICE r2 medium).  The sq format always stores residual
+    # rows (its rescore-grade rows ARE the index).
+    residual = sq_mode or bool(ah.residual_quantization)
     is_cosine = scann_config.distance_measure == cfg.COSINE
     if soar is not None and not residual:
         raise ValueError("SOAR requires residual quantization")
@@ -761,26 +948,36 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         _logger.info("sharded build: split to %d leaves", part.num_leaves)
 
     # -- 2. AH codebook on sampled residuals + int8 multipliers.
-    @jax.jit
-    def _residualize_sample(x, c):
-        a, _ = kmeans_ops.assign(x, c)
-        return (x - jnp.take(c, a, axis=0)) if residual else x
+    if sq_mode:
+        codebook = None
+        model = None
+    else:
+        @jax.jit
+        def _residualize_sample(x, c):
+            a, _ = kmeans_ops.assign(x, c)
+            return (x - jnp.take(c, a, axis=0)) if residual else x
 
-    resid_sample = _residualize_sample(jnp.asarray(sample), centers)
-    codebook = jax.jit(
-        lambda k_, s: ah_ops.train_ah_model(
-            k_, s, ah.dimensions_per_block, ah.clusters_per_block,
-            ah.training_iterations, dims=d).codebook)(
-        jax.random.PRNGKey(seed + 1), resid_sample)
-    model = ah_ops.AHModel(codebook=codebook, dims=d)
-    _logger.info("sharded build: AH codebook trained")
+        resid_sample = _residualize_sample(jnp.asarray(sample), centers)
+        codebook = jax.jit(
+            lambda k_, s: ah_ops.train_ah_model(
+                k_, s, ah.dimensions_per_block, ah.clusters_per_block,
+                ah.training_iterations, dims=d).codebook)(
+            jax.random.PRNGKey(seed + 1), resid_sample)
+        model = ah_ops.AHModel(codebook=codebook, dims=d)
+        _logger.info("sharded build: AH codebook trained")
 
     # -- 3. second streaming pass: tokenize (+SOAR) + encode + compress.
-    threshold = ah.anisotropic_quantization_threshold
+    threshold = (float("nan") if sq_mode
+                 else ah.anisotropic_quantization_threshold)
     noise_shaped = not math.isnan(threshold)
     soar_lam = float(soar.lambda_) if soar is not None else 0.0
 
     def _enc(vecs, x, cb):
+        if sq_mode:
+            # The sq format has no codes: emit a zero-width placeholder so
+            # the streaming plumbing stays shape-uniform.
+            del cb
+            return jnp.zeros((vecs.shape[0], 0), jnp.uint8)
         m = ah_ops.AHModel(codebook=cb, dims=d)
         if noise_shaped:
             return ah_ops.encode_noise_shaped(vecs, x, m, threshold)
@@ -833,6 +1030,10 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
                 rows_scale2)
 
     row_sharding = NamedSharding(flat_mesh, P("data", None))
+    if codebook is None:
+        codebook_arg = jnp.zeros((0, 0, 0), jnp.float32)  # jit placeholder
+    else:
+        codebook_arg = codebook
     n_shards = mesh.shape[shard_axis]
     leaves_per_shard = -(-part.num_leaves // n_shards)
     acc = [{"codes": [], "leaf": [], "dpid": [], "rows": [], "sq": [],
@@ -861,7 +1062,7 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         if pad:
             rows = np.pad(rows, ((0, pad), (0, 0)))
         x_dev = jax.device_put(jnp.asarray(rows), row_sharding)
-        out = _tokenize_encode(x_dev, centers, codebook)
+        out = _tokenize_encode(x_dev, centers, codebook_arg)
         dpids = np.arange(row_base, row_base + m_rows, dtype=np.int32)
         t = np.asarray(out[0][:m_rows])
         _append(t, np.asarray(out[1][:m_rows]), np.asarray(out[2][:m_rows]),
@@ -877,13 +1078,14 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
     _logger.info("sharded build: %d rows tokenized + encoded", row_base)
 
     # -- 4. per-shard leaf-sorted layout from the compressed buffers.
-    host_parts = _layout_shards_from_parts(acc, part.num_leaves, n_shards,
-                                           dims=d,
-                                           num_blocks=model.num_blocks)
+    host_parts = _layout_shards_from_parts(
+        acc, part.num_leaves, n_shards, dims=d,
+        num_blocks=0 if sq_mode else model.num_blocks)
     _logger.info("sharded build: slots laid out over %d shards", n_shards)
-    return ShardedTreeAHSearcher(scann_config, mesh, np.asarray(codebook),
-                                 np.asarray(centers), host_parts,
-                                 shard_axis, data_axis)
+    return ShardedTreeAHSearcher(
+        scann_config, mesh,
+        None if codebook is None else np.asarray(codebook),
+        np.asarray(centers), host_parts, shard_axis, data_axis)
 
 
 def _layout_shards_from_parts(acc, num_leaves: int, n_shards: int,

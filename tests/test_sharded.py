@@ -367,3 +367,74 @@ def test_sharded_mutation_and_health():
     ss.upsert(many_ids, many)
     idx, _ = ss.search_batched(q[:1])
     assert idx.shape == (1, 10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_sq_build_and_search(tmp_path):
+    """Sharded EXACT residual-int8 leaves (leaf_format='sq', the
+    multi-chip counterpart of the pruned-exact tree-SQ engine): build on
+    the mesh with NO codes, search exactly, serialize round trip."""
+    db, q = make_data(n=6000)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    cfg_ = (scann_tpu.builder(db, 10, "dot_product")
+            .tree(num_leaves=32, num_leaves_to_search=8,
+                  training_sample_size=4000)
+            .score_brute_force(quantize="int8").create_config())
+    m = make_mesh()
+    ss = mesh_mod.build_sharded(db, cfg_, m)
+    assert ss.leaf_format == "sq"
+    assert ss.model is None
+    assert ss._host_parts["codes"].shape[-1] == 0  # truly no codes
+    idx, dist = ss.search_batched(q)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    r = np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                 for i in range(len(q))])
+    assert r >= 0.9, r
+    # exact distances: int8-residual precision of the true dots
+    got = np.take_along_axis(q @ db.T, np.maximum(idx, 0), axis=1)
+    ok = idx >= 0
+    np.testing.assert_allclose(dist[ok], got[ok], atol=2e-2)
+    # serialize / load round trip
+    path = str(tmp_path / "sq_sharded")
+    ss.serialize(path)
+    ss2 = mesh_mod.load_sharded(path, m)
+    assert ss2.leaf_format == "sq"
+    i2, d2 = ss2.search_batched(q)
+    np.testing.assert_array_equal(idx, i2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_sq_from_searcher_and_kwargs():
+    db, q = make_data(n=6000)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=32, num_leaves_to_search=8,
+               training_sample_size=4000)
+         .score_brute_force(quantize="int8").build())
+    assert s._sq_mode
+    m = make_mesh()
+    ss = mesh_mod.ShardedTreeAHSearcher.from_searcher(s, db, m)
+    assert ss.leaf_format == "sq"
+    i1, _ = s.search_batched(q)
+    i2, _ = ss.search_batched(q)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+
+    def recall(idx):
+        return np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                        for i in range(len(q))])
+
+    assert recall(i2) >= recall(i1) - 0.03, (recall(i2), recall(i1))
+    # restricts ride the sharded sq path
+    allow = np.zeros(len(db), bool)
+    allow[::2] = True
+    i3, _ = ss.search_batched(q, restrict_allowlist=allow)
+    live = i3[i3 >= 0]
+    assert live.size and np.all(live % 2 == 0)
+    # upsert by global id (no codes to re-encode in sq format)
+    new = np.random.default_rng(5).standard_normal(
+        (3, db.shape[1])).astype(np.float32)
+    new /= np.linalg.norm(new, axis=1, keepdims=True)
+    ids = np.array([len(db), len(db) + 1, len(db) + 2])
+    ss.upsert(ids, new)
+    i4, _ = ss.search_batched(new, leaves_to_search=32)
+    assert set(ids) <= {int(x) for row in i4 for x in row}
