@@ -220,12 +220,16 @@ class ScannBuilder:
             pca_significance_threshold=None, pca_truncation_threshold=None)
         return self
 
-    def autopilot(self, mode=None, quantize=ReorderType.FLOAT32
-                  ) -> "ScannBuilder":
-        """Configure autopilot (reference: scann_builder.py:361-382)."""
+    def autopilot(self, mode=None, quantize=ReorderType.FLOAT32,
+                  engine="tree_ah") -> "ScannBuilder":
+        """Configure autopilot (reference: scann_builder.py:361-382).
+        engine="tree_sq" selects the TPU-native exact-int8 engine instead
+        of the reference's tree-AH heuristics (dot/cosine only)."""
+        if engine not in ("tree_ah", "tree_sq"):
+            raise ValueError(f"unknown autopilot engine: {engine!r}")
         self._autopilot = cfg.AutopilotConfig(
             incremental_mode="none" if mode is None else str(mode),
-            reordering_dtype=_quantize_name(quantize))
+            reordering_dtype=_quantize_name(quantize), engine=engine)
         return self
 
     def create_config(self) -> cfg.ScannConfig:

@@ -207,6 +207,11 @@ class AutopilotConfig:
 
     incremental_mode: str = "none"  # none | online | online_incremental
     reordering_dtype: str = FLOAT32
+    # "tree_ah" reproduces the reference's AutopilotTreeAh; "tree_sq"
+    # picks the TPU-native winner (pruned exact residual-int8 leaves,
+    # ops/pruned_sq.py — measured ~4x tree-AH QPS at equal recall and
+    # memory on v5e, dot/cosine corpora).
+    engine: str = "tree_ah"        # tree_ah | tree_sq
 
 
 @dataclasses.dataclass(frozen=True)

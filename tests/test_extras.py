@@ -486,3 +486,29 @@ def test_residual_int8_reordering():
     s_m.delete(["new0"])
     idx, _ = s_m.search(q[0])
     assert "new0" not in set(idx)
+
+
+def test_autopilot_tree_sq_engine():
+    """autopilot(engine="tree_sq") rewrites to the TPU-native exact-int8
+    engine: tree + int8 brute-force leaves, no AH, no reorder."""
+    import numpy as np
+    import scann_tpu
+    rng = np.random.default_rng(0)
+    # Above the autopilot brute-force bound for d=128 (42 * 1024 rows);
+    # clustered like real embedding corpora (the few-leaves sq operating
+    # point relies on partitionable structure, as the reference's
+    # autopilot heuristics do).
+    centers = rng.standard_normal((64, 128)).astype(np.float32)
+    db = (centers[rng.integers(0, 64, 60000)]
+          + 0.3 * rng.standard_normal((60000, 128)).astype(np.float32))
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .autopilot(engine="tree_sq").build())
+    assert getattr(s, "_sq_mode", False), type(s).__name__
+    assert s.config.asymmetric_hash is None
+    assert s.config.reordering is None
+    q = db[:64]
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    idx, _ = s.search_batched(q)
+    r = np.mean([len(set(idx[i]) & set(truth[i])) / 10 for i in range(64)])
+    assert r >= 0.9, r
