@@ -82,6 +82,39 @@ def main():
                       "recall_at_10": round(best["recall"], 4),
                       "leaves_to_search": best["leaves"]}), flush=True)
 
+    # ---- config 3b: same corpus through the exact-int8 tree-SQ engine
+    # (squared L2 rides the kernel's -||x_hat||^2 bias plane).  On
+    # UN-normalized large-norm data the residual int8 steps are coarse
+    # enough to cap recall@10 near ~0.94, so the qualifying sq config
+    # composes a small exact f32 reorder on top (candidates from exact
+    # int8 scores need only a thin rescore to fix near-tie ranking) —
+    # tree-SQ alone is the dot/cosine champion, which is why
+    # autopilot(engine="tree_sq") gates on those measures.
+    best = None
+    for reorder_k in (None, 40):
+        b = (scann_tpu.builder(db, 10, "squared_l2")
+             .tree(num_leaves=2000, num_leaves_to_search=100,
+                   training_sample_size=100_000)
+             .score_brute_force(quantize="int8"))
+        if reorder_k:
+            b = b.reorder(reorder_k)
+        s_sq = b.build()
+        for leaves in (8, 16, 40, 100):
+            r, qps = bench_searcher(s_sq, q, truth, leaves)
+            if r >= 0.95 and (best is None or qps > best["qps"]):
+                best = {"recall": r, "qps": qps, "leaves": leaves,
+                        "reorder": reorder_k or 0}
+        del s_sq
+    if best is None:
+        best = {"recall": r, "qps": qps, "leaves": leaves,
+                "reorder": reorder_k or 0}
+    print(json.dumps({"metric": "synth_sift128_l2_sq_qps_at_recall0.95",
+                      "value": round(best["qps"], 1), "unit": "qps/chip",
+                      "recall_at_10": round(best["recall"], 4),
+                      "leaves_to_search": best["leaves"],
+                      "reorder": best["reorder"]}), flush=True)
+    del s, s_exact
+
     # ---- config 4: glove-like + SOAR (fixed small leaves budget:
     # SOAR's value is recall at aggressive pruning)
     sys.path.insert(0, os.path.dirname(os.path.dirname(
