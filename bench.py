@@ -94,7 +94,7 @@ PRE_REORDER = 150  # query-time overretrieve (reference notebook sweeps
 _STREAM_CHECKED = False
 
 
-def _sustained_qps(searcher, q, leaves, reps_a=4, reps_b=16):
+def _sustained_qps(searcher, q, leaves, reps_a=3, reps_b=10):
     """Streaming throughput measured as a SLOPE: time reps_a and reps_b
     enqueued batched searches (each run syncing once via materialization)
     and divide the extra batches by the extra wall time.  The differencing
@@ -117,11 +117,16 @@ def _sustained_qps(searcher, q, leaves, reps_a=4, reps_b=16):
     pruned = (not full_scan
               and getattr(searcher, "_pruned_available", False))
     # The pruned plan's scratch scales with batch x leaves; stream in the
-    # same sub-batches search_batched would use.
+    # same sub-batches search_batched would use.  A serving pipeline keeps
+    # the dispatch batch FULL (leaf-major query groups fill with batch),
+    # so the stream measurement tiles the query set up to the cap.
     nq = q.shape[0]
     if pruned:
         from scann_tpu.models.base import _PRUNED_MAX_BATCH
-        nq = min(nq, _PRUNED_MAX_BATCH)
+        if nq < _PRUNED_MAX_BATCH:
+            reps_tile = -(-_PRUNED_MAX_BATCH // nq)
+            q = np.concatenate([q] * reps_tile, axis=0)
+        nq = min(q.shape[0], _PRUNED_MAX_BATCH)
     bucket = 8
     while bucket < nq:
         bucket *= 2
