@@ -37,8 +37,11 @@ def _next_bucket(n: int) -> int:
 # kernel efficiency: leaf-major query groups fill toward QG=128 live
 # lanes as batch * leaves / num_leaves grows, so the scoring matmul's
 # wasted lanes shrink while the per-tile work stays constant (measured at
-# glove scale, exact-sq engine: 522k QPS at 8192 -> 696k at 16384).
-_PRUNED_MAX_BATCH = 16384
+# glove scale, exact-sq engine: 522k QPS at 8192 -> 705k at 16384 -> 917k
+# at 32768).  Small calls are unaffected (they bucket to the next power
+# of two, not to this cap); the cap bounds the plan/packed scratch of
+# huge offline batches.
+_PRUNED_MAX_BATCH = 32768
 
 
 def _row_quantize(delta):
