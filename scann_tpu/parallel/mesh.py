@@ -506,7 +506,10 @@ class ShardedTreeAHSearcher:
         """Sharded EXACT residual-int8 search (leaf_format="sq"): each
         shard scores its resident rows chunk-by-chunk at the rescore's
         exact formula — selection and rescore are one pass, so k_pre is
-        moot and only k * n_shards candidates ride ICI."""
+        moot and only k * n_shards candidates ride ICI.  Under SOAR each
+        point owns two slots (possibly on different shards) with
+        near-identical exact scores; fetch 2k per shard and dedup after
+        the cross-shard gather."""
         del k_pre  # exact scores: no reordering budget exists
         measure = self.measure
         user_measure = self.user_measure
@@ -514,7 +517,8 @@ class ShardedTreeAHSearcher:
         leaves = max(1, min(leaves, num_leaves))
         chunk = self._shard_chunk
         slots = self._shard_slots
-        k_fetch = min(k, slots)
+        soar = self.part_cfg.soar if self.part_cfg else None
+        k_fetch = min(2 * k if soar is not None else k, slots)
         shard_axis, data_axis = self.shard_axis, self.data_axis
 
         def local_step(queries, slot_leaf, slot_dpid, rows_i8,
@@ -601,6 +605,10 @@ class ShardedTreeAHSearcher:
                                         tiled=True)
             g_ids = jax.lax.all_gather(dpids, shard_axis, axis=1,
                                        tiled=True)
+            if soar is not None:
+                # A spilled datapoint's two exact-scored copies can both
+                # survive (same or different shards); keep the best copy.
+                g_vals, g_ids = topk_ops.dedup_candidates(g_vals, g_ids)
             if crowding_limit:
                 a_g = jnp.take(attrs, jnp.clip(g_ids, 0,
                                                attrs.shape[0] - 1), axis=0)
@@ -862,10 +870,10 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
             "build_sharded requires tree + score_ah, or tree + "
             "score_brute_force(quantize='int8') for the exact sq format")
     soar = part.soar
-    if sq_mode and soar is not None:
-        raise ValueError(
-            "the sq leaf format stores one residual row per point; SOAR "
-            "spilling requires the AH format (tree + score_ah)")
+    # SOAR works in BOTH leaf formats: the sq format stores the secondary
+    # slot's residual row vs its OWN center (exact scores for either copy),
+    # doubling index bytes exactly like the reference's hashed_dataset_soar
+    # (scann_ops/cc/scann.cc:534-555 writes dual tokenization slots).
     # Residual-quantization decision must match what search assumes
     # (ah.residual_quantization, set by the builder from the internal
     # measure) — deciding from the raw user measure here corrupted cosine

@@ -438,3 +438,52 @@ def test_sharded_sq_from_searcher_and_kwargs():
     ss.upsert(ids, new)
     i4, _ = ss.search_batched(new, leaves_to_search=32)
     assert set(ids) <= {int(x) for row in i4 for x in row}
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_sq_soar():
+    """SOAR spilling in the sq leaf format: each point stores a SECOND
+    exact residual-int8 row vs its secondary center (the sharded sq
+    analogue of hashed_dataset_soar), so a query that misses the primary
+    leaf still finds the point; duplicates are suppressed after the
+    cross-shard gather."""
+    db, q = make_data(n=6000)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    m = make_mesh()
+
+    def build(soar_lambda):
+        c = (scann_tpu.builder(db, 10, "dot_product")
+             .tree(num_leaves=32, num_leaves_to_search=3,
+                   training_sample_size=4000, soar_lambda=soar_lambda)
+             .score_brute_force(quantize="int8").create_config())
+        return mesh_mod.build_sharded(db, c, m)
+
+    ss_plain = build(None)
+    ss_soar = build(1.5)
+    assert ss_soar.leaf_format == "sq"
+    # SOAR doubles the live slot count (one secondary per point).
+    live_plain = int((np.asarray(ss_plain._host_parts["slot_dpid"]) >= 0
+                      ).sum())
+    live_soar = int((np.asarray(ss_soar._host_parts["slot_dpid"]) >= 0
+                     ).sum())
+    assert live_plain == len(db)
+    assert live_soar == 2 * len(db)
+
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+
+    def recall(idx):
+        return np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                        for i in range(len(q))])
+
+    i1, _ = ss_plain.search_batched(q)
+    i2, d2 = ss_soar.search_batched(q)
+    # No duplicate ids may survive the dedup.
+    for row in i2:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live)
+    # Spilling at a tight leaf budget must not hurt (and normally helps).
+    assert recall(i2) >= recall(i1) - 0.01, (recall(i2), recall(i1))
+    # Exact distances still match the true dots at int8-residual precision.
+    got = np.take_along_axis(q @ db.T, np.maximum(i2, 0), axis=1)
+    ok = i2 >= 0
+    np.testing.assert_allclose(d2[ok], got[ok], atol=2e-2)
