@@ -883,6 +883,11 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
     is_cosine = scann_config.distance_measure == cfg.COSINE
     if soar is not None and not residual:
         raise ValueError("SOAR requires residual quantization")
+    if part.query_spilling_type != "fixed_number":
+        raise ValueError(
+            "the sharded searcher tokenizes queries to a fixed "
+            "num_leaves_to_search; distance-conditioned query spilling "
+            f"({part.query_spilling_type!r}) is a single-chip feature")
     seed = scann_config.seed
     rng = np.random.default_rng(seed)
     devices = list(mesh.devices.flat)
@@ -955,17 +960,101 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
                                  NamedSharding(flat_mesh, P()))
         _logger.info("sharded build: split to %d leaves", part.num_leaves)
 
+    # -- 1c. streaming AVQ centroid refit (single-chip apply_avq parity;
+    # reference AvqAccumulator, partitioning/anisotropic.cc:32-87, applied
+    # post-tokenization by TokenizeDatabaseWithAvq,
+    # tree_x_hybrid_factory.cc:105-156).  The per-leaf sufficient
+    # statistics — eta-weighted Gram matrix A, weighted sum b, total
+    # weight — are chunk-additive, so ONE extra tokenize-only streaming
+    # pass accumulates them without ever holding rows.  Assignment keeps
+    # the PRE-refit centers (tokens are fixed before AVQ, exactly like the
+    # single-chip build); residuals, rescore rows, and query tokenization
+    # all use the refitted centers.
+    centers_assign = centers
+    if part.avq is not None:
+        if not residual:
+            raise ValueError("avq requires residual quantization")
+        eta = float(part.avq)
+        num_l = part.num_leaves
+        stats_bytes = num_l * d * d * 4
+        if stats_bytes > (1 << 31):
+            raise ValueError(
+                f"streaming AVQ statistics need num_leaves*d*d*4 = "
+                f"{stats_bytes} bytes; reduce num_leaves or project first")
+        blk = 2048
+
+        @jax.jit
+        def _avq_accum(x, c, acc_a, acc_b, acc_tw):
+            tokens, _ = kmeans_ops.assign(x, c)
+            norms = jnp.linalg.norm(x, axis=-1)
+            nz = norms > 1e-20
+            w = jnp.where(nz, norms ** (eta - 1.0), 0.0)
+            sw = jnp.where(nz, norms ** (0.5 * (eta - 3.0)), 0.0)
+            xw = x * sw[:, None]
+            m = x.shape[0]
+            pad = (-m) % blk
+            # Padded rows carry zero weight (and zero xw), so the scatter
+            # targets for them are irrelevant.
+            xp = jnp.pad(x, ((0, pad), (0, 0)))
+            xwp = jnp.pad(xw, ((0, pad), (0, 0)))
+            wp = jnp.pad(w, (0, pad))
+            tp = jnp.pad(tokens, (0, pad))
+            nblk = xp.shape[0] // blk
+
+            def body(carry, args):
+                a_c, b_c, tw_c = carry
+                xb, xwb, wb, tb = args
+                a_c = a_c.at[tb].add(xwb[:, :, None] * xwb[:, None, :])
+                b_c = b_c.at[tb].add(xb * wb[:, None])
+                tw_c = tw_c.at[tb].add(wb)
+                return (a_c, b_c, tw_c), None
+
+            (acc_a, acc_b, acc_tw), _ = jax.lax.scan(
+                body, (acc_a, acc_b, acc_tw),
+                (xp.reshape(nblk, blk, d), xwp.reshape(nblk, blk, d),
+                 wp.reshape(nblk, blk), tp.reshape(nblk, blk)))
+            return acc_a, acc_b, acc_tw
+
+        @jax.jit
+        def _avq_refit(acc_a, acc_b, acc_tw, c_old):
+            eye = jnp.eye(d)
+
+            def solve(args):
+                a_l, b_l, tw_l = args
+                a_mat = tw_l * eye + (eta - 1.0) * a_l
+                c_l = eta * jnp.linalg.solve(a_mat, b_l)
+                return jnp.where(tw_l > 0, c_l, jnp.zeros((d,)))
+
+            new = jax.lax.map(solve, (acc_a, acc_b, acc_tw))
+            return jnp.where((acc_tw > 0)[:, None], new, c_old)
+
+        acc_a = jnp.zeros((num_l, d, d), jnp.float32)
+        acc_b = jnp.zeros((num_l, d), jnp.float32)
+        acc_tw = jnp.zeros((num_l,), jnp.float32)
+        for rows in chunks_fn():
+            rows = _norm(np.asarray(rows, np.float32))
+            acc_a, acc_b, acc_tw = _avq_accum(
+                jnp.asarray(rows), centers_assign, acc_a, acc_b, acc_tw)
+        centers = jax.device_put(
+            np.asarray(_avq_refit(acc_a, acc_b, acc_tw,
+                                  jnp.asarray(centers))),
+            NamedSharding(flat_mesh, P()))
+        del acc_a, acc_b, acc_tw
+        _logger.info("sharded build: AVQ centroid refit applied (eta=%g)",
+                     eta)
+
     # -- 2. AH codebook on sampled residuals + int8 multipliers.
     if sq_mode:
         codebook = None
         model = None
     else:
         @jax.jit
-        def _residualize_sample(x, c):
-            a, _ = kmeans_ops.assign(x, c)
-            return (x - jnp.take(c, a, axis=0)) if residual else x
+        def _residualize_sample(x, ca, cr):
+            a, _ = kmeans_ops.assign(x, ca)
+            return (x - jnp.take(cr, a, axis=0)) if residual else x
 
-        resid_sample = _residualize_sample(jnp.asarray(sample), centers)
+        resid_sample = _residualize_sample(jnp.asarray(sample),
+                                           centers_assign, centers)
         codebook = jax.jit(
             lambda k_, s: ah_ops.train_ah_model(
                 k_, s, ah.dimensions_per_block, ah.clusters_per_block,
@@ -1004,9 +1093,11 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         return rows_q, jnp.sum(deq * deq, axis=-1), scale
 
     @jax.jit
-    def _tokenize_encode(x, c, cb):
-        tokens, _ = kmeans_ops.assign(x, c)
-        cprim0 = jnp.take(c, tokens, axis=0)
+    def _tokenize_encode(x, ca, cr, cb):
+        # ca = assignment centers (pre-AVQ), cr = residual centers (post-
+        # AVQ refit); identical arrays when AVQ is off.
+        tokens, _ = kmeans_ops.assign(x, ca)
+        cprim0 = jnp.take(cr, tokens, axis=0)
         vecs = (x - cprim0) if residual else x
         codes = _enc(vecs, x, cb)
         rows_q, rows_sq, rows_scale = _row_compress(x, cprim0)
@@ -1015,20 +1106,22 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
                     rows_scale)
         # SOAR secondary: argmin ||x-c||^2 + lambda ((x-c).r_hat)^2
         # excluding the primary (orthogonality_amplification_utils.h).
-        cprim = jnp.take(c, tokens, axis=0)
+        # Assignment geometry uses the pre-AVQ centers, like the
+        # single-chip build (SOAR tokenization precedes the AVQ refit).
+        cprim = jnp.take(ca, tokens, axis=0)
         r = x - cprim
         rnorm = jnp.linalg.norm(r, axis=-1, keepdims=True)
         r_hat = jnp.where(rnorm < 1e-7, 0.0, r / jnp.maximum(rnorm, 1e-20))
-        term1 = dist_ops.squared_l2(x, c)
+        term1 = dist_ops.squared_l2(x, ca)
         x_dot_r = jnp.sum(x * r_hat, axis=-1, keepdims=True)
         c_dot_r = jax.lax.dot_general(
-            r_hat, c, dimension_numbers=(((1,), (1,)), ((), ())),
+            r_hat, ca, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         t2 = x_dot_r - c_dot_r
         sdist = term1 + soar_lam * t2 * t2
         sdist = sdist.at[jnp.arange(x.shape[0]), tokens].set(jnp.inf)
         tokens2 = jnp.argmin(sdist, axis=-1).astype(jnp.int32)
-        c2_rows = jnp.take(c, tokens2, axis=0)
+        c2_rows = jnp.take(cr, tokens2, axis=0)
         codes2 = _enc(x - c2_rows, x, cb)
         # Secondary slots store residuals vs THEIR OWN center so every
         # slot's rescore bias is q.c_{slot_leaf}.
@@ -1070,7 +1163,7 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         if pad:
             rows = np.pad(rows, ((0, pad), (0, 0)))
         x_dev = jax.device_put(jnp.asarray(rows), row_sharding)
-        out = _tokenize_encode(x_dev, centers, codebook_arg)
+        out = _tokenize_encode(x_dev, centers_assign, centers, codebook_arg)
         dpids = np.arange(row_base, row_base + m_rows, dtype=np.int32)
         t = np.asarray(out[0][:m_rows])
         _append(t, np.asarray(out[1][:m_rows]), np.asarray(out[2][:m_rows]),

@@ -487,3 +487,67 @@ def test_sharded_sq_soar():
     got = np.take_along_axis(q @ db.T, np.maximum(i2, 0), axis=1)
     ok = i2 >= 0
     np.testing.assert_allclose(d2[ok], got[ok], atol=2e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_streaming_avq():
+    """Streaming AVQ centroid refit: the chunk-additive sufficient
+    statistics (eta-weighted Gram / sum / weight per leaf) must reproduce
+    the single-chip apply_avq solve (AvqAccumulator,
+    partitioning/anisotropic.cc:32-87) on the same pre-refit centers, and
+    the refitted index must still search correctly."""
+    from scann_tpu.partitioning.kmeans_tree import KMeansTreePartitioner
+    from scann_tpu.ops import kmeans as kmeans_ops
+
+    db, q = make_data(n=6000, d=16, nq=32, seed=3)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    m = make_mesh()
+    eta = 2.5
+
+    def build(avq):
+        c = (scann_tpu.builder(db, 10, "dot_product")
+             .tree(num_leaves=16, num_leaves_to_search=4,
+                   training_sample_size=4000, avq=avq)
+             .score_brute_force(quantize="int8").create_config())
+        return mesh_mod.build_sharded(db, c, m)
+
+    ss_plain = build(None)   # same seed/sample -> its centers are the
+    ss_avq = build(eta)      # avq build's PRE-refit centers
+    c_old = np.asarray(ss_plain.state["centers"])
+    c_new = np.asarray(ss_avq.state["centers"])
+    assert not np.allclose(c_old, c_new)
+
+    # Oracle: single-chip apply_avq on the full database with tokens
+    # assigned by the pre-refit centers.
+    tokens = np.asarray(kmeans_ops.assign(jnp.asarray(db),
+                                          jnp.asarray(c_old))[0])
+    part = KMeansTreePartitioner(centers=jnp.asarray(c_old),
+                                 centers_int8=None, centers_inv_mult=None,
+                                 query_distance="dot_product")
+    max_leaf = int(np.bincount(tokens, minlength=16).max())
+    want = np.asarray(part.apply_avq(db, tokens, eta, max_leaf).centers)
+    np.testing.assert_allclose(c_new, want, rtol=2e-3, atol=2e-4)
+
+    # The refitted index still serves: residual rows/bias are consistent
+    # with the NEW centers while assignment used the old ones.
+    idx, dist = ss_avq.search_batched(q)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    r = np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                 for i in range(len(q))])
+    assert r >= 0.8, r
+    got = np.take_along_axis(q @ db.T, np.maximum(idx, 0), axis=1)
+    ok = idx >= 0
+    np.testing.assert_allclose(dist[ok], got[ok], atol=2e-2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_rejects_distance_conditioned_spilling():
+    db, _ = make_data(n=2000, d=16)
+    m = make_mesh()
+    c = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=4,
+               training_sample_size=1000,
+               query_spilling_type="additive", query_spilling_threshold=0.1)
+         .score_brute_force(quantize="int8").create_config())
+    with pytest.raises(ValueError, match="query spilling"):
+        mesh_mod.build_sharded(db, c, m)
