@@ -234,7 +234,7 @@ def main():
     # fused Pallas kernel (num_leaves may exceed 2000 after partition
     # splitting).
     num_leaves_total = searcher.part_cfg.num_leaves
-    for leaves in (4, 6, 8, 12, 20, 50, num_leaves_total):
+    for leaves in (2, 3, 4, 6, 8, 12, 20, 50, num_leaves_total):
         idx, _ = searcher.search_batched(
             q[:N_QUERY], pre_reorder_num_neighbors=PRE_REORDER,
             leaves_to_search=leaves)  # warmup
