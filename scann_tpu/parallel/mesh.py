@@ -670,7 +670,21 @@ class ShardedTreeAHSearcher:
                     raise ValueError(
                         f"expected {num_dims} crowding limits, got "
                         f"{len(crowding_limit)}")
-        k = final_num_neighbors or self.config.num_neighbors
+        # Per-query result counts (reference SearchParameters semantics,
+        # search_parameters.h:40-226): size the program by the max and
+        # mask each query's tail after the sorted cross-shard merge —
+        # identical results to a per-query program because the merge
+        # output is sorted best-first.
+        k_arr = None
+        if final_num_neighbors is not None and np.ndim(final_num_neighbors):
+            k_arr = np.asarray(final_num_neighbors, np.int64)
+            if k_arr.ndim != 1 or len(k_arr) != len(queries):
+                raise ValueError(
+                    "per-query final_num_neighbors must be a 1-D array "
+                    "with one entry per query")
+            k = int(k_arr.max())
+        else:
+            k = final_num_neighbors or self.config.num_neighbors
         k_pre = k
         if self.config.reordering is not None:
             k_pre = self.config.reordering.reordering_num_neighbors
@@ -735,13 +749,23 @@ class ShardedTreeAHSearcher:
         idx = np.asarray(idx)[:nq]
         dist = np.asarray(dist)[:nq]
         if post_reordering_epsilon is not None:
-            eps = float(post_reordering_epsilon)
+            eps = np.asarray(post_reordering_epsilon, np.float32)
+            if eps.ndim:  # per-query epsilon vector
+                if eps.shape != (nq,):
+                    raise ValueError(
+                        "per-query post_reordering_epsilon must have one "
+                        "entry per query")
+                eps = eps[:, None]
             if self.config.distance_measure == cfg.DOT_PRODUCT:
                 bad = ~(dist >= eps)
             else:
                 bad = ~(dist <= eps)
             idx = np.where(bad, -1, idx)
             dist = np.where(bad, np.nan, dist)
+        if k_arr is not None:
+            tail = np.arange(k)[None, :] >= k_arr[:, None]
+            idx = np.where(tail, -1, idx)
+            dist = np.where(tail, np.nan, dist)
         return idx, dist
 
     # -------------------------------------------------------- persistence

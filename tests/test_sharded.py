@@ -551,3 +551,38 @@ def test_sharded_rejects_distance_conditioned_spilling():
          .score_brute_force(quantize="int8").create_config())
     with pytest.raises(ValueError, match="query spilling"):
         mesh_mod.build_sharded(db, c, m)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_per_query_params():
+    """Per-query final_num_neighbors / post_reordering_epsilon on the
+    sharded searcher (single-chip SearchParameters parity,
+    search_parameters.h:40-226): sized by max-k, per-query tails masked
+    after the sorted merge."""
+    db, q = make_data(n=6000, d=16, nq=8, seed=5)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    m = make_mesh()
+    c = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=6,
+               training_sample_size=3000)
+         .score_brute_force(quantize="int8").create_config())
+    ss = mesh_mod.build_sharded(db, c, m)
+
+    ks = np.array([1, 2, 3, 4, 5, 7, 9, 10])
+    idx, dist = ss.search_batched(q, final_num_neighbors=ks)
+    assert idx.shape == (8, 10)
+    full, _ = ss.search_batched(q, final_num_neighbors=10)
+    for i, ki in enumerate(ks):
+        np.testing.assert_array_equal(idx[i, :ki], full[i, :ki])
+        assert (idx[i, ki:] == -1).all()
+        assert np.isnan(dist[i, ki:]).all()
+
+    # per-query epsilon: each query keeps only dots >= its own threshold
+    eps = np.full(8, -np.inf, np.float32)
+    eps[0] = np.inf  # first query keeps nothing
+    i2, d2 = ss.search_batched(q, post_reordering_epsilon=eps)
+    assert (i2[0] == -1).all()
+    np.testing.assert_array_equal(i2[1:], full[1:])
+
+    with pytest.raises(ValueError, match="per-query"):
+        ss.search_batched(q, final_num_neighbors=np.array([3, 4]))
