@@ -122,11 +122,12 @@ def _sustained_qps(searcher, q, leaves, reps_a=3, reps_b=10):
     # so the stream measurement tiles the query set up to the cap.
     nq = q.shape[0]
     if pruned:
-        from scann_tpu.models.base import _PRUNED_MAX_BATCH
-        if nq < _PRUNED_MAX_BATCH:
-            reps_tile = -(-_PRUNED_MAX_BATCH // nq)
+        from scann_tpu.models.base import pruned_dispatch_cap
+        disp_cap = pruned_dispatch_cap(lv)
+        if nq < disp_cap:
+            reps_tile = -(-disp_cap // nq)
             q = np.concatenate([q] * reps_tile, axis=0)
-        nq = min(q.shape[0], _PRUNED_MAX_BATCH)
+        nq = min(q.shape[0], disp_cap)
     bucket = 8
     while bucket < nq:
         bucket *= 2

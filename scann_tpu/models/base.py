@@ -38,10 +38,23 @@ def _next_bucket(n: int) -> int:
 # lanes as batch * leaves / num_leaves grows, so the scoring matmul's
 # wasted lanes shrink while the per-tile work stays constant (measured at
 # glove scale, exact-sq engine: 522k QPS at 8192 -> 705k at 16384 -> 917k
-# at 32768).  Small calls are unaffected (they bucket to the next power
-# of two, not to this cap); the cap bounds the plan/packed scratch of
-# huge offline batches.
-_PRUNED_MAX_BATCH = 32768
+# at 32768 -> 1.43M at 65536 for leaves=2).  Small calls are unaffected
+# (they bucket to the next power of two, not to this cap); the cap bounds
+# the plan/packed scratch of huge offline batches.
+_PRUNED_MAX_BATCH = 65536
+# The plan/packed scratch (and the compiler's HLO temps) grow with
+# batch * leaves: 65536 x 20 compiles on a v5e chip, 65536 x 50 OOMs at
+# compile time.  Dispatches halve the batch cap until the pair product
+# fits this proven budget (32768 x 50).
+_PRUNED_PAIR_BUDGET = 32768 * 50
+
+
+def pruned_dispatch_cap(leaves: int) -> int:
+    """Largest pruned dispatch batch for a given leaves_to_search."""
+    cap = _PRUNED_MAX_BATCH
+    while cap > 8192 and cap * max(int(leaves), 1) > _PRUNED_PAIR_BUDGET:
+        cap //= 2
+    return cap
 
 
 def _row_quantize(delta):
@@ -644,17 +657,18 @@ class Searcher:
         # hashes/internal/lut16_args.h:74-95).
         pruned = (not full_scan
                   and getattr(self, "_pruned_available", False))
-        if pruned and nq > _PRUNED_MAX_BATCH:
+        disp_cap = pruned_dispatch_cap(leaves) if pruned else nq
+        if pruned and nq > disp_cap:
             # The pruned plan's scratch capacity grows with batch * leaves;
             # cap the device batch and loop (calls pipeline on device).
             def _sl(v, i):
                 """Slice per-query array params; pass scalars through."""
                 if v is None or np.isscalar(v):
                     return v
-                return np.asarray(v)[i:i + _PRUNED_MAX_BATCH]
+                return np.asarray(v)[i:i + disp_cap]
 
             outs = [self.search_batched(
-                queries[i:i + _PRUNED_MAX_BATCH],
+                queries[i:i + disp_cap],
                 final_num_neighbors if k_vec is None else _sl(k_vec, i),
                 (pre_reorder_num_neighbors if k_pre_vec is None
                  else _sl(k_pre_vec, i)),
@@ -665,7 +679,7 @@ class Searcher:
                 _sl(post_reordering_epsilon, i),
                 _sl(pre_reordering_epsilon, i),
                 per_crowding_attribute_pre_reordering_num_neighbors)
-                for i in range(0, nq, _PRUNED_MAX_BATCH)]
+                for i in range(0, nq, disp_cap)]
             idx_parts = [o[0] for o in outs]
             dist = np.concatenate([o[1] for o in outs], axis=0)
             if self.docids is not None:
