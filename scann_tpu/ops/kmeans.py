@@ -30,12 +30,29 @@ class KMeansResult(NamedTuple):
     counts: jax.Array  # (k,) int32
 
 
-def assign(x, centers, x_sq=None):
+def assign(x, centers, x_sq=None, *, block_rows=None):
     """Nearest-center (squared L2) assignment: one matmul + argmin.
 
     Equivalent of GmmUtils' UnbalancedFloat32PartitionAssignment
     (gmm_utils.cc:508-535).  Returns (assignments, sq_distances_to_center).
+
+    ``block_rows`` bounds the (rows, centers) f32 distance intermediate:
+    when set, rows are processed in lax.map blocks of that many rows so
+    peak memory is block_rows*k*4 bytes instead of n*k*4 (at n=250k,
+    k=10k the full intermediate is 10 GB — past single-chip HBM).
     """
+    if block_rows is not None and x.shape[0] > block_rows:
+        n = x.shape[0]
+        pad = (-n) % block_rows
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        xsq = (jnp.sum(xp * xp, axis=-1) if x_sq is None
+               else jnp.pad(x_sq, (0, pad)))
+        nb = xp.shape[0] // block_rows
+        a, dsq = jax.lax.map(
+            lambda args: assign(args[0], centers, args[1]),
+            (xp.reshape(nb, block_rows, -1),
+             xsq.reshape(nb, block_rows)))
+        return a.reshape(-1)[:n], dsq.reshape(-1)[:n]
     c_sq = jnp.sum(centers * centers, axis=-1)
     dots = jax.lax.dot_general(
         x, centers, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -78,7 +95,7 @@ def _reseed_bad_centers(x, centers, a, counts, sq_dists, min_size):
 
 
 def kmeans(key, x, k, *, iterations=12, init="random", spherical=False,
-           min_cluster_size=1):
+           min_cluster_size=1, block_rows=None):
     """Train k-means centers over ``x`` ((n, d) f32).
 
     init: "random" (RANDOM_INITIALIZATION) or "kmeans++"
@@ -110,7 +127,7 @@ def kmeans(key, x, k, *, iterations=12, init="random", spherical=False,
     centers = normalize(centers)
 
     def body(_, centers):
-        a, sq_dists = assign(x, centers, x_sq)
+        a, sq_dists = assign(x, centers, x_sq, block_rows=block_rows)
         new_centers, counts = _update_centers(x, a, k)
         # Keep old center for empty clusters before reseeding (division
         # guard above zeroed them).
@@ -120,7 +137,7 @@ def kmeans(key, x, k, *, iterations=12, init="random", spherical=False,
         return normalize(new_centers)
 
     centers = jax.lax.fori_loop(0, iterations, body, centers)
-    a, _ = assign(x, centers, x_sq)
+    a, _ = assign(x, centers, x_sq, block_rows=block_rows)
     _, counts = _update_centers(x, a, k)
     return KMeansResult(centers, a, counts)
 

@@ -864,7 +864,8 @@ def _reservoir_sample(chunks, sample_size: int, rng) -> tuple:
 
 def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
                             mesh: Mesh, shard_axis: str = "shard",
-                            data_axis: str = "data"
+                            data_axis: str = "data",
+                            compute_device=None
                             ) -> ShardedTreeAHSearcher:
     """Multi-chip index build that NEVER holds the f32 database resident:
     ``chunks_fn`` is a callable returning a fresh iterator of (m, d) f32
@@ -884,6 +885,14 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
          chunk with rows sharded across every device; outputs append to
          leaf-owner shard buffers (compressed only).
       4. per-shard leaf-sorted slot layout.
+
+    ``compute_device``: optional single fast device (e.g. one real TPU
+    chip) on which the streaming COMPUTE passes (k-means, tokenize +
+    SOAR + encode) run, while the finished index is laid out for — and
+    served from — ``mesh``.  This is the production "build on a big
+    chip, serve on a mesh" shape; the emitted index is structurally
+    identical to the pure-mesh build (same programs, replicated instead
+    of row-sharded operands).
     """
     part = scann_config.partitioning
     ah = scann_config.asymmetric_hash
@@ -917,6 +926,19 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
     devices = list(mesh.devices.flat)
     flat_mesh = Mesh(np.asarray(devices), ("data",))
     n_dev = len(devices)
+    if compute_device is not None:
+        _rep = functools.partial(jax.device_put, device=compute_device)
+        row_place = compute_device
+        # Bound the (rows, num_leaves) f32 assignment intermediates to
+        # ~512 MB on the single compute chip (at 250k rows x 10k leaves
+        # the unblocked intermediate is 10 GB — past HBM).
+        build_block = max(1024, 1 << int(math.log2(max(
+            1024, (1 << 29) // max(4 * part.num_leaves, 1)))))
+    else:
+        _rep = functools.partial(
+            jax.device_put, device=NamedSharding(flat_mesh, P()))
+        row_place = NamedSharding(flat_mesh, P("data", None))
+        build_block = None  # rows are already sharded over the mesh
 
     def _norm(rows):
         if not is_cosine:
@@ -929,7 +951,7 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         map(_norm, chunks_fn()), min(part.training_sample_size, 1 << 30),
         rng)
     sample_n, d = sample.shape
-    if sample_n * d <= (1 << 25):
+    if compute_device is not None or sample_n * d <= (1 << 25):
         # The sample fits one device comfortably: use the FULL single-chip
         # k-means engine (kmeans++/random init, empty-cluster reseeding,
         # min-size enforcement — one engine everywhere, like the
@@ -940,10 +962,10 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
             iterations=part.training_iterations,
             init="random" if part.random_init else "kmeans++",
             spherical=part.spherical,
-            min_cluster_size=part.min_partition_size))(
-                jax.random.PRNGKey(seed), jnp.asarray(sample))
-        centers = jax.device_put(res.centers,
-                                 NamedSharding(flat_mesh, P()))
+            min_cluster_size=part.min_partition_size,
+            block_rows=build_block))(
+                jax.random.PRNGKey(seed), _rep(sample))
+        centers = _rep(res.centers)
     else:
         # Huge samples: data-parallel Lloyd iterations over the mesh.
         sample_pad = _round_up(sample_n, n_dev)
@@ -968,20 +990,19 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
 
     @jax.jit
     def _tokenize_only(x, c):
-        a, _ = kmeans_ops.assign(x, c)
+        a, _ = kmeans_ops.assign(x, c, block_rows=build_block)
         return a.astype(jnp.int32)
 
     cap = max(2.0 * n / max(part.num_leaves, 1), 1024)
     cap_sample = max(int(cap * sample_n / max(n, 1)), 8)
-    tokens_s = np.asarray(_tokenize_only(jnp.asarray(sample), centers))
+    tokens_s = np.asarray(_tokenize_only(_rep(sample), centers))
     _, centers_np = kt.split_oversized(sample, tokens_s.astype(np.int64),
                                        np.asarray(centers), cap_sample)
     if centers_np.shape[0] != part.num_leaves:
         import dataclasses
         part = dataclasses.replace(part, num_leaves=centers_np.shape[0])
         scann_config = dataclasses.replace(scann_config, partitioning=part)
-        centers = jax.device_put(jnp.asarray(centers_np),
-                                 NamedSharding(flat_mesh, P()))
+        centers = _rep(centers_np)
         _logger.info("sharded build: split to %d leaves", part.num_leaves)
 
     # -- 1c. streaming AVQ centroid refit (single-chip apply_avq parity;
@@ -1009,7 +1030,7 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
 
         @jax.jit
         def _avq_accum(x, c, acc_a, acc_b, acc_tw):
-            tokens, _ = kmeans_ops.assign(x, c)
+            tokens, _ = kmeans_ops.assign(x, c, block_rows=build_block)
             norms = jnp.linalg.norm(x, axis=-1)
             nz = norms > 1e-20
             w = jnp.where(nz, norms ** (eta - 1.0), 0.0)
@@ -1052,17 +1073,16 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
             new = jax.lax.map(solve, (acc_a, acc_b, acc_tw))
             return jnp.where((acc_tw > 0)[:, None], new, c_old)
 
-        acc_a = jnp.zeros((num_l, d, d), jnp.float32)
-        acc_b = jnp.zeros((num_l, d), jnp.float32)
-        acc_tw = jnp.zeros((num_l,), jnp.float32)
+        acc_a = _rep(jnp.zeros((num_l, d, d), jnp.float32))
+        acc_b = _rep(jnp.zeros((num_l, d), jnp.float32))
+        acc_tw = _rep(jnp.zeros((num_l,), jnp.float32))
         for rows in chunks_fn():
             rows = _norm(np.asarray(rows, np.float32))
             acc_a, acc_b, acc_tw = _avq_accum(
-                jnp.asarray(rows), centers_assign, acc_a, acc_b, acc_tw)
-        centers = jax.device_put(
+                _rep(rows), centers_assign, acc_a, acc_b, acc_tw)
+        centers = _rep(
             np.asarray(_avq_refit(acc_a, acc_b, acc_tw,
-                                  jnp.asarray(centers))),
-            NamedSharding(flat_mesh, P()))
+                                  jnp.asarray(centers))))
         del acc_a, acc_b, acc_tw
         _logger.info("sharded build: AVQ centroid refit applied (eta=%g)",
                      eta)
@@ -1074,10 +1094,10 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
     else:
         @jax.jit
         def _residualize_sample(x, ca, cr):
-            a, _ = kmeans_ops.assign(x, ca)
+            a, _ = kmeans_ops.assign(x, ca, block_rows=build_block)
             return (x - jnp.take(cr, a, axis=0)) if residual else x
 
-        resid_sample = _residualize_sample(jnp.asarray(sample),
+        resid_sample = _residualize_sample(_rep(sample),
                                            centers_assign, centers)
         codebook = jax.jit(
             lambda k_, s: ah_ops.train_ah_model(
@@ -1116,8 +1136,7 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         deq = rows_q.astype(jnp.float32) * scale[:, None] + c_rows
         return rows_q, jnp.sum(deq * deq, axis=-1), scale
 
-    @jax.jit
-    def _tokenize_encode(x, ca, cr, cb):
+    def _te_block(x, ca, cr, cb):
         # ca = assignment centers (pre-AVQ), cr = residual centers (post-
         # AVQ refit); identical arrays when AVQ is off.
         tokens, _ = kmeans_ops.assign(x, ca)
@@ -1154,7 +1173,25 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
                 rows_scale, tokens2, codes2, rows_q2, rows_sq2,
                 rows_scale2)
 
-    row_sharding = NamedSharding(flat_mesh, P("data", None))
+    @jax.jit
+    def _tokenize_encode(x, ca, cr, cb):
+        if build_block is None or x.shape[0] <= build_block:
+            return _te_block(x, ca, cr, cb)
+        # Blocked on the compute chip: the SOAR assignment needs 3-4
+        # (rows, num_leaves) f32 intermediates — stream row blocks so
+        # peak memory stays ~GB at any chunk size.
+        m = x.shape[0]
+        pad = (-m) % build_block
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        nb = xp.shape[0] // build_block
+        outs = jax.lax.map(
+            lambda xb: _te_block(xb, ca, cr, cb),
+            xp.reshape(nb, build_block, xp.shape[1]))
+        return tuple(
+            o.reshape((o.shape[0] * o.shape[1],) + o.shape[2:])[:m]
+            for o in outs)
+
+    row_sharding = row_place
     if codebook is None:
         codebook_arg = jnp.zeros((0, 0, 0), jnp.float32)  # jit placeholder
     else:
@@ -1188,6 +1225,8 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
             rows = np.pad(rows, ((0, pad), (0, 0)))
         x_dev = jax.device_put(jnp.asarray(rows), row_sharding)
         out = _tokenize_encode(x_dev, centers_assign, centers, codebook_arg)
+        for o in out:  # overlap the per-array transfer latencies
+            o.copy_to_host_async()
         dpids = np.arange(row_base, row_base + m_rows, dtype=np.int32)
         t = np.asarray(out[0][:m_rows])
         _append(t, np.asarray(out[1][:m_rows]), np.asarray(out[2][:m_rows]),
@@ -1218,10 +1257,14 @@ def _layout_shards_from_parts(acc, num_leaves: int, n_shards: int,
     """Concatenate per-shard compressed buffers, leaf-sort within each
     shard, pad to a common chunk-aligned size."""
     parts = []
-    for a in acc:
+    for i in range(len(acc)):
+        a = acc[i]
         if a["codes"]:
-            parts.append({k: np.concatenate(v, axis=0)
-                          for k, v in a.items()})
+            part = {}
+            for k in list(a):
+                part[k] = np.concatenate(a[k], axis=0)
+                a[k] = None  # free chunk buffers as we go (100M peak RAM)
+            parts.append(part)
         else:
             parts.append({"codes": np.zeros((0, num_blocks), np.uint8),
                           "leaf": np.zeros((0,), np.int32),
@@ -1229,6 +1272,7 @@ def _layout_shards_from_parts(acc, num_leaves: int, n_shards: int,
                           "rows": np.zeros((0, dims), np.int8),
                           "sq": np.zeros((0,), np.float32),
                           "scale": np.zeros((0,), np.float32)})
+        acc[i] = None
     max_slots = max((len(p["leaf"]) for p in parts), default=1)
     chunk = min(65536, _round_up(max(max_slots, 128), 128))
     slots_padded = _round_up(max(max_slots, chunk), chunk)
@@ -1241,12 +1285,12 @@ def _layout_shards_from_parts(acc, num_leaves: int, n_shards: int,
     for sh, p in enumerate(parts):
         order = np.argsort(p["leaf"], kind="stable")
         m = len(order)
-        sh_codes[sh, :m] = p["codes"][order]
-        sh_leaf[sh, :m] = p["leaf"][order]
-        sh_dpid[sh, :m] = p["dpid"][order]
-        sh_rows[sh, :m] = p["rows"][order]
-        sh_sq[sh, :m] = p["sq"][order]
-        sh_scale[sh, :m] = p["scale"][order]
+        for key, dst in (("codes", sh_codes), ("leaf", sh_leaf),
+                         ("dpid", sh_dpid), ("rows", sh_rows),
+                         ("sq", sh_sq), ("scale", sh_scale)):
+            dst[sh, :m] = p[key][order]
+            p[key] = None
+        parts[sh] = None
     return {"codes": sh_codes, "slot_leaf": sh_leaf, "slot_dpid": sh_dpid,
             "rows_i8": sh_rows, "rows_sq": sh_sq, "rows_scale": sh_scale,
             "num_leaves": num_leaves, "dims": dims, "chunk": chunk}
