@@ -50,9 +50,15 @@ _PRUNED_PAIR_BUDGET = 32768 * 50
 
 
 def pruned_dispatch_cap(leaves: int) -> int:
-    """Largest pruned dispatch batch for a given leaves_to_search."""
+    """Largest pruned dispatch batch for a given leaves_to_search.
+
+    The pair budget is honored all the way down to a 1024 floor (the
+    budget only binds above 1600 leaves there), so batch * leaves never
+    exceeds the proven compile-memory budget for any realistic
+    leaves_to_search (ADVICE r3: an 8192 floor left 8192 * 400 = 3.3M
+    pairs reachable vs the 1.64M proven budget)."""
     cap = _PRUNED_MAX_BATCH
-    while cap > 8192 and cap * max(int(leaves), 1) > _PRUNED_PAIR_BUDGET:
+    while cap > 1024 and cap * max(int(leaves), 1) > _PRUNED_PAIR_BUDGET:
         cap //= 2
     return cap
 

@@ -46,6 +46,7 @@ from scann_tpu.ops import kmeans as kmeans_ops
 from scann_tpu.ops import lut16 as lut16_ops
 from scann_tpu.ops import quantize as quant_ops
 from scann_tpu.ops import topk as topk_ops
+from scann_tpu.partitioning.kmeans_tree import spilling_mask
 
 _logger = logging.getLogger("scann_tpu")
 
@@ -77,7 +78,8 @@ class ShardedTreeAHSearcher:
 
     def __init__(self, scann_config: cfg.ScannConfig, mesh: Mesh,
                  codebook, centers, host_parts: dict,
-                 shard_axis: str = "shard", data_axis: str = "data"):
+                 shard_axis: str = "shard", data_axis: str = "data",
+                 projector=None, query_spilling=None):
         self.config = scann_config
         self.part_cfg = scann_config.partitioning
         self.ah_cfg = scann_config.asymmetric_hash
@@ -90,9 +92,25 @@ class ShardedTreeAHSearcher:
         self.data_axis = data_axis
         self.n_shards = mesh.shape[shard_axis]
         self.n_data = mesh.shape[data_axis]
-        self.model = (ah_ops.AHModel(codebook=jnp.asarray(codebook),
-                                     dims=int(host_parts["dims"]))
-                      if codebook is not None else None)
+        # Projected (PCA/OPQ/truncate) indexes: tokenization and code
+        # scoring run in the projected space (queries projected once,
+        # replicated matmul), while the rescore rows are stored ABSOLUTE
+        # in the ORIGINAL space — the sharded counterpart of the
+        # single-chip rule "reorder stays raw" (models/base.py:283-305;
+        # reference KMeansTreeProjectingDecorator, projecting_decorator.h).
+        self.projector = projector
+        self.absolute_rows = bool(host_parts.get("absolute_rows",
+                                                 projector is not None))
+        if query_spilling is None and self.part_cfg is not None:
+            query_spilling = (
+                self.part_cfg.query_spilling_type or "fixed_number",
+                self.part_cfg.query_spilling_threshold or 0.0)
+        qs = query_spilling or ("fixed_number", 0.0)
+        self.query_spilling = (str(qs[0]), float(qs[1]))
+        self.model = (ah_ops.AHModel(
+            codebook=jnp.asarray(codebook),
+            dims=int(host_parts.get("model_dims", host_parts["dims"])))
+            if codebook is not None else None)
         self.num_leaves = int(host_parts["num_leaves"])
         self._shard_chunk = int(host_parts["chunk"])
         self._shard_slots = int(host_parts["rows_i8"].shape[1])
@@ -122,6 +140,9 @@ class ShardedTreeAHSearcher:
                                                  shard3)
             self.state["codebook"] = jax.device_put(self.model.codebook,
                                                     repl)
+        if self.projector is not None and self.projector.matrix is not None:
+            self.state["proj"] = jax.device_put(
+                jnp.asarray(self.projector.matrix), repl)
 
     # ---------------------------------------------------------- builders
     @classmethod
@@ -131,13 +152,10 @@ class ShardedTreeAHSearcher:
         rows are compressed to int8 for the per-shard rescore)."""
         if searcher.partitioner is None:
             raise ValueError("sharded search requires a partitioned index")
-        if searcher.projector is not None:
-            raise ValueError(
-                "sharded search does not support projected (PCA/OPQ) "
-                "searchers yet: codes live in the rotated space but the "
-                "sharded query path has no projection stage (ADVICE r2)")
+        projector = getattr(searcher, "projector", None)
         n_shards = mesh.shape[shard_axis]
         num_leaves = searcher.partitioner.num_leaves
+        model_dims = None
         if getattr(searcher, "_sq_mode", False):
             # Tree-SQ searcher: no codes; the residual rows re-derive from
             # the database (the sharded sq format stores exactly them).
@@ -145,20 +163,25 @@ class ShardedTreeAHSearcher:
             slot_dpid = np.asarray(searcher.slot_dpid)
             codes = np.zeros((slot_leaf.shape[0], 0), np.uint8)
             codebook = None
-            dims = database.shape[1]
         else:
             codes = np.asarray(searcher._host["codes"])
             slot_leaf = np.asarray(searcher.index.slot_leaf)
             slot_dpid = np.asarray(searcher.index.slot_dpid)
             codebook = np.asarray(searcher.model.codebook)
-            dims = searcher.model.dims
+            model_dims = searcher.model.dims
         host_parts = _layout_shards(
             codes, slot_leaf, slot_dpid, database, num_leaves, n_shards,
-            dims=dims,
-            centers=np.asarray(searcher.partitioner.centers))
+            dims=database.shape[1],
+            centers=np.asarray(searcher.partitioner.centers),
+            absolute_rows=projector is not None)
+        if model_dims is not None:
+            host_parts["model_dims"] = model_dims
+        part = searcher.partitioner
         return cls(searcher.config, mesh, codebook,
-                   np.asarray(searcher.partitioner.centers), host_parts,
-                   shard_axis, data_axis)
+                   np.asarray(part.centers), host_parts,
+                   shard_axis, data_axis, projector=projector,
+                   query_spilling=(part.query_spilling_type,
+                                   part.query_spilling_threshold))
 
     def set_crowding(self, attributes):
         """Attach per-datapoint crowding attributes, indexed by global
@@ -243,13 +266,20 @@ class ShardedTreeAHSearcher:
         sd[mask] = -1
 
         centers = np.asarray(self.state["centers"])
-        diff = vecs[:, None, :] - centers[None, :, :]
+        # Projected indexes tokenize/encode in the projected space; the
+        # int8 rescore rows below stay absolute in the original space.
+        if self.projector is not None:
+            vp = np.asarray(self.projector.project(
+                jnp.asarray(vecs, jnp.float32)))
+        else:
+            vp = vecs
+        diff = vp[:, None, :] - centers[None, :, :]
         d2 = np.einsum("nld,nld->nl", diff, diff)
         prim = d2.argmin(axis=1).astype(np.int32)
         token_cols = [prim]
         soar = self.part_cfg.soar if self.part_cfg else None
         if soar is not None:
-            r = vecs - centers[prim]
+            r = vp - centers[prim]
             rn = np.linalg.norm(r, axis=1, keepdims=True)
             r_hat = np.where(rn < 1e-7, 0.0, r / np.maximum(rn, 1e-20))
             proj = np.einsum("nld,nd->nl", diff, r_hat)
@@ -265,24 +295,28 @@ class ShardedTreeAHSearcher:
         residual = sq_fmt or bool(self.ah_cfg.residual_quantization)
         new_rows = []  # (slot_leaf, dpid, codes, rows_i8, rows_sq, scale)
         for col in token_cols:
-            v = vecs - centers[col] if residual else vecs
+            v = vp - centers[col] if residual else vp
             vj = jnp.asarray(v)
             if sq_fmt:
                 codes = np.zeros((len(vecs), 0), np.uint8)
             elif not _math.isnan(threshold):
                 codes = np.asarray(ah_ops_.encode_noise_shaped(
-                    vj, jnp.asarray(vecs), self.model, threshold))
+                    vj, jnp.asarray(vp), self.model, threshold))
             else:
                 codes = np.asarray(ah_ops_.encode(vj, self.model))
             # Residual per-row int8 rescore rows vs this slot's center
-            # (single-chip residual-reorder parity).
-            delta = vecs - centers[col]
+            # (single-chip residual-reorder parity); absolute rows for
+            # projected indexes (centers live in the projected space).
+            delta = (vecs if self.absolute_rows
+                     else vecs - centers[col])
             m = np.abs(delta).max(axis=1)
             scale = (m / 127.0).astype(np.float32)
             inv = np.where(m > 0, 127.0 / np.maximum(m, 1e-30), 0.0)
             q = np.clip(np.round(delta * inv[:, None]),
                         -127, 127).astype(np.int8)
-            deq = q.astype(np.float32) * scale[:, None] + centers[col]
+            deq = q.astype(np.float32) * scale[:, None]
+            if not self.absolute_rows:
+                deq = deq + centers[col]
             new_rows.append((col, ids.astype(np.int32), codes, q,
                              (deq * deq).sum(axis=1).astype(np.float32),
                              scale))
@@ -326,8 +360,15 @@ class ShardedTreeAHSearcher:
     # ------------------------------------------------------------ search
     def _search_fn(self, k: int, k_pre: int, leaves: int,
                    restricted: bool = False, crowding_limit=(),
-                   pre_tokenized: bool = False):
+                   pre_tokenized: bool = False, pre_crowding_limit=()):
         if self.leaf_format == "sq":
+            # Exact-score leaves: there is no reorder stage, so the
+            # pre-reordering cap IS the post cap (tightest per dim).
+            if pre_crowding_limit:
+                crowding_limit = (tuple(
+                    min(a, b) for a, b in zip(crowding_limit,
+                                              pre_crowding_limit))
+                    if crowding_limit else pre_crowding_limit)
             return self._search_fn_sq(k, k_pre, leaves, restricted,
                                       crowding_limit, pre_tokenized)
         measure = self.measure
@@ -346,14 +387,33 @@ class ShardedTreeAHSearcher:
                       ) if soar is not None else k_pre
         k_fetch = min(k_fetch, slots)
         shard_axis, data_axis = self.shard_axis, self.data_axis
+        has_proj_mat = "proj" in self.state
+        proj_trunc = (self.projector.out_dims
+                      if (self.projector is not None
+                          and self.projector.matrix is None) else None)
+        absolute = self.absolute_rows
+        spill_type, spill_thr = self.query_spilling
 
         def local_step(queries, codes, slot_leaf, slot_dpid, rows_i8,
                        rows_sq, rows_scale, codebook, centers, *rest):
             # queries: (q_local, d); codes: (1, S, B) local shard block.
             rest = list(rest)
+            proj = rest.pop(0) if has_proj_mat else None
             allow = rest.pop(0) if restricted else None
-            attrs = rest.pop(0) if crowding_limit else None
+            attrs = (rest.pop(0) if (crowding_limit or pre_crowding_limit)
+                     else None)
             pre_tok = rest.pop(0) if pre_tokenized else None
+            # Projected (PCA/OPQ/truncate) index: tokenization and code
+            # scoring see the PROJECTED query; the exact rescore below
+            # stays in the original space against absolute rows
+            # (projecting_decorator.h role, "reorder stays raw").
+            if proj is not None:
+                q_t = jnp.dot(queries, proj,
+                              preferred_element_type=jnp.float32)
+            elif proj_trunc is not None:
+                q_t = queries[:, :proj_trunc]
+            else:
+                q_t = queries
             codes = codes[0]
             slot_leaf = slot_leaf[0]
             slot_dpid = slot_dpid[0]
@@ -361,7 +421,7 @@ class ShardedTreeAHSearcher:
             rows_sq = rows_sq[0]
             rows_scale = rows_scale[0]
             model = ah_ops.AHModel(codebook=codebook, dims=model_dims)
-            luts = ah_ops.build_luts(queries, model, measure, lookup)
+            luts = ah_ops.build_luts(q_t, model, measure, lookup)
             nq = queries.shape[0]
             riota = jnp.arange(nq)[:, None]
             if pre_tok is not None:
@@ -378,22 +438,39 @@ class ShardedTreeAHSearcher:
                 bias_dense = None
                 if residual:
                     c_sel = jnp.take(centers, leaf_ids, axis=0)
-                    sims = jnp.einsum("nd,nld->nl", queries, c_sel)
+                    sims = jnp.einsum("nd,nld->nl", q_t, c_sel)
                     bias_dense = jnp.zeros(
                         (nq, num_leaves + 1), jnp.float32
                     ).at[riota, tgt].set(sims)[:, :num_leaves]
             else:
                 sims_qc = dist_ops.similarity(
-                    queries, centers, measure,
+                    q_t, centers, measure,
                     precision=jax.lax.Precision.DEFAULT)
                 center_sims, leaf_ids = jax.lax.top_k(sims_qc, leaves)
-                mask_dense = jnp.zeros((nq, num_leaves), bool
-                                       ).at[riota, leaf_ids].set(True)
-                bias_dense = None
-                if residual:
-                    bias_dense = jnp.zeros(
-                        (nq, num_leaves), jnp.float32
-                    ).at[riota, leaf_ids].set(center_sims)
+                if spill_type != "fixed_number":
+                    # Distance-conditioned query spilling: the static
+                    # `leaves` acts as max_spill_centers and the threshold
+                    # masks the tail (kmeans_tree_partitioner.cc:189-284).
+                    keep = spilling_mask(center_sims, spill_type,
+                                         spill_thr)
+                    tgt = jnp.where(keep, leaf_ids, num_leaves)
+                    mask_dense = jnp.zeros(
+                        (nq, num_leaves + 1), bool
+                    ).at[riota, tgt].set(True)[:, :num_leaves]
+                    bias_dense = None
+                    if residual:
+                        bias_dense = jnp.zeros(
+                            (nq, num_leaves + 1), jnp.float32
+                        ).at[riota, tgt].set(center_sims)[:, :num_leaves]
+                else:
+                    mask_dense = jnp.zeros(
+                        (nq, num_leaves), bool
+                    ).at[riota, leaf_ids].set(True)
+                    bias_dense = None
+                    if residual:
+                        bias_dense = jnp.zeros(
+                            (nq, num_leaves), jnp.float32
+                        ).at[riota, leaf_ids].set(center_sims)
 
             num_chunks = slots // chunk
 
@@ -430,6 +507,19 @@ class ShardedTreeAHSearcher:
                               -1)
             if soar is not None:
                 vals, dpids, lslots = _dedup_slots(vals, dpids, lslots)
+            if pre_crowding_limit:
+                # PRE-reordering crowding: cap per attribute on the AH
+                # scores of THIS shard's candidates before the exact
+                # rescore (single-chip parity, base/search_parameters.h
+                # pre-reordering caps); the same limits re-apply after
+                # the cross-shard merge so the cap holds globally.
+                a_pre = jnp.take(attrs, jnp.clip(dpids, 0,
+                                                 attrs.shape[0] - 1),
+                                 axis=0)
+                vals, dpids_f = topk_ops.crowding_filter_multi(
+                    vals, dpids, a_pre, pre_crowding_limit)
+                lslots = jnp.where(dpids_f < 0, -1, lslots)
+                dpids = dpids_f
             # Exact local rescore on this shard's RESIDUAL int8 rows
             # (single-chip ReorderHelper residual-mode parity): each slot
             # stores x - c_{slot_leaf} with a per-row scale; the exact
@@ -438,13 +528,19 @@ class ShardedTreeAHSearcher:
             qd = dist_ops.one_to_many_gathered(
                 queries, rows_i8, safe_sl, cfg.DOT_PRODUCT)
             qd = qd * jnp.take(rows_scale, safe_sl)
-            qc_dot = jax.lax.dot_general(
-                queries, centers,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            bias_c = jnp.take_along_axis(
-                qc_dot, jnp.take(slot_leaf, safe_sl), axis=-1)
-            dots_x = qd + bias_c
+            if absolute:
+                # Projected index: rescore rows are stored ABSOLUTE in
+                # the original space (the centers live in the projected
+                # space), so there is no q.c bias term.
+                dots_x = qd
+            else:
+                qc_dot = jax.lax.dot_general(
+                    queries, centers,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                bias_c = jnp.take_along_axis(
+                    qc_dot, jnp.take(slot_leaf, safe_sl), axis=-1)
+                dots_x = qd + bias_c
             if measure == cfg.SQUARED_L2:
                 q_sq = jnp.sum(queries * queries, axis=-1, keepdims=True)
                 row_sq = jnp.take(rows_sq, safe_sl)
@@ -461,15 +557,20 @@ class ShardedTreeAHSearcher:
                 # A spilled datapoint's two copies can live on different
                 # shards; suppress cross-shard duplicates after the gather.
                 g_vals, g_ids = topk_ops.dedup_candidates(g_vals, g_ids)
-            if crowding_limit:
+            if crowding_limit or pre_crowding_limit:
                 # Post-merge crowding over the full gathered candidate set
                 # (attribute table replicated, gathered by global dpid) —
                 # the sharded analogue of the single-chip post-reordering
-                # crowding cap.
+                # crowding cap.  Pre-reordering limits re-apply here so
+                # per-shard caps also hold across shards.
+                lims = (tuple(min(a, b) for a, b in zip(
+                    crowding_limit, pre_crowding_limit))
+                    if (crowding_limit and pre_crowding_limit)
+                    else (crowding_limit or pre_crowding_limit))
                 a_g = jnp.take(attrs, jnp.clip(g_ids, 0,
                                                attrs.shape[0] - 1), axis=0)
                 g_vals, g_ids = topk_ops.crowding_filter_multi(
-                    g_vals, g_ids, a_g, crowding_limit)
+                    g_vals, g_ids, a_g, lims)
             kk = min(k, g_vals.shape[-1])
             vals_k, posk = jax.lax.top_k(g_vals, kk)
             ids_k = jnp.take_along_axis(g_ids, posk, axis=-1)
@@ -488,9 +589,11 @@ class ShardedTreeAHSearcher:
                     P(shard_axis, None),     # rows_scale
                     P(),                     # codebook
                     P())                     # centers
+        if has_proj_mat:
+            in_specs = in_specs + (P(),)     # replicated projection matrix
         if restricted:
             in_specs = in_specs + (P(),)     # replicated allowlist
-        if crowding_limit:
+        if crowding_limit or pre_crowding_limit:
             in_specs = in_specs + (P(),)     # replicated crowding attrs
         if pre_tokenized:
             in_specs = in_specs + (P(data_axis, None),)  # per-query leaves
@@ -520,13 +623,27 @@ class ShardedTreeAHSearcher:
         soar = self.part_cfg.soar if self.part_cfg else None
         k_fetch = min(2 * k if soar is not None else k, slots)
         shard_axis, data_axis = self.shard_axis, self.data_axis
+        has_proj_mat = "proj" in self.state
+        proj_trunc = (self.projector.out_dims
+                      if (self.projector is not None
+                          and self.projector.matrix is None) else None)
+        absolute = self.absolute_rows
+        spill_type, spill_thr = self.query_spilling
 
         def local_step(queries, slot_leaf, slot_dpid, rows_i8,
                        rows_sq, rows_scale, centers, *rest):
             rest = list(rest)
+            proj = rest.pop(0) if has_proj_mat else None
             allow = rest.pop(0) if restricted else None
             attrs = rest.pop(0) if crowding_limit else None
             pre_tok = rest.pop(0) if pre_tokenized else None
+            if proj is not None:
+                q_t = jnp.dot(queries, proj,
+                              preferred_element_type=jnp.float32)
+            elif proj_trunc is not None:
+                q_t = queries[:, :proj_trunc]
+            else:
+                q_t = queries
             slot_leaf = slot_leaf[0]
             slot_dpid = slot_dpid[0]
             rows_i8 = rows_i8[0]
@@ -543,17 +660,30 @@ class ShardedTreeAHSearcher:
                                            True)[:, :num_leaves]
             else:
                 sims_qc = dist_ops.similarity(
-                    queries, centers, measure,
+                    q_t, centers, measure,
                     precision=jax.lax.Precision.DEFAULT)
-                _, leaf_ids = jax.lax.top_k(sims_qc, leaves)
-                mask_dense = jnp.zeros((nq, num_leaves), bool
-                                       ).at[riota, leaf_ids].set(True)
-            # Exact f32 q.c per leaf, gathered per slot by its leaf id.
-            qc_dot = jax.lax.dot_general(
-                queries, centers,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
+                center_sims, leaf_ids = jax.lax.top_k(sims_qc, leaves)
+                if spill_type != "fixed_number":
+                    keep = spilling_mask(center_sims, spill_type,
+                                         spill_thr)
+                    tgt = jnp.where(keep, leaf_ids, num_leaves)
+                    mask_dense = jnp.zeros(
+                        (nq, num_leaves + 1), bool
+                    ).at[riota, tgt].set(True)[:, :num_leaves]
+                else:
+                    mask_dense = jnp.zeros(
+                        (nq, num_leaves), bool
+                    ).at[riota, leaf_ids].set(True)
+            # Exact f32 q.c per leaf, gathered per slot by its leaf id
+            # (zero when rows are stored absolute: projected indexes).
+            if absolute:
+                qc_dot = None
+            else:
+                qc_dot = jax.lax.dot_general(
+                    queries, centers,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
             q_bf = queries.astype(jnp.bfloat16)
             q_sq = jnp.sum(queries * queries, axis=-1)
 
@@ -573,8 +703,9 @@ class ShardedTreeAHSearcher:
                     q_bf, rows_c.astype(jnp.bfloat16),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                qx = (dots * sc_c[None, :]
-                      + jnp.take(qc_dot, leaf_c, axis=1))
+                qx = dots * sc_c[None, :]
+                if qc_dot is not None:
+                    qx = qx + jnp.take(qc_dot, leaf_c, axis=1)
                 if measure == cfg.SQUARED_L2:
                     sq_c = jax.lax.dynamic_slice_in_dim(rows_sq, start,
                                                         chunk)
@@ -630,6 +761,8 @@ class ShardedTreeAHSearcher:
                     P(shard_axis, None),        # rows_sq
                     P(shard_axis, None),        # rows_scale
                     P())                        # centers
+        if has_proj_mat:
+            in_specs = in_specs + (P(),)        # replicated projection
         if restricted:
             in_specs = in_specs + (P(),)
         if crowding_limit:
@@ -647,29 +780,37 @@ class ShardedTreeAHSearcher:
                        restrict_allowlist=None,
                        per_crowding_attribute_num_neighbors=None,
                        pre_tokenized_leaves=None,
-                       post_reordering_epsilon=None):
+                       post_reordering_epsilon=None,
+                       per_crowding_attribute_pre_reordering_num_neighbors=(
+                           None)):
         """Sharded batched search.  Accepts the single-chip kwargs:
         restricts (allowlist replicated over the mesh and masked per
         shard), crowding (attribute table replicated, cap applied after
         the cross-shard merge on exact scores — call set_crowding first)
         and per-query pre-tokenized leaf lists (sharded with the queries
         over the data axis)."""
-        crowding_limit = ()
-        if per_crowding_attribute_num_neighbors is not None:
+        def _crowding_tuple(lim, kwarg_name):
+            if lim is None:
+                return ()
             if self._crowding_attrs is None:
                 raise ValueError(
                     "call set_crowding(attributes) before searching with "
-                    "per_crowding_attribute_num_neighbors")
-            lim = per_crowding_attribute_num_neighbors
+                    + kwarg_name)
             num_dims = self._crowding_attrs.shape[1]
             if np.isscalar(lim):
-                crowding_limit = (int(lim),) * num_dims
-            else:
-                crowding_limit = tuple(int(x) for x in lim)
-                if len(crowding_limit) != num_dims:
-                    raise ValueError(
-                        f"expected {num_dims} crowding limits, got "
-                        f"{len(crowding_limit)}")
+                return (int(lim),) * num_dims
+            out = tuple(int(x) for x in lim)
+            if len(out) != num_dims:
+                raise ValueError(
+                    f"expected {num_dims} crowding limits, got {len(out)}")
+            return out
+
+        crowding_limit = _crowding_tuple(
+            per_crowding_attribute_num_neighbors,
+            "per_crowding_attribute_num_neighbors")
+        pre_crowding_limit = _crowding_tuple(
+            per_crowding_attribute_pre_reordering_num_neighbors,
+            "per_crowding_attribute_pre_reordering_num_neighbors")
         # Per-query result counts (reference SearchParameters semantics,
         # search_parameters.h:40-226): size the program by the max and
         # mask each query's tail after the sorted cross-shard merge —
@@ -717,11 +858,13 @@ class ShardedTreeAHSearcher:
             pt_padded = np.full((bucket, pre_tok.shape[1]), -1, np.int32)
             pt_padded[:nq] = pre_tok
         key = (bucket, k, k_pre, leaves, restricted, crowding_limit,
-               None if pre_tok is None else pre_tok.shape[1])
+               None if pre_tok is None else pre_tok.shape[1],
+               pre_crowding_limit)
         fn = self._compiled.get(key)
         if fn is None:
             fn = self._search_fn(k, k_pre, leaves, restricted,
-                                 crowding_limit, pre_tok is not None)
+                                 crowding_limit, pre_tok is not None,
+                                 pre_crowding_limit)
             self._compiled[key] = fn
         st = self.state
         q_dev = jax.device_put(
@@ -735,11 +878,13 @@ class ShardedTreeAHSearcher:
             args = [q_dev, st["codes"], st["slot_leaf"], st["slot_dpid"],
                     st["rows_i8"], st["rows_sq"], st["rows_scale"],
                     st["codebook"], st["centers"]]
+        if "proj" in st:
+            args.append(st["proj"])
         if restricted:
             allow = np.asarray(restrict_allowlist, bool)
             args.append(jax.device_put(
                 jnp.asarray(allow), NamedSharding(self.mesh, P())))
-        if crowding_limit:
+        if crowding_limit or pre_crowding_limit:
             args.append(self._crowding_attrs)
         if pre_tok is not None:
             args.append(jax.device_put(
@@ -777,6 +922,8 @@ class ShardedTreeAHSearcher:
         hp = self._host_parts
         extra = ({} if self.model is None
                  else {"codebook": np.asarray(self.model.codebook)})
+        if self.projector is not None and self.projector.matrix is not None:
+            extra["proj_matrix"] = np.asarray(self.projector.matrix)
         np.savez(os.path.join(artifacts_dir, "sharded_assets.npz"),
                  codes=hp["codes"], slot_leaf=hp["slot_leaf"],
                  slot_dpid=hp["slot_dpid"], rows_i8=hp["rows_i8"],
@@ -788,6 +935,11 @@ class ShardedTreeAHSearcher:
                 "n_shards": self.n_shards,
                 "leaf_format": self.leaf_format,
                 "config": json.loads(self.config.to_json())}
+        if self.projector is not None:
+            meta["proj_out_dims"] = int(self.projector.out_dims)
+            meta["absolute_rows"] = bool(self.absolute_rows)
+        if "model_dims" in self._host_parts:
+            meta["model_dims"] = int(self._host_parts["model_dims"])
         with open(os.path.join(artifacts_dir, "sharded_config.json"),
                   "w") as f:
             json.dump(meta, f, indent=2)
@@ -812,10 +964,21 @@ def load_sharded(artifacts_dir: str, mesh: Mesh, shard_axis: str = "shard",
                    "rows_scale")}
     host_parts.update(num_leaves=meta["num_leaves"], dims=meta["dims"],
                       chunk=meta["chunk"])
+    if "model_dims" in meta:
+        host_parts["model_dims"] = meta["model_dims"]
+    if "absolute_rows" in meta:
+        host_parts["absolute_rows"] = bool(meta["absolute_rows"])
     codebook = raw["codebook"] if "codebook" in raw.files else None
+    projector = None
+    if "proj_out_dims" in meta:
+        from scann_tpu.ops.projection import Projector
+        mat = (jnp.asarray(raw["proj_matrix"])
+               if "proj_matrix" in raw.files else None)
+        projector = Projector(matrix=mat,
+                              out_dims=int(meta["proj_out_dims"]))
     return ShardedTreeAHSearcher(scann_config, mesh, codebook,
                                  raw["centers"], host_parts, shard_axis,
-                                 data_axis)
+                                 data_axis, projector=projector)
 
 
 # ------------------------------------------------------------------ build
@@ -916,11 +1079,11 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
     is_cosine = scann_config.distance_measure == cfg.COSINE
     if soar is not None and not residual:
         raise ValueError("SOAR requires residual quantization")
-    if part.query_spilling_type != "fixed_number":
+    if scann_config.projection is not None:
         raise ValueError(
-            "the sharded searcher tokenizes queries to a fixed "
-            "num_leaves_to_search; distance-conditioned query spilling "
-            f"({part.query_spilling_type!r}) is a single-chip feature")
+            "the streaming sharded build does not train projections; "
+            "build a single-chip projected searcher and shard it with "
+            "ShardedTreeAHSearcher.from_searcher")
     seed = scann_config.seed
     rng = np.random.default_rng(seed)
     devices = list(mesh.devices.flat)
@@ -1028,18 +1191,24 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
                 f"{stats_bytes} bytes; reduce num_leaves or project first")
         blk = 2048
 
+        # At eta == 1 the reference's AvqAccumulator weights zero-norm
+        # members with fillzero = 1 (anisotropic.cc:32-87): zero vectors
+        # count toward the mean.  (ADVICE r3.)
+        fillzero = 1.0 if eta == 1.0 else 0.0
+
         @jax.jit
         def _avq_accum(x, c, acc_a, acc_b, acc_tw):
             tokens, _ = kmeans_ops.assign(x, c, block_rows=build_block)
             norms = jnp.linalg.norm(x, axis=-1)
             nz = norms > 1e-20
-            w = jnp.where(nz, norms ** (eta - 1.0), 0.0)
+            w = jnp.where(nz, norms ** (eta - 1.0), fillzero)
             sw = jnp.where(nz, norms ** (0.5 * (eta - 3.0)), 0.0)
             xw = x * sw[:, None]
             m = x.shape[0]
             pad = (-m) % blk
             # Padded rows carry zero weight (and zero xw), so the scatter
-            # targets for them are irrelevant.
+            # targets for them are irrelevant.  (With fillzero, w is
+            # padded with zeros below, keeping pad rows excluded.)
             xp = jnp.pad(x, ((0, pad), (0, 0)))
             xwp = jnp.pad(xw, ((0, pad), (0, 0)))
             wp = jnp.pad(w, (0, pad))
@@ -1299,10 +1468,15 @@ def _layout_shards_from_parts(acc, num_leaves: int, n_shards: int,
 def _layout_shards(codes: np.ndarray, slot_leaf: np.ndarray,
                    slot_dpid: np.ndarray, database: np.ndarray,
                    num_leaves: int, n_shards: int, dims: int,
-                   centers: np.ndarray) -> dict:
+                   centers: np.ndarray, absolute_rows: bool = False) -> dict:
     """Group live slots of a resident index into leaf-owner shards
     (from_searcher path): residual-compress rescore rows per slot, then
-    defer to the compressed-parts layout."""
+    defer to the compressed-parts layout.
+
+    ``absolute_rows``: store int8 of the raw row instead of the residual
+    vs its leaf center — required for projected indexes, whose centers
+    live in the projected space while the rescore stays in the original
+    space (no q.c bias term at query time)."""
     valid = np.nonzero(slot_dpid >= 0)[0]
     centers = np.asarray(centers, np.float32)
     leaves_per_shard = -(-num_leaves // n_shards)
@@ -1313,7 +1487,8 @@ def _layout_shards(codes: np.ndarray, slot_leaf: np.ndarray,
     for s in range(0, len(valid), step):
         sel = valid[s:s + step]
         rows = database[slot_dpid[sel]]
-        c_rows = centers[slot_leaf[sel]]
+        c_rows = (np.zeros_like(rows) if absolute_rows
+                  else centers[slot_leaf[sel]])
         delta = rows - c_rows
         m = np.abs(delta).max(axis=1)
         scale = (m / 127.0).astype(np.float32)
@@ -1334,8 +1509,10 @@ def _layout_shards(codes: np.ndarray, slot_leaf: np.ndarray,
             a["rows"].append(q[pick])
             a["sq"].append(sq[pick])
             a["scale"].append(scale[pick])
-    return _layout_shards_from_parts(acc, num_leaves, n_shards, dims=dims,
-                                     num_blocks=codes.shape[1])
+    parts = _layout_shards_from_parts(acc, num_leaves, n_shards, dims=dims,
+                                      num_blocks=codes.shape[1])
+    parts["absolute_rows"] = absolute_rows
+    return parts
 
 
 def _dedup_slots(vals, dpids, slots):

@@ -69,21 +69,8 @@ class KMeansTreePartitioner(NamedTuple):
         (kmeans_tree_partitioner.cc:189-284): the static L =
         num_leaves_to_search acts as the reference's max_spill_centers
         cap and the threshold masks the tail per query."""
-        t = self.query_spilling_type
-        if t == "fixed_number":
-            return jnp.ones(sims.shape, bool)
-        thr = self.query_spilling_threshold
-        best = sims[:, :1]
-        if t == "additive":
-            # d_k <= d_best + thr  <=>  s_k >= s_best - thr
-            return sims >= best - thr
-        if t == "absolute_distance":
-            # d <= thr  <=>  s >= -thr
-            return sims >= -thr
-        if t == "multiplicative":
-            # d_k <= thr * d_best with d = -s >= 0 (squared-L2 space).
-            return -sims <= thr * jnp.maximum(-best, 0.0)
-        raise ValueError(f"unknown query_spilling_type: {t}")
+        return spilling_mask(sims, self.query_spilling_type,
+                             self.query_spilling_threshold)
 
     # ----------------------------------------------------------- training
     @staticmethod
@@ -312,7 +299,13 @@ class KMeansTreePartitioner(NamedTuple):
                 xm = jnp.take(x, idx_row, axis=0) * valid_row[:, None]
                 norms = jnp.linalg.norm(xm, axis=-1)
                 nz = norms > 1e-20
-                w = jnp.where(nz, norms ** (eta - 1.0), 0.0)
+                # At eta == 1 the reference's AvqAccumulator weights
+                # zero-norm members with fillzero = 1 (anisotropic.cc:
+                # 32-87): zero vectors count toward the mean.  Padding
+                # rows (valid_row == 0) stay excluded.  (ADVICE r3.)
+                fillzero = 1.0 if eta == 1.0 else 0.0
+                w = jnp.where(nz, norms ** (eta - 1.0),
+                              fillzero * valid_row)
                 sw = jnp.where(nz, norms ** (0.5 * (eta - 3.0)), 0.0)
                 xw = xm * sw[:, None]
                 xtx = jax.lax.dot_general(
@@ -332,6 +325,28 @@ class KMeansTreePartitioner(NamedTuple):
         new_centers = jnp.where((counts > 0)[:, None], new_centers,
                                 self.centers)
         return self._replace(centers=new_centers)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def spilling_mask(sims, spilling_type: str, threshold: float):
+    """(B, L) keep-mask over rank-ordered center SIMILARITIES (higher
+    better), the module-level form shared by the single-chip partitioner
+    and the sharded query path (kmeans_tree_partitioner.cc:189-284)."""
+    t = spilling_type
+    if t == "fixed_number":
+        return jnp.ones(sims.shape, bool)
+    thr = threshold
+    best = sims[:, :1]
+    if t == "additive":
+        # d_k <= d_best + thr  <=>  s_k >= s_best - thr
+        return sims >= best - thr
+    if t == "absolute_distance":
+        # d <= thr  <=>  s >= -thr
+        return sims >= -thr
+    if t == "multiplicative":
+        # d_k <= thr * d_best with d = -s >= 0 (squared-L2 space).
+        return -sims <= thr * jnp.maximum(-best, 0.0)
+    raise ValueError(f"unknown query_spilling_type: {t}")
 
 
 @jax.jit

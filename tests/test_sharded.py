@@ -541,16 +541,114 @@ def test_sharded_streaming_avq():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_sharded_rejects_distance_conditioned_spilling():
-    db, _ = make_data(n=2000, d=16)
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_query_spilling():
+    """Distance-conditioned query spilling on the sharded query path
+    (kmeans_tree_partitioner.cc:189-284 role): a tight additive threshold
+    must search fewer leaves (lower recall) than a loose one at the same
+    static num_leaves_to_search, and the loose threshold must match the
+    plain fixed_number results exactly."""
+    db, q = make_data(n=4000, d=16, nq=16, seed=3)
+    m = make_mesh()
+
+    def build(**spill):
+        c = (scann_tpu.builder(db, 10, "dot_product")
+             .tree(num_leaves=16, num_leaves_to_search=8,
+                   training_sample_size=2000, **spill)
+             .score_brute_force(quantize="int8").create_config())
+        return mesh_mod.build_sharded(db, c, m)
+
+    fixed = build()
+    loose = build(query_spilling_type="additive",
+                  query_spilling_threshold=1e9)
+    tight = build(query_spilling_type="additive",
+                  query_spilling_threshold=0.0)
+    i_fixed, _ = fixed.search_batched(q)
+    i_loose, _ = loose.search_batched(q)
+    i_tight, _ = tight.search_batched(q)
+    np.testing.assert_array_equal(i_fixed, i_loose)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+
+    def recall(idx):
+        return np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                        for i in range(len(q))])
+
+    # threshold 0 keeps only leaves tied with the best => ~1 leaf searched
+    assert recall(i_tight) < recall(i_loose), (recall(i_tight),
+                                               recall(i_loose))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_projected_searcher():
+    """PCA-projected single-chip searcher sharded via from_searcher:
+    tokenization + code scoring in the projected space, exact rescore on
+    ABSOLUTE int8 rows in the original space (projecting_decorator.h
+    role).  Serialization round-trips the projector."""
+    db, q = make_data(n=4000, d=32, nq=16, seed=4)
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=6,
+               training_sample_size=2000)
+         .pca(reduction_dim=20, pca_significance_threshold=None)
+         .score_ah(2, anisotropic_quantization_threshold=float("nan"))
+         .reorder(60).build())
+    i1, d1 = s.search_batched(q)
+
+    m = make_mesh()
+    ss = mesh_mod.ShardedTreeAHSearcher.from_searcher(s, db, m)
+    i2, d2 = ss.search_batched(q)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+
+    def recall(idx):
+        return np.mean([len(set(idx[i]) & set(truth[i])) / 10
+                        for i in range(len(q))])
+
+    assert recall(i2) >= recall(i1) - 0.03, (recall(i2), recall(i1))
+    same = i1 == i2
+    np.testing.assert_allclose(d1[same], d2[same], rtol=0.05, atol=0.05)
+
+    # round-trip through sharded serialization
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        ss.serialize(td)
+        ss2 = mesh_mod.load_sharded(td, m)
+        i3, _ = ss2.search_batched(q)
+        np.testing.assert_array_equal(i2, i3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_pre_reorder_crowding():
+    """per_crowding_attribute_pre_reordering_num_neighbors on the sharded
+    searcher: the cap binds on the candidates BEFORE the exact rescore and
+    holds globally after the cross-shard merge."""
+    db, q = make_data(n=4000, d=16, nq=8, seed=6)
     m = make_mesh()
     c = (scann_tpu.builder(db, 10, "dot_product")
-         .tree(num_leaves=16, num_leaves_to_search=4,
-               training_sample_size=1000,
-               query_spilling_type="additive", query_spilling_threshold=0.1)
-         .score_brute_force(quantize="int8").create_config())
-    with pytest.raises(ValueError, match="query spilling"):
-        mesh_mod.build_sharded(db, c, m)
+         .tree(num_leaves=16, num_leaves_to_search=8,
+               training_sample_size=2000)
+         .score_ah(2, anisotropic_quantization_threshold=float("nan"))
+         .reorder(40).create_config())
+    ss = mesh_mod.build_sharded(db, c, m)
+    attrs = np.arange(len(db)) % 3
+    ss.set_crowding(attrs)
+    idx, _ = ss.search_batched(
+        q, per_crowding_attribute_pre_reordering_num_neighbors=2)
+    for row in idx:
+        live = row[row >= 0]
+        counts = np.bincount(attrs[live], minlength=3)
+        assert counts.max() <= 2, counts
+    # sq format folds the pre cap into the exact-score crowding filter
+    c2 = (scann_tpu.builder(db, 10, "dot_product")
+          .tree(num_leaves=16, num_leaves_to_search=8,
+                training_sample_size=2000)
+          .score_brute_force(quantize="int8").create_config())
+    ss2 = mesh_mod.build_sharded(db, c2, m)
+    ss2.set_crowding(attrs)
+    idx2, _ = ss2.search_batched(
+        q, per_crowding_attribute_pre_reordering_num_neighbors=2)
+    for row in idx2:
+        live = row[row >= 0]
+        counts = np.bincount(attrs[live], minlength=3)
+        assert counts.max() <= 2, counts
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
