@@ -48,6 +48,23 @@ def searcher_from_tensors(tensors):
     return serialization.searcher_from_tensors(tensors)
 
 
+def load_reference_assets(artifacts_dir):
+    """Load a reference-format (scann_assets.pbtxt) artifact directory into
+    a live searcher — migration path for indexes serialized by the
+    reference library (ScannInterface::LoadArtifacts role,
+    scann_ops/cc/scann.cc:105-263)."""
+    from scann_tpu.utils import ref_assets
+    return ref_assets.load_reference_assets(artifacts_dir)
+
+
+def save_reference_assets(searcher, artifacts_dir):
+    """Write a searcher as a reference-format artifact directory readable
+    by the reference's load_searcher (ScannInterface::Serialize role,
+    scann_ops/cc/scann.cc:504-601)."""
+    from scann_tpu.utils import ref_assets
+    return ref_assets.save_reference_assets(searcher, artifacts_dir)
+
+
 def serve(artifacts_dir, host="0.0.0.0", port=8080, block=True):
     """Serve a serialized index over HTTP (the reference's TF-Serving
     deployment role; see scann_tpu.serving)."""

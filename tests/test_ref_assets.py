@@ -1,0 +1,229 @@
+"""Reference-format asset interop (scann_assets.pbtxt directories).
+
+The fixture strategy follows VERDICT r3 next-4: write reference-format
+assets, load them back, and require the imported searcher to match the
+original searcher's results on the same data — plus wire-format checks
+against hand-assembled protobuf bytes so the codec is validated against
+the wire spec, not just against itself.
+"""
+
+import dataclasses
+import struct
+
+import numpy as np
+import pytest
+
+import scann_tpu
+from scann_tpu.utils import ref_assets
+
+
+def make_data(n=3000, d=24, nq=16, seed=0, normalize=False):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((20, d)).astype(np.float32)
+    db = (centers[rng.integers(0, 20, n)]
+          + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    q = rng.standard_normal((nq, d)).astype(np.float32)
+    if normalize:
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return db, q
+
+
+# ---------------------------------------------------------------- wire codec
+
+def _varint(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _len_field(field, payload):
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def test_decode_hand_assembled_config():
+    """Bytes assembled from the protobuf wire spec directly (independent of
+    the module's encoder)."""
+    dist = _len_field(1, b"DotProductDistance")
+    # partitioning: num_children=2000 (f3), query_spilling{type=4, max=100}
+    qs = _varint(1 << 3) + _varint(4) + _varint(3 << 3) + _varint(100)
+    part = (_varint(3 << 3) + _varint(2000) + _len_field(21, qs))
+    # hash.asymmetric_hash: clusters=16 (f2), lookup INT8_LUT16 (f20),
+    # residual (f22), noise_shaping_threshold=0.2 (f28, double)
+    ah = (_varint(2 << 3) + _varint(16)
+          + _varint(20 << 3) + _varint(3)
+          + _varint(22 << 3) + _varint(1)
+          + _varint((28 << 3) | 1) + struct.pack("<d", 0.2))
+    buf = (_varint(3 << 3) + _varint(10)         # num_neighbors = 10
+           + _len_field(5, dist)
+           + _len_field(8, part)
+           + _len_field(13, _len_field(5, ah)))
+    c = ref_assets.decode_scann_config(buf)
+    assert c.num_neighbors == 10
+    assert c.distance_measure == "dot_product"
+    assert c.partitioning.num_leaves == 2000
+    assert c.partitioning.num_leaves_to_search == 100
+    assert c.asymmetric_hash.hash_type == "lut16"
+    assert c.asymmetric_hash.residual_quantization is True
+    assert abs(c.asymmetric_hash.anisotropic_quantization_threshold
+               - 0.2) < 1e-12
+    assert c.reordering is None
+
+
+def test_decode_hand_assembled_partitioner():
+    centers = np.arange(6, dtype=np.float64).reshape(2, 3)
+    # Node{centers{dimension packed}, children{leaf_id}}
+    node = b"".join(
+        _len_field(1, _len_field(1, row.tobytes())) for row in centers)
+    node += b"".join(
+        _len_field(3, _varint(5 << 3) + _varint(i)) for i in range(2))
+    buf = (_varint(1 << 3) + _varint(2)
+           + _len_field(2, _len_field(1, _len_field(1, node))))
+    got = ref_assets.decode_partitioner(buf)
+    np.testing.assert_allclose(got, centers.astype(np.float32))
+
+
+def test_codebook_round_trip():
+    cb = np.random.default_rng(0).standard_normal((5, 16, 2)).astype(
+        np.float32)
+    got = ref_assets.decode_codebook(ref_assets.encode_codebook(cb))
+    np.testing.assert_array_equal(got, cb)
+
+
+def test_config_round_trip_all_sections():
+    db, _ = make_data(n=500)
+    config = (scann_tpu.builder(db, 10, "dot_product")
+              .tree(num_leaves=16, num_leaves_to_search=4,
+                    soar_lambda=1.2, overretrieve_factor=2.5)
+              .score_ah(2, anisotropic_quantization_threshold=0.2)
+              .reorder(50, quantize="int8")
+              .create_config())
+    config = dataclasses.replace(config, reordering=dataclasses.replace(
+        config.reordering, residual=False))
+    got = ref_assets.decode_scann_config(
+        ref_assets.encode_scann_config(config))
+    assert got.num_neighbors == 10
+    assert got.distance_measure == "dot_product"
+    assert got.partitioning.num_leaves == 16
+    assert got.partitioning.soar is not None
+    assert abs(got.partitioning.soar.lambda_ - 1.2) < 1e-6
+    assert abs(got.partitioning.soar.overretrieve_factor - 2.5) < 1e-6
+    assert got.asymmetric_hash.dimensions_per_block == 2
+    assert got.reordering.quantize == "int8"
+    assert got.reordering.reordering_num_neighbors == 50
+    assert got.reordering.residual is False
+
+
+def test_assets_pbtxt_round_trip():
+    assets = [("AH_CENTERS", "ah_codebook.pb"),
+              ("TOKENIZATION_NPY", "datapoint_to_token.npy")]
+    text = ref_assets.emit_assets_pbtxt(assets)
+    assert ref_assets.parse_assets_pbtxt(text) == assets
+
+
+# ----------------------------------------------------- directory round trips
+
+def _export_import(s, tmp_path, q):
+    i1, d1 = s.search_batched(q)
+    scann_tpu.save_reference_assets(s, str(tmp_path))
+    s2 = scann_tpu.load_reference_assets(str(tmp_path))
+    i2, d2 = s2.search_batched(q)
+    return (i1, d1), (i2, d2), s2
+
+
+def test_tree_ah_reference_round_trip(tmp_path):
+    db, q = make_data()
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=4,
+               training_sample_size=3000)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(50).build())
+    (i1, d1), (i2, d2), s2 = _export_import(s, tmp_path, q)
+    # Same codes, centers, codebook and reordering rows -> identical
+    # results (verify_serialization contract).
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    assert type(s2).__name__ == "TreeAHSearcher"
+
+
+def test_tree_ah_soar_reference_round_trip(tmp_path):
+    db, q = make_data(normalize=True)
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=4,
+               training_sample_size=3000, soar_lambda=1.5)
+         .score_ah(2, anisotropic_quantization_threshold=0.2)
+         .reorder(50).build())
+    (i1, d1), (i2, d2), s2 = _export_import(s, tmp_path, q)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    assert s2.datapoint_to_token.shape == (len(db), 2)
+    # Interleaved npy: even slot = primary token, odd = secondary (-1 if
+    # absent) — the positional pairing the reference loader uses
+    # (scann.cc:140-155).
+    tok = np.load(tmp_path / "datapoint_to_token.npy").reshape(-1, 2)
+    np.testing.assert_array_equal(tok[:, 0],
+                                  np.asarray(s.datapoint_to_token)[:, 0])
+    # Bit-identical slot layout after re-import.
+    np.testing.assert_array_equal(s._host["dpid"], s2._host["dpid"])
+    np.testing.assert_array_equal(s._host["codes"], s2._host["codes"])
+
+
+def test_tree_ah_int8_reorder_round_trip(tmp_path):
+    db, q = make_data()
+    config = (scann_tpu.builder(db, 10, "dot_product")
+              .tree(num_leaves=16, num_leaves_to_search=4,
+                    training_sample_size=3000)
+              .score_ah(2)
+              .reorder(50, quantize="int8")
+              .create_config())
+    # Reference int8 reordering stores absolute rows; residual int8 is a
+    # TPU-native layout with no reference equivalent.
+    config = dataclasses.replace(config, reordering=dataclasses.replace(
+        config.reordering, residual=False))
+    s = scann_tpu.create_searcher(db, config)
+    (i1, d1), (i2, d2), _ = _export_import(s, tmp_path, q)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+    mult = np.load(tmp_path / "int8_multipliers.npy")
+    assert mult.shape == (db.shape[1],)
+
+
+def test_residual_reorder_export_rejected(tmp_path):
+    db, q = make_data()
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=4,
+               training_sample_size=3000)
+         .score_ah(2)
+         .reorder(50, quantize="int8").build())
+    with pytest.raises(ValueError, match="residual int8"):
+        scann_tpu.save_reference_assets(s, str(tmp_path))
+
+
+def test_brute_force_reference_round_trip(tmp_path):
+    db, q = make_data()
+    s = (scann_tpu.builder(db, 7, "squared_l2")
+         .score_brute_force(quantize="int8").build())
+    (i1, d1), (i2, d2), s2 = _export_import(s, tmp_path, q)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5)
+    assert type(s2).__name__ == "BruteForceSearcher"
+
+
+def test_docids_travel(tmp_path):
+    db, q = make_data(n=500)
+    docids = [f"doc-{i}" for i in range(len(db))]
+    s = (scann_tpu.builder(db, 5, "dot_product")
+         .tree(num_leaves=8, num_leaves_to_search=3,
+               training_sample_size=500)
+         .score_ah(2)
+         .reorder(20).build())
+    s.docids = docids
+    scann_tpu.save_reference_assets(s, str(tmp_path))
+    s2 = scann_tpu.load_reference_assets(str(tmp_path))
+    assert s2.docids == docids
