@@ -227,10 +227,69 @@ class ShardedTreeAHSearcher:
             spec = shard3 if hp[key].ndim == 3 else shard2
             self.state[key] = jax.device_put(jnp.asarray(hp[key]), spec)
 
+    def _scatter_slots(self, sh_idx, sl_idx, keys):
+        """Write a small set of (shard, slot) table entries to the devices
+        with one donated O(batch) scatter instead of re-uploading the whole
+        shard tables (single-chip analogue: the mutator's in-place
+        `.at[slots].set`; reference packs codes in place,
+        asymmetric_hashing2/searcher_mutator.cc).  Values are read from the
+        already-mutated host tables.  Each device drops writes addressed to
+        other shards (out-of-range slot + scatter mode="drop"), so the only
+        host->device traffic is the replicated update batch itself."""
+        b = len(sh_idx)
+        if b == 0:
+            return
+        hp = self._host_parts
+        b_pad = max(8, 1 << (b - 1).bit_length())
+        pad = b_pad - b
+        # Padding rows carry shard -1: no device claims them.
+        sh = np.concatenate([np.asarray(sh_idx, np.int32),
+                             np.full(pad, -1, np.int32)])
+        sl = np.concatenate([np.asarray(sl_idx, np.int32),
+                             np.zeros(pad, np.int32)])
+        vals = []
+        for key in keys:
+            tab = np.asarray(hp[key])
+            v = tab[sh_idx, sl_idx]
+            vals.append(np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)]))
+        sig = ("scatter", keys, b_pad)
+        fn = self._compiled.get(sig)
+        if fn is None:
+            shard_axis = self.shard_axis
+            ranks = tuple(self.state[k].ndim for k in keys)
+
+            def local(sh, sl, *args):
+                tabs, vs = args[:len(keys)], args[len(keys):]
+                me = jax.lax.axis_index(shard_axis)
+                out = []
+                for tab, v in zip(tabs, vs):
+                    sl2 = jnp.where(sh == me, sl, tab.shape[1])
+                    out.append(tab.at[0, sl2].set(v, mode="drop"))
+                return tuple(out)
+
+            in_specs = tuple(
+                [P(), P()]
+                + [P(shard_axis, *(None,) * (r - 1)) for r in ranks]
+                + [P()] * len(keys))
+            out_specs = tuple(P(shard_axis, *(None,) * (r - 1))
+                              for r in ranks)
+            fn = jax.jit(
+                jax.shard_map(local, mesh=self.mesh, in_specs=in_specs,
+                              out_specs=out_specs),
+                donate_argnums=tuple(range(2, 2 + len(keys))))
+            self._compiled[sig] = fn
+        new_tabs = fn(jnp.asarray(sh), jnp.asarray(sl),
+                      *[self.state[k] for k in keys],
+                      *[jnp.asarray(v) for v in vals])
+        for key, tab in zip(keys, new_tabs):
+            self.state[key] = tab
+
     def delete(self, ids):
         """Remove datapoints by global datapoint id.  The sharded engine
         addresses points by integer id (there is no host docid map at this
-        scale); all slot copies (SOAR spills included) are freed."""
+        scale); all slot copies (SOAR spills included) are freed.  Device
+        transfer is O(deleted slots), not O(index)."""
         ids = np.asarray(ids, np.int64).ravel()
         hp = self._host_parts
         sd = np.asarray(hp["slot_dpid"])
@@ -241,7 +300,8 @@ class ShardedTreeAHSearcher:
             raise KeyError(f"datapoint ids not present: {missing[:8]}")
         sd[mask] = -1
         hp["slot_dpid"] = sd
-        self._refresh_device(("slot_dpid",))
+        sh_idx, sl_idx = np.nonzero(mask)
+        self._scatter_slots(sh_idx, sl_idx, ("slot_dpid",))
 
     def upsert(self, ids, vectors):
         """Insert or update datapoints by global id: tokenize (+SOAR
@@ -263,6 +323,7 @@ class ShardedTreeAHSearcher:
         sd = np.asarray(hp["slot_dpid"])
         # Update = delete + insert.
         mask = np.isin(sd, ids)
+        del_sh, del_sl = np.nonzero(mask)
         sd[mask] = -1
 
         centers = np.asarray(self.state["centers"])
@@ -323,7 +384,8 @@ class ShardedTreeAHSearcher:
 
         total_new = sum(len(r[0]) for r in new_rows)
         free_sh, free_slot = np.nonzero(sd < 0)
-        if len(free_sh) < total_new:
+        grew = len(free_sh) < total_new
+        if grew:
             grow = _round_up(total_new - len(free_sh), self._shard_chunk)
             for key, fill in (("codes", 0), ("slot_leaf", 0),
                               ("slot_dpid", -1), ("rows_i8", 0),
@@ -355,7 +417,20 @@ class ShardedTreeAHSearcher:
         hp.update(slot_leaf=leaf_tab, slot_dpid=sd, codes=codes_tab,
                   rows_i8=rows_tab, rows_sq=sq_tab, rows_scale=scale_tab)
         self.n_points = max(self.n_points, int(ids.max()) + 1)
-        self._refresh_device()
+        if grew:
+            # Shapes changed: the compiled programs retrace anyway, so the
+            # full re-upload is the only O(index) path left (bulk loads
+            # should size capacity up front via build_sharded_streaming).
+            self._refresh_device()
+            return
+        touched_sh = np.concatenate([del_sh, free_sh[:total_new]])
+        touched_sl = np.concatenate([del_sl, free_slot[:total_new]])
+        flat = touched_sh.astype(np.int64) * self._shard_slots + touched_sl
+        _, first = np.unique(flat, return_index=True)
+        keys = ("slot_leaf", "slot_dpid", "rows_i8", "rows_sq", "rows_scale")
+        if self.leaf_format == "ah":
+            keys = keys + ("codes",)
+        self._scatter_slots(touched_sh[first], touched_sl[first], keys)
 
     # ------------------------------------------------------------ search
     def _search_fn(self, k: int, k_pre: int, leaves: int,
