@@ -866,6 +866,7 @@ class Searcher:
         """Remove datapoints by docid (reference: ScannSearcher.delete ->
         ScannNumpy::Delete; tombstone-then-compact like the reference's
         mutator removal path)."""
+        from scann_tpu import mutation
         if not isinstance(docids, list):
             docids = [docids]
         st = self._mutation_state()
@@ -878,6 +879,16 @@ class Searcher:
             ids.append(i)
         self._apply_delete(np.asarray(ids, np.int64))
         st.mutations_since_rebuild += len(ids)
+        part_cfg = getattr(self, "part_cfg", None)
+        if (mutation.incremental_threshold_exceeded(part_cfg, st,
+                                                    self.n_points)
+                and getattr(part_cfg, "incremental_mode", "online")
+                == "online_incremental"
+                and hasattr(self, "incremental_maintenance")):
+            # Deletes strand capacity in shrinking leaves; the maintenance
+            # pass merges underfull partitions away (mutator.h:676-781).
+            self.incremental_maintenance()
+            st.mutations_since_rebuild = 0
 
     def rebalance(self):
         """Full retrain + reindex from the live vectors (reference:

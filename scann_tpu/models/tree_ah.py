@@ -354,6 +354,10 @@ class TreeAHSearcher(base.Searcher):
         # Per-partition mutation pressure (reference: mutation_stats_,
         # tree_x_hybrid/mutator.h CheckReassignment).
         self._leaf_mutations = np.zeros((num_leaves,), np.int64)
+        # Cumulative per-leaf delete pressure: only leaves deletes have
+        # drained are merge candidates (a leaf BUILT small is the
+        # trainer's choice, not stranded capacity).
+        self._leaf_deletions = np.zeros((num_leaves,), np.int64)
         self._in_maintenance = False
         # The full-scan device copy of the codes is only needed by the
         # dense masked path; partitioned searchers serve queries from the
@@ -792,6 +796,9 @@ class TreeAHSearcher(base.Searcher):
         if not slots:
             return
         slot_arr = np.asarray(slots, np.int32)
+        if getattr(self, "_leaf_deletions", None) is not None:
+            np.add.at(self._leaf_deletions,
+                      self._host["leaf"][slot_arr], 1)
         self._host["dpid"][slot_arr] = -1
         self._free_slots.extend(slots)
         self.index = self.index._replace(
@@ -804,32 +811,122 @@ class TreeAHSearcher(base.Searcher):
         self._num_slots = int(np.sum(self._host["dpid"] >= 0))
 
     # -------------------------------------------- incremental maintenance
-    def incremental_maintenance(self, max_splits: int = 4) -> int:
+    def incremental_maintenance(self, max_splits: int = 4,
+                                max_merges: int = 4) -> int:
         """Per-partition maintenance instead of a full O(N) retrain
         (reference ONLINE_INCREMENTAL: TreeXHybridMutator::SplitPartition /
         Reassign / IncrementalMaintenance, tree_x_hybrid/mutator.h:560-737):
         the most oversized partitions split in two (a local 2-means over
         their members, matching the role of the reference's perturbed-
-        centroid split + reassign) and only their members re-tokenize.
-        The AH codebook and every untouched leaf's slots are unchanged.
-        Returns the number of partitions split."""
+        centroid split + reassign) and only their members re-tokenize;
+        underfull partitions left behind by deletes MERGE away (center
+        dropped, members re-tokenized against the remaining tree) so
+        deletes don't strand empty-leaf capacity.  The AH codebook and
+        every untouched leaf's slots are unchanged.  Returns the number of
+        partitions changed (splits + merges)."""
         if self.partitioner is None or getattr(self, "_mut", None) is None:
             return 0
         st = self._mut
-        t = self.datapoint_to_token
-        na = min(len(st.alive), len(t))
-        prim = np.where(st.alive[:na], t[:na, 0], -1)
-        counts = np.bincount(prim[prim >= 0],
-                             minlength=self.partitioner.num_leaves)
+
+        def _primary_counts():
+            t = self.datapoint_to_token
+            na = min(len(st.alive), len(t))
+            prim = np.where(st.alive[:na], t[:na, 0], -1)
+            return np.bincount(prim[prim >= 0],
+                               minlength=self.partitioner.num_leaves)
+
+        counts = _primary_counts()
         avg = max(1.0, counts.mean())
         oversized = np.nonzero(counts > 2.0 * avg)[0]
         oversized = oversized[np.argsort(-counts[oversized])][:max_splits]
-        splits = 0
+        changed = 0
         for tok in oversized:
             if self._split_partition(int(tok)):
-                splits += 1
+                changed += 1
+        if max_merges and self.partitioner.num_leaves > 2:
+            counts = _primary_counts()
+            avg = max(1.0, counts[counts > 0].mean()
+                      if (counts > 0).any() else 1.0)
+            # Merge only leaves deletes have drained to near-empty (<5% of
+            # the mean): moderate imbalance is the splitter's domain, a
+            # leaf BUILT small is the trainer's choice, and merging
+            # healthy-but-small leaves would fight the splitter.
+            underfull = np.nonzero(
+                (counts < max(2.0, 0.05 * avg))
+                & (self._leaf_deletions > 0))[0]
+            # Smallest first; apply in DESCENDING token order so earlier
+            # merges don't shift the ids still waiting in the list.
+            underfull = underfull[np.argsort(counts[underfull],
+                                             kind="stable")][:max_merges]
+            for tok in sorted((int(x) for x in underfull), reverse=True):
+                if self.partitioner.num_leaves <= 2:
+                    break
+                if self._merge_partition(tok):
+                    changed += 1
         self._leaf_mutations[:] = 0
-        return splits
+        return changed
+
+    def _merge_partition(self, token: int) -> bool:
+        """Merge one underfull partition away: drop its center, shift the
+        leaf ids above it down by one (host + device tables, an on-device
+        remap with no host transfer), and re-tokenize only the affected
+        datapoints — primary members plus SOAR spills into the dying leaf —
+        against the remaining centers.  The reverse of _split_partition
+        (reference role: IncrementalMaintenance-driven reassignment,
+        mutator.h:676-781)."""
+        import dataclasses
+        self._ensure_mutable_maps()
+        st = self._mut
+        t = self.datapoint_to_token
+        na = min(len(st.alive), len(t))
+        affected = np.nonzero(np.logical_and(
+            st.alive[:na], (t[:na] == token).any(axis=1)))[0]
+        centers = np.delete(np.array(np.asarray(self.partitioner.centers)),
+                            token, axis=0)
+        centers_int8 = inv_mult = None
+        if self.partitioner.centers_int8 is not None:
+            from scann_tpu.ops import quantize as quant_ops
+            sq = quant_ops.scalar_quantize(jnp.asarray(centers))
+            centers_int8, inv_mult = sq.data, sq.inverse_multipliers
+        upper_assign = self.partitioner.upper_assign
+        if upper_assign is not None:
+            keep = np.delete(np.arange(upper_assign.shape[0]), token)
+            upper_assign = jnp.asarray(np.asarray(upper_assign)[keep])
+        self.partitioner = self.partitioner._replace(
+            centers=jnp.asarray(centers), centers_int8=centers_int8,
+            centers_inv_mult=inv_mult, upper_assign=upper_assign)
+        # Remap every copy of the old leaf numbering.
+        if not t.flags.writeable:
+            t = t.copy()
+        t[t > token] -= 1
+        self.datapoint_to_token = t
+        h = self._host
+        h["leaf"][h["leaf"] > token] -= 1
+        sl = self.index.slot_leaf
+        self.index = self.index._replace(
+            slot_leaf=jnp.where(sl > token, sl - 1, sl))
+        if (self.reorder_helper is not None
+                and self.reorder_helper._leaf is not None):
+            rl = self.reorder_helper._leaf
+            self.reorder_helper._leaf = jnp.where(rl > token, rl - 1, rl)
+            self.reorder_helper._centers = self.partitioner.centers
+        self._leaf_mutations = np.delete(self._leaf_mutations, token)
+        self._leaf_deletions = np.delete(self._leaf_deletions, token)
+        self.part_cfg = dataclasses.replace(
+            self.part_cfg, num_leaves=centers.shape[0],
+            num_leaves_to_search=min(self.part_cfg.num_leaves_to_search,
+                                     centers.shape[0]))
+        self.config = dataclasses.replace(self.config,
+                                          partitioning=self.part_cfg)
+        self._invalidate_pruned()
+        if len(affected):
+            self._in_maintenance = True
+            try:
+                self._apply_upsert(affected.astype(np.int64),
+                                   st.vectors[affected])
+            finally:
+                self._in_maintenance = False
+        return True
 
     def _split_partition(self, token: int) -> bool:
         """Split one partition: 2-means over its members, replace its
@@ -885,6 +982,8 @@ class TreeAHSearcher(base.Searcher):
                                           partitioning=self.part_cfg)
         self._leaf_mutations = np.concatenate(
             [self._leaf_mutations, np.zeros((1,), np.int64)])
+        self._leaf_deletions = np.concatenate(
+            [self._leaf_deletions, np.zeros((1,), np.int64)])
         # Reassign only this partition's members (reference Reassign,
         # mutator.h:710-737: re-tokenize + UpdateDatapoint each).
         self._in_maintenance = True
