@@ -293,6 +293,28 @@ def main():
                     "batch_ms": batch_ms, "pre": pre}
     PRE_REORDER = base_pre
 
+    # Pipelined end-to-end at the winning point THROUGH THE PUBLIC API:
+    # all sub-batches dispatch via search_batched_async before any result
+    # materializes, so upload/compute/sync overlap across batches (the
+    # double-buffered serving shape; VERDICT r3 weak-3).  On a tunneled
+    # chip this is bounded by tunnel bandwidth; on direct-attached TPU it
+    # approaches the stream rate.
+    pipe_chunk = 2048
+    for _warm in range(1):
+        searcher.search_batched(
+            q[:pipe_chunk], pre_reorder_num_neighbors=best.get("pre"),
+            leaves_to_search=best["leaves"])
+    t0 = time.perf_counter()
+    pend = [searcher.search_batched_async(
+        q[i:i + pipe_chunk], pre_reorder_num_neighbors=best.get("pre"),
+        leaves_to_search=best["leaves"])
+        for i in range(0, N_QUERY, pipe_chunk)]
+    for p in pend:
+        p.result()
+    pipe_qps = N_QUERY / (time.perf_counter() - t0)
+    _log(f"pipelined e2e at winning point: {pipe_qps:.0f} qps")
+    best["pipe_qps"] = pipe_qps
+
     trace_dir = os.environ.get("SCANN_TPU_BENCH_TRACE")
     if trace_dir:
         # Device-profile substantiation of the stream number: capture a
@@ -341,6 +363,7 @@ def main():
         "pre_reorder_num_neighbors": best.get("pre", PRE_REORDER),
         "device_ms_per_batch": round(best.get("batch_ms", 0.0), 3),
         "end_to_end_qps_tunneled": round(best.get("e2e_qps", 0.0), 1),
+        "end_to_end_qps_pipelined": round(best.get("pipe_qps", 0.0), 1),
         "index_build_s": round(build_s, 1),
         "lookup_type": lookup,
         "scoring_bytes_per_vector": round(score_bytes / N_DB, 1),

@@ -183,8 +183,11 @@ def main():
             jnp.full((nq, 10), -jnp.inf, jnp.float32), compute_device)
         best_i = jax.device_put(
             jnp.full((nq, 10), -1, jnp.int32), compute_device)
+        from scann_tpu.utils import transfer
         for ci in range(args.chunks):
-            x = jax.device_put(make_chunk(ci), compute_device)
+            # Bounded slices: single ~100 MB device_puts wedge the
+            # tunneled PJRT worker (STATUS.md).
+            x = transfer.to_device(make_chunk(ci), device=compute_device)
             best_v, best_i = gt_step(best_v, best_i, x, qd,
                                      np.int32(ci * args.chunk_rows))
         best_i = np.asarray(best_i)

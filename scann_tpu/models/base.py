@@ -32,6 +32,26 @@ def _next_bucket(n: int) -> int:
     return b
 
 
+class PendingSearch:
+    """Handle for an in-flight batched search: the device program is
+    already dispatched; .result() materializes the outputs (the one
+    host<->device sync) and runs the host-side postprocessing.  Dispatch
+    batch N+1 before calling batch N's .result() to double-buffer the
+    device (the serving layer and bench use exactly this)."""
+
+    __slots__ = ("_finalize", "_result")
+
+    def __init__(self, finalize):
+        self._finalize = finalize
+        self._result = None
+
+    def result(self):
+        if self._finalize is not None:
+            self._result = self._finalize()
+            self._finalize = None
+        return self._result
+
+
 # Device-batch cap for the pruned leaf-gather path (its work-plan scratch
 # arrays scale with batch * leaves_to_search).  Larger batches also RAISE
 # kernel efficiency: leaf-major query groups fill toward QG=128 live
@@ -531,9 +551,33 @@ class Searcher:
                        pre_reordering_epsilon=None,
                        per_crowding_attribute_pre_reordering_num_neighbors
                        =None):
+        """Batched search (see search_batched_async for the full parameter
+        docs); dispatches and blocks for the results."""
+        return self.search_batched_async(
+            queries, final_num_neighbors, pre_reorder_num_neighbors,
+            leaves_to_search, restrict_allowlist,
+            per_crowding_attribute_num_neighbors, pre_tokenized_leaves,
+            post_reordering_epsilon, pre_reordering_epsilon,
+            per_crowding_attribute_pre_reordering_num_neighbors).result()
+
+    def search_batched_async(self, queries, final_num_neighbors=None,
+                             pre_reorder_num_neighbors=None,
+                             leaves_to_search=None,
+                             restrict_allowlist=None,
+                             per_crowding_attribute_num_neighbors=None,
+                             pre_tokenized_leaves=None,
+                             post_reordering_epsilon=None,
+                             pre_reordering_epsilon=None,
+                             per_crowding_attribute_pre_reordering_num_neighbors
+                             =None):
         """Batched search; mirrors ScannSearcher.search_batched
-        (scann_ops_pybind.py:67-90).  Returns (indices, distances) numpy
-        arrays of shape (num_queries, k).
+        (scann_ops_pybind.py:67-90).  ASYNC: the device program is
+        dispatched (JAX dispatch is asynchronous) and a PendingSearch is
+        returned whose .result() materializes (indices, distances) numpy
+        arrays of shape (num_queries, k) — dispatch batch N+1 before
+        resolving batch N and the device never idles between batches
+        (double-buffered serving; the reference overlaps batches with its
+        query thread pool, scann.cc:478-501).
 
         restrict_allowlist: optional (n_points,) bool mask restricting
         results to allowed datapoints (reference: RestrictAllowlist,
@@ -673,7 +717,10 @@ class Searcher:
                     return v
                 return np.asarray(v)[i:i + disp_cap]
 
-            outs = [self.search_batched(
+            # Enqueue EVERY sub-batch before materializing any: the chunks
+            # pipeline on device back-to-back instead of paying one
+            # host<->device sync per chunk.
+            pending = [self.search_batched_async(
                 queries[i:i + disp_cap],
                 final_num_neighbors if k_vec is None else _sl(k_vec, i),
                 (pre_reorder_num_neighbors if k_pre_vec is None
@@ -686,11 +733,16 @@ class Searcher:
                 _sl(pre_reordering_epsilon, i),
                 per_crowding_attribute_pre_reordering_num_neighbors)
                 for i in range(0, nq, disp_cap)]
-            idx_parts = [o[0] for o in outs]
-            dist = np.concatenate([o[1] for o in outs], axis=0)
-            if self.docids is not None:
-                return [row for part in idx_parts for row in part], dist
-            return np.concatenate(idx_parts, axis=0), dist
+
+            def _combine():
+                outs = [p.result() for p in pending]
+                idx_parts = [o[0] for o in outs]
+                dist = np.concatenate([o[1] for o in outs], axis=0)
+                if self.docids is not None:
+                    return [row for part in idx_parts for row in part], dist
+                return np.concatenate(idx_parts, axis=0), dist
+
+            return PendingSearch(_combine)
         bucket = _next_bucket(nq)
         if full_scan:
             # Only the fused full-scan kernel needs its query-tile padding;
@@ -756,29 +808,33 @@ class Searcher:
             state["restrict"] = jnp.asarray(allow)
         if crowding_limit:
             state["crowding_attrs"] = self._crowding_attrs
-        idx, dist = fn(q_dev, state)
-        idx = np.asarray(idx[:nq])
-        dist = np.asarray(dist[:nq])
-        if post_reordering_epsilon is not None:
-            eps = np.broadcast_to(
-                np.asarray(post_reordering_epsilon, np.float32),
-                (nq,))[:, None]
-            if self.config.distance_measure == cfg.DOT_PRODUCT:
-                bad = ~(dist >= eps)   # NaN-safe: NaN stays dropped
-            else:
-                bad = ~(dist <= eps)
-            idx = np.where(bad, topk_ops.INVALID_INDEX, idx)
-            dist = np.where(bad, np.nan, dist)
-        if k_vec is not None:
-            # Per-query final_num_neighbors: results are best-first, so
-            # the override is a column mask.
-            bad = np.arange(idx.shape[1])[None, :] >= k_vec[:, None]
-            idx = np.where(bad, topk_ops.INVALID_INDEX, idx)
-            dist = np.where(bad, np.nan, dist)
-        if self.docids is not None:
-            return ([[self.docids[j] if j >= 0 else None for j in row]
-                     for row in idx], dist)
-        return idx, dist
+        idx_dev, dist_dev = fn(q_dev, state)  # enqueued; not yet synced
+
+        def _finalize():
+            idx = np.asarray(idx_dev[:nq])    # the one host<->device sync
+            dist = np.asarray(dist_dev[:nq])
+            if post_reordering_epsilon is not None:
+                eps = np.broadcast_to(
+                    np.asarray(post_reordering_epsilon, np.float32),
+                    (nq,))[:, None]
+                if self.config.distance_measure == cfg.DOT_PRODUCT:
+                    bad = ~(dist >= eps)   # NaN-safe: NaN stays dropped
+                else:
+                    bad = ~(dist <= eps)
+                idx = np.where(bad, topk_ops.INVALID_INDEX, idx)
+                dist = np.where(bad, np.nan, dist)
+            if k_vec is not None:
+                # Per-query final_num_neighbors: results are best-first,
+                # so the override is a column mask.
+                bad = np.arange(idx.shape[1])[None, :] >= k_vec[:, None]
+                idx = np.where(bad, topk_ops.INVALID_INDEX, idx)
+                dist = np.where(bad, np.nan, dist)
+            if self.docids is not None:
+                return ([[self.docids[j] if j >= 0 else None for j in row]
+                         for row in idx], dist)
+            return idx, dist
+
+        return PendingSearch(_finalize)
 
     # The reference's parallel variant fans the batch over a thread pool
     # (scann.cc:478-501); on TPU a single program already uses the chip, so

@@ -47,6 +47,7 @@ from scann_tpu.ops import lut16 as lut16_ops
 from scann_tpu.ops import quantize as quant_ops
 from scann_tpu.ops import topk as topk_ops
 from scann_tpu.partitioning.kmeans_tree import spilling_mask
+from scann_tpu.utils import transfer as transfer_mod
 
 _logger = logging.getLogger("scann_tpu")
 
@@ -1202,7 +1203,9 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
             spherical=part.spherical,
             min_cluster_size=part.min_partition_size,
             block_rows=build_block))(
-                jax.random.PRNGKey(seed), _rep(sample))
+                jax.random.PRNGKey(seed),
+                (transfer_mod.to_device(sample, device=compute_device)
+                 if compute_device is not None else _rep(sample)))
         centers = _rep(res.centers)
     else:
         # Huge samples: data-parallel Lloyd iterations over the mesh.
@@ -1467,7 +1470,14 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         pad = _round_up(m_rows, n_dev) - m_rows
         if pad:
             rows = np.pad(rows, ((0, pad), (0, 0)))
-        x_dev = jax.device_put(jnp.asarray(rows), row_sharding)
+        if compute_device is not None:
+            # Bounded slices: a single ~100 MB device_put WEDGES the
+            # tunneled PJRT worker indefinitely (STATUS.md; it survived
+            # ~150 chunks of the 100M build before stalling).
+            from scann_tpu.utils import transfer
+            x_dev = transfer.to_device(rows, device=compute_device)
+        else:
+            x_dev = jax.device_put(jnp.asarray(rows), row_sharding)
         out = _tokenize_encode(x_dev, centers_assign, centers, codebook_arg)
         for o in out:  # overlap the per-array transfer latencies
             o.copy_to_host_async()

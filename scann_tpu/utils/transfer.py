@@ -26,27 +26,32 @@ _logger = logging.getLogger("scann_tpu")
 _CHUNK_MB = float(os.environ.get("SCANN_TPU_TRANSFER_CHUNK_MB", "24"))
 
 
-def to_device(x, dtype=jnp.float32):
-    """Upload ``x`` to the default device in bounded slices.
+def to_device(x, dtype=jnp.float32, device=None):
+    """Upload ``x`` to ``device`` (default device if None) in bounded
+    slices.
 
     Device arrays pass through (no copy).  Returns a single contiguous
     device array.
     """
+    def _put(a):
+        return jnp.asarray(a) if device is None else jax.device_put(
+            jnp.asarray(a), device)
+
     if isinstance(x, jax.Array):
         return x.astype(dtype) if x.dtype != dtype else x
     x = np.asarray(x, dtype)
     if _CHUNK_MB <= 0 or x.ndim == 0:
-        return jnp.asarray(x)
+        return _put(x)
     row_bytes = max(int(x.itemsize * np.prod(x.shape[1:], dtype=np.int64)),
                     1)
     rows_per = max(int(_CHUNK_MB * (1 << 20)) // row_bytes, 1)
     if rows_per >= x.shape[0]:
-        out = jnp.asarray(x)
+        out = _put(x)
         out.block_until_ready()
         return out
     parts = []
     for s in range(0, x.shape[0], rows_per):
-        part = jnp.asarray(x[s:s + rows_per])
+        part = _put(x[s:s + rows_per])
         # Per-slice sync: block_until_ready is unreliable through the
         # tunnel, so force a read of the slice's first element.
         _ = np.asarray(part.reshape(-1)[0])

@@ -370,6 +370,61 @@ def test_sharded_mutation_and_health():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_hybrid_build_compute_device(monkeypatch):
+    """build_sharded_streaming(compute_device=...) — streaming compute
+    passes on ONE fast device, index laid out for the serving mesh (the
+    production 'build on a big chip, serve on a mesh' shape).  Chunk
+    uploads go through bounded transfer slices (single ~100 MB
+    device_puts wedge the tunneled PJRT worker, STATUS.md); forcing a
+    tiny slice size exercises the sliced path."""
+    from scann_tpu.utils import transfer
+    monkeypatch.setattr(transfer, "_CHUNK_MB", 0.25)
+    rng = np.random.default_rng(21)
+    n_topics, d = 500, 32
+    centers = rng.standard_normal((n_topics, d)).astype(np.float32)
+
+    def make_chunk(ci):
+        r = np.random.default_rng(300 + ci)
+        x = (centers[r.integers(0, n_topics, 4000)]
+             + 0.1 * r.standard_normal((4000, d)).astype(np.float32))
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def chunks():
+        for ci in range(3):
+            yield make_chunk(ci)
+
+    cfg_ = (scann_tpu.builder(np.zeros((1, d), np.float32), 10,
+                              "dot_product")
+            .tree(num_leaves=24, num_leaves_to_search=12,
+                  training_sample_size=6000, random_init=False,
+                  soar_lambda=1.5)
+            .score_brute_force(quantize="int8").create_config())
+    m = make_mesh()
+    ss = mesh_mod.build_sharded_streaming(
+        chunks, cfg_, m, compute_device=jax.devices()[0])
+    n = 3 * 4000
+    assert (np.asarray(ss._host_parts["slot_dpid"]) >= 0).sum() == 2 * n
+    q = (centers[rng.integers(0, n_topics, 16)]
+         + 0.1 * rng.standard_normal((16, d)).astype(np.float32))
+    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+    idx, _ = ss.search_batched(q)
+    db = np.concatenate([make_chunk(ci) for ci in range(3)])
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+
+    def recall(ix):
+        return np.mean([len(set(ix[i]) & set(truth[i])) / 10
+                        for i in range(16)])
+
+    # The hybrid build must match the pure-mesh build of the same config
+    # (this corpus's recall ceiling is int8-precision-bound, so the
+    # assertion is BUILD-PATH equivalence, not an absolute level).
+    ss_pure = mesh_mod.build_sharded_streaming(chunks, cfg_, m)
+    idx_pure, _ = ss_pure.search_batched(q)
+    assert recall(idx) >= recall(idx_pure) - 0.03, (
+        recall(idx), recall(idx_pure))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_incremental_mutation_transfer():
     """Sharded upsert/delete scatter only the touched slots to the devices
     (O(batch) transfer via shard_map .at[].set) — the full-table
