@@ -48,6 +48,21 @@ def searcher_from_tensors(tensors):
     return serialization.searcher_from_tensors(tensors)
 
 
+def save_exported_searcher(path, searcher, **kwargs):
+    """Export the search program (StableHLO via jax.export) + index state
+    for graph embedding (reference: SavedModel export,
+    scann_ops.py:41-73; see scann_tpu/export.py)."""
+    from scann_tpu import export as _export
+    return _export.save_exported_searcher(path, searcher, **kwargs)
+
+
+def load_exported_searcher(path):
+    """Reload a save_exported_searcher artifact and search it without
+    constructing a searcher (reference: tensors_to_scann role)."""
+    from scann_tpu import export as _export
+    return _export.load_exported_searcher(path)
+
+
 def load_reference_assets(artifacts_dir):
     """Load a reference-format (scann_assets.pbtxt) artifact directory into
     a live searcher — migration path for indexes serialized by the

@@ -50,18 +50,6 @@ def _flatten_state(state):
     return dict(sorted(flat.items()))
 
 
-def _unflatten_state(flat):
-    state = {}
-    for key in sorted(flat):
-        val = flat[key]
-        if _SEP in key:
-            outer, inner = key.split(_SEP, 1)
-            state.setdefault(outer, {})[inner] = val
-        else:
-            state[key] = val
-    return state
-
-
 def save_exported_searcher(path: str, searcher, batch_sizes=(1024,),
                            final_num_neighbors=None,
                            pre_reorder_num_neighbors=None,
@@ -104,8 +92,21 @@ def save_exported_searcher(path: str, searcher, batch_sizes=(1024,),
         specs = {key: jax.ShapeDtypeStruct(v.shape, v.dtype)
                  for key, v in flat.items()}
 
-        def run(q, flat_state):
-            return fn(q, _unflatten_state(flat_state))
+        def run(q, flat_state, _template=state):
+            # Rebuild the state dict the program was traced with — the
+            # flattened npz drops None-valued entries, but the search
+            # impl reads them (as Nones) during tracing.
+            st = {}
+            for key, val in _template.items():
+                if isinstance(val, dict):
+                    st[key] = {
+                        k2: (flat_state[f"{key}{_SEP}{k2}"]
+                             if v2 is not None else None)
+                        for k2, v2 in val.items()}
+                else:
+                    st[key] = (flat_state[key] if val is not None
+                               else None)
+            return fn(q, st)
 
         exp = jexport.export(jax.jit(run))(q_spec, specs)
         with open(os.path.join(path, f"search_b{bucket}.jaxexport"),
