@@ -221,15 +221,23 @@ class ScannBuilder:
         return self
 
     def autopilot(self, mode=None, quantize=ReorderType.FLOAT32,
-                  engine="tree_ah") -> "ScannBuilder":
+                  engine="tree_ah", heuristics="tpu",
+                  target_recall=0.95) -> "ScannBuilder":
         """Configure autopilot (reference: scann_builder.py:361-382).
         engine="tree_sq" selects the TPU-native exact-int8 engine instead
-        of the reference's tree-AH heuristics (dot/cosine only)."""
+        of the reference's tree-AH scoring stack (dot/cosine only).
+        heuristics="tpu" (default) sizes partitions from the measured TPU
+        cost model toward ``target_recall`` on glove-hard corpora;
+        heuristics="reference" keeps verbatim AutopilotTreeAh parity
+        (single_machine_autopilot.cc:35-200)."""
         if engine not in ("tree_ah", "tree_sq"):
             raise ValueError(f"unknown autopilot engine: {engine!r}")
+        if heuristics not in ("tpu", "reference"):
+            raise ValueError(f"unknown autopilot heuristics: {heuristics!r}")
         self._autopilot = cfg.AutopilotConfig(
             incremental_mode="none" if mode is None else str(mode),
-            reordering_dtype=_quantize_name(quantize), engine=engine)
+            reordering_dtype=_quantize_name(quantize), engine=engine,
+            heuristics=heuristics, target_recall=float(target_recall))
         return self
 
     def create_config(self) -> cfg.ScannConfig:

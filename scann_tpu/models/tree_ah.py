@@ -492,7 +492,7 @@ class TreeAHSearcher(base.Searcher):
         ops/pruned_lut.py)."""
         return ((self._recon_mode
                  or (not self.stacked
-                     and self.ah_cfg.clusters_per_block == 16))
+                     and self.ah_cfg.clusters_per_block in (16, 256)))
                 and self.partitioner is not None
                 and self.partitioner.num_leaves > 1)
 
@@ -559,9 +559,13 @@ class TreeAHSearcher(base.Searcher):
             d_pad = self._recon_dim
             b_pad = -(-self.model.num_blocks // pruned_lut._BLK
                       ) * pruned_lut._BLK
-            if self.ah_cfg.lookup_type == cfg.INT8:
+            if (self.ah_cfg.lookup_type == cfg.INT8
+                    and self.ah_cfg.clusters_per_block == 16):
                 # int8-LUT mode: 4-bit pair-packed codes (reference-equal
-                # index memory) scored by the int8 LUT kernel.
+                # index memory) scored by the int8 LUT kernel.  (lut256
+                # codes are 8-bit and ride the decode kernel below — the
+                # reference's INT8-lookup-over-uint8-codes fallback role,
+                # asymmetric_hashing2/searcher.cc:366-400.)
                 pad_codes = np.where(
                     (src >= 0)[:, None], h["codes"][np.maximum(src, 0)],
                     0).astype(np.uint8)
@@ -1376,7 +1380,8 @@ class TreeAHSearcher(base.Searcher):
             # Memory-lean paths: only the codes live in HBM; the residual
             # q.c_leaf bias joins at merge time per (query, leaf).
             from scann_tpu.ops import pruned_lut
-            if self.ah_cfg.lookup_type == cfg.INT8:
+            if (self.ah_cfg.lookup_type == cfg.INT8
+                    and self.ah_cfg.clusters_per_block == 16):
                 # int8-LUT kernel over pair-packed 4-bit codes: per-group
                 # in-kernel LUT build + int8 x int8 MXU scoring.
                 qg_t = jnp.swapaxes(qg_rows, 1, 2)

@@ -59,37 +59,40 @@ def pack_codes_tiles(codes_flat, num_tiles: int):
 
 
 def expand_codebook(codebook, d_pad: int, b_pad: int):
-    """(B, 16, dpb) codebook -> (b_pad*16, d_pad) decode matrix: row
-    j*16+c holds center c of block j embedded at its dimension offset."""
+    """(B, C, dpb) codebook (C = 16 or 256 centers/block) ->
+    (b_pad*C, d_pad) decode matrix: row j*C+c holds center c of block j
+    embedded at its dimension offset."""
     import numpy as np
     cb = np.asarray(codebook, np.float32)
-    b, j, dpb = cb.shape
-    out = np.zeros((b_pad * 16, d_pad), np.float32)
+    b, cpb, dpb = cb.shape
+    out = np.zeros((b_pad * cpb, d_pad), np.float32)
     for blk in range(b):
-        out[blk * 16:(blk + 1) * 16, blk * dpb:(blk + 1) * dpb] = cb[blk]
+        out[blk * cpb:(blk + 1) * cpb,
+            blk * dpb:(blk + 1) * dpb] = cb[blk]
     return out
 
 
 def _kernel(work_tile_ref, work_active_ref, qg_rows_ref, codes_ref,
             cb_ref, mean_ref, bias_ref, out_ref, *, scale, mnt, kpg,
-            b_pad, d):
+            b_pad, d, cpb):
     w = pl.program_id(0)
 
     @pl.when(work_active_ref[w] == 1)
     def _():
-        # pltpu.repeat TILES the 8 code lanes 16x: lane c holds the code
-        # of block c % 8; comparing against c // 8 one-hots center
+        # pltpu.repeat TILES the 8 code lanes cpb times: lane c holds the
+        # code of block c % 8; comparing against c // 8 one-hots center
         # (c // 8) of block (c % 8) — the decode matrix rows are permuted
-        # to this lane order by the wrapper.
+        # to this lane order by the wrapper.  cpb = 16 (LUT16 codes) or
+        # 256 (lut256 codes, searcher.cc:366-400 INT8-lookup role).
         val16 = jax.lax.broadcasted_iota(
-            jnp.int32, (ps.TILE, _BLK * 16), 1) // _BLK
+            jnp.int32, (ps.TILE, _BLK * cpb), 1) // _BLK
         recon = jnp.zeros((ps.TILE, d), jnp.float32)
         for j in range(b_pad // _BLK):
             blk = codes_ref[0][:, j * _BLK:(j + 1) * _BLK].astype(jnp.int32)
-            rep = pltpu.repeat(blk, 16, axis=1)        # (TILE, 128)
+            rep = pltpu.repeat(blk, cpb, axis=1)   # (TILE, _BLK * cpb)
             oh = (rep == val16).astype(jnp.bfloat16)
             recon = recon + jax.lax.dot_general(
-                oh, cb_ref[0][j * _BLK * 16:(j + 1) * _BLK * 16, :],
+                oh, cb_ref[0][j * _BLK * cpb:(j + 1) * _BLK * cpb, :],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         recon = recon - mean_ref[0]
@@ -122,15 +125,17 @@ def score_work_pallas_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
     mnt = w_pad // plan.qg_query.shape[0]
     b_pad = codes3.shape[-1]
     d = cb_mat.shape[-1]
+    cpb = cb_mat.shape[0] // b_pad  # 16 (LUT16) or 256 (lut256)
     bias3 = (bias2 if bias2.ndim == 3
              else bias2.reshape(bias2.shape[0], ps.TILE, 1))
-    # Permute decode-matrix rows from standard (block*16 + center) order
+    # Permute decode-matrix rows from standard (block*cpb + center) order
     # into the kernel's tiled lane order (see _kernel).
-    ridx = np.arange(b_pad * 16)
-    g, within = ridx // 128, ridx % 128
-    src = (g * _BLK + within % _BLK) * 16 + within // _BLK
+    ridx = np.arange(b_pad * cpb)
+    w1 = _BLK * cpb
+    g, within = ridx // w1, ridx % w1
+    src = (g * _BLK + within % _BLK) * cpb + within // _BLK
     cb3 = jnp.take(cb_mat, jnp.asarray(src), axis=0).reshape(
-        1, b_pad * 16, d).astype(jnp.bfloat16)
+        1, b_pad * cpb, d).astype(jnp.bfloat16)
     mean2 = mean.reshape(1, d).astype(jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -139,7 +144,7 @@ def score_work_pallas_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
             pl.BlockSpec((1, ps.QG, d), lambda w, wt, wa: (w // mnt, 0, 0)),
             pl.BlockSpec((1, ps.TILE, b_pad),
                          lambda w, wt, wa: (wt[w], 0, 0)),
-            pl.BlockSpec((1, b_pad * 16, d), lambda w, wt, wa: (0, 0, 0)),
+            pl.BlockSpec((1, b_pad * cpb, d), lambda w, wt, wa: (0, 0, 0)),
             pl.BlockSpec((1, d), lambda w, wt, wa: (0, 0)),
             pl.BlockSpec((1, ps.TILE, 1), lambda w, wt, wa: (wt[w], 0, 0)),
         ],
@@ -150,7 +155,7 @@ def score_work_pallas_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
     )
     (packed,) = pl.pallas_call(
         functools.partial(_kernel, scale=2.0 if measure_l2 else 1.0,
-                          mnt=mnt, kpg=kpg, b_pad=b_pad, d=d),
+                          mnt=mnt, kpg=kpg, b_pad=b_pad, d=d, cpb=cpb),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((g_pad, ps.QG, mnt * kpg * ps.GP),
@@ -408,6 +413,7 @@ def score_work_xla_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
     mnt = w_pad // plan.qg_query.shape[0]
     scale = 2.0 if measure_l2 else 1.0
     b_pad = codes3.shape[-1]
+    cpb = cb_mat.shape[0] // b_pad  # 16 or 256 centers/block
     pad = _round_up(w_pad, _XLA_WORK_CHUNK) - w_pad
     wt = jnp.pad(plan.work_tile, (0, pad))
     wq = jnp.pad(plan.work_qg, (0, pad))
@@ -420,8 +426,8 @@ def score_work_xla_codes(plan, qg_rows, codes3, cb_mat, mean, bias2, *,
         q = jnp.take(qg_rows, wq_c, axis=0)
         b = jnp.take(bias2, wt_c, axis=0)
         oh = (codes[..., None]
-              == jnp.arange(16, dtype=jnp.int32)).astype(jnp.bfloat16)
-        oh = oh.reshape(codes.shape[0], ps.TILE, b_pad * 16)
+              == jnp.arange(cpb, dtype=jnp.int32)).astype(jnp.bfloat16)
+        oh = oh.reshape(codes.shape[0], ps.TILE, b_pad * cpb)
         recon = jax.lax.dot_general(
             oh, cb_bf, dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

@@ -78,7 +78,8 @@ def test_autopilot_large_is_tree_ah():
     db = np.zeros((200_000, 64), np.float32)
     out = autopilot_mod.autopilot_rewrite(
         cfg.ScannConfig(num_neighbors=10, distance_measure="dot_product",
-                        autopilot=cfg.AutopilotConfig()), db)
+                        autopilot=cfg.AutopilotConfig(
+                            heuristics="reference")), db)
     assert out.partitioning is not None
     assert out.asymmetric_hash is not None
     assert out.asymmetric_hash.residual_quantization is True
@@ -88,6 +89,43 @@ def test_autopilot_large_is_tree_ah():
     assert out.reordering.reordering_num_neighbors == int(
         np.ceil(100 * np.sqrt(10)))
     assert out.partitioning.num_leaves <= 200_000 // 200
+
+
+def test_autopilot_tpu_cost_model():
+    """Default heuristics="tpu": partitions sized by the measured kernel
+    tile economics (~500 rows/leaf, tokenize cap) and leaves_to_search
+    from the glove-hard candidate-recall curve for target_recall
+    (VERDICT r3 weak-7)."""
+    db = np.zeros((1_183_514, 100), np.float32)
+    out = autopilot_mod.autopilot_rewrite(
+        cfg.ScannConfig(num_neighbors=10, distance_measure="dot_product",
+                        autopilot=cfg.AutopilotConfig(engine="tree_sq")),
+        db)
+    p = out.partitioning
+    assert p is not None and out.brute_force is not None  # tree-SQ engine
+    # ~500 rows/leaf at glove scale (the measured sweet spot).
+    assert 1800 <= p.num_leaves <= 2600, p.num_leaves
+    # target 0.95 -> ~7.5% of leaves scanned on the calibrated curve.
+    frac = p.num_leaves_to_search / p.num_leaves
+    assert 0.05 <= frac <= 0.10, frac
+    # Higher target -> more leaves scanned; lower -> fewer.
+    hi = autopilot_mod.autopilot_rewrite(
+        cfg.ScannConfig(num_neighbors=10, distance_measure="dot_product",
+                        autopilot=cfg.AutopilotConfig(
+                            engine="tree_sq", target_recall=0.98)), db)
+    lo = autopilot_mod.autopilot_rewrite(
+        cfg.ScannConfig(num_neighbors=10, distance_measure="dot_product",
+                        autopilot=cfg.AutopilotConfig(
+                            engine="tree_sq", target_recall=0.90)), db)
+    assert (hi.partitioning.num_leaves_to_search
+            > p.num_leaves_to_search
+            > lo.partitioning.num_leaves_to_search)
+    # The tokenize cap binds on the 100M axis.
+    big = autopilot_mod.autopilot_rewrite(
+        cfg.ScannConfig(num_neighbors=10, distance_measure="dot_product",
+                        autopilot=cfg.AutopilotConfig(engine="tree_sq")),
+        np.zeros((100_000_000, 96), np.float32))
+    assert big.partitioning.num_leaves <= 8 * int(np.sqrt(1e8)) + 1
 
 
 def test_autopilot_end_to_end():

@@ -234,6 +234,46 @@ def test_pruned_decode_mode_memory_lean():
     assert agree >= 0.999, agree
 
 
+def test_pruned_lut256():
+    """256-center codes ride the pruned path too (VERDICT r3 missing-5):
+    the decode kernel one-hots 8-bit center ids against a (b*256, d)
+    decode matrix (the reference's INT8-lookup-over-uint8-codes leaf
+    fallback, asymmetric_hashing2/searcher.cc:366-400).  Parity with the
+    dense masked path and with the Pallas kernel in interpret mode."""
+    db, q = _clustered(n=40000)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :10]
+    b = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=32, num_leaves_to_search=8,
+               training_sample_size=20000)
+         .score_ah(4, anisotropic_quantization_threshold=0.2,
+                   hash_type="lut256")
+         .reorder(60))
+    s = b.build()
+    assert s.model.clusters_per_block == 256
+    assert s._pruned_available and not s._recon_mode
+    idx_p, _ = s.search_batched(q, leaves_to_search=8)
+    rp = _recall(idx_p, truth)
+    s._ensure_pruned()
+    assert s._p_rows is None and s._p_codes is not None
+    # codes stay 1 byte per block (no nibble packing at 256 centers)
+    assert s._p_codes.shape[-1] >= s.model.num_blocks
+    assert s._p_cb.shape[0] == s._p_codes.shape[-1] * 256
+    # dense masked path comparison
+    s2 = b.build()
+    s2._ensure_pruned = lambda: None
+    s2._invalidate_pruned()
+    idx_d, _ = s2.search_batched(q, leaves_to_search=8)
+    rd = _recall(idx_d, truth)
+    assert rp >= rd - 0.02, (rp, rd)
+    # pallas-interpret parity for the 256-wide decode kernel
+    s._pruned_interpret = True
+    s._compiled = {}
+    idx_i, _ = s.search_batched(q, leaves_to_search=8)
+    agree = np.mean([len(set(idx_i[i]) & set(idx_p[i])) / 10
+                     for i in range(len(q))])
+    assert agree >= 0.999, agree
+
+
 def test_pruned_decode_mode_l2():
     db, q = _clustered()
     d2 = (q ** 2).sum(1)[:, None] - 2 * q @ db.T + (db ** 2).sum(1)[None]
