@@ -261,6 +261,7 @@ def test_sharded_search_kwargs():
                                                           np.int32))
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_streaming_build_2m():
     """Streaming chunked build at 2M rows (VERDICT r2 next-5b): the f32
