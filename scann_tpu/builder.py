@@ -50,7 +50,12 @@ class ScannBuilder:
         if isinstance(db, dataset_mod.DenseDataset):
             self.db_docids = db.docids
             db = db.data
-        self.db = np.asarray(db, dtype=np.float32)
+        db = np.asarray(db)
+        # Typed int8/uint8 datasets pass through unchanged (the factory
+        # decides whether the selected engine searches them natively;
+        # reference TypedDataset<T>, dataset.h:219).
+        self.db = (db if db.dtype in (np.int8, np.uint8)
+                   else np.asarray(db, dtype=np.float32))
         self.num_neighbors = num_neighbors
         self.distance_measure = distance_measure
         self.training_threads = 0

@@ -26,7 +26,14 @@ class DenseDataset:
 
     def __init__(self, data, docids: Optional[Iterable[str]] = None,
                  normalization: str = NONE):
-        self.data = np.asarray(data, np.float32)
+        data = np.asarray(data)
+        # Typed datasets (reference TypedDataset<uint8_t/int8_t>,
+        # dataset.h:219) keep their 1 B/dim storage; everything else is
+        # float32.  Normalization forces float (it cannot stay integral).
+        if data.dtype in (np.int8, np.uint8) and normalization == NONE:
+            self.data = data
+        else:
+            self.data = np.asarray(data, np.float32)
         if self.data.ndim != 2:
             raise ValueError("DenseDataset requires a 2d array")
         self.docids = list(docids) if docids is not None else None
@@ -56,7 +63,7 @@ class DenseDataset:
 
     def append(self, rows, docids: Optional[Iterable[str]] = None):
         """Mutator append (Dataset::Mutator, dataset.h:204)."""
-        rows = np.asarray(rows, np.float32)
+        rows = np.asarray(rows, self.data.dtype)
         if rows.ndim == 1:
             rows = rows[None, :]
         if self.normalization == UNITL2NORM:

@@ -28,7 +28,25 @@ def create_searcher(database, scann_config: cfg.ScannConfig, docids=None):
         if docids is None:
             docids = database.docids
         database = database.data
-    database = np.asarray(database, dtype=np.float32)
+    database = np.asarray(database)
+    # Typed input datasets (reference TypedDataset<T>, data_format/
+    # dataset.h:219; BruteForceSearcher<T>, brute_force.h:41): int8/uint8
+    # rows search NATIVELY on the pure brute-force path — 1 B/dim device
+    # storage, exact scoring (small ints are exact in the MXU operands).
+    # Every other engine (trees, AH, quantized/reordered BF, projections,
+    # cosine's normalization) computes in float and casts up front.
+    typed_ok = (database.dtype in (np.int8, np.uint8)
+                and scann_config.partitioning is None
+                and scann_config.asymmetric_hash is None
+                and scann_config.reordering is None
+                and scann_config.projection is None
+                and scann_config.autopilot is None
+                and scann_config.distance_measure != cfg.COSINE
+                and (scann_config.brute_force is None
+                     or scann_config.brute_force.quantize
+                     in (None, cfg.FLOAT32)))
+    if not typed_ok and database.dtype != np.float32:
+        database = np.asarray(database, dtype=np.float32)
     if database.ndim != 2:
         raise ValueError(f"database must be 2d, got shape {database.shape}")
     if scann_config.distance_measure == cfg.COSINE:

@@ -303,7 +303,11 @@ class Searcher:
         # wedge a remote PJRT worker (utils/transfer.py).  Subclasses
         # clear it when the build finishes.
         from scann_tpu.utils import transfer
-        self._build_x_dev = transfer.to_device(database)
+        self._build_x_dev = transfer.to_device(
+            database,
+            dtype=(jnp.int8 if database.dtype == np.int8 else
+                   jnp.uint8 if database.dtype == np.uint8 else
+                   jnp.float32))
         self.reorder_helper: Optional[ReorderHelper] = None
         self._reorder_deferred = False
         if scann_config.reordering is not None:

@@ -42,7 +42,17 @@ class BruteForceSearcher(base.Searcher):
         self.quantize_mode = bf.quantize
         self._inv_mult = None
         self._sq_norms = None
-        if bf.quantize == cfg.INT8:
+        if database.dtype in (jnp.int8, jnp.uint8):
+            # Native typed dataset (reference TypedDataset<T>,
+            # dataset.h:219, searched by the templated BruteForceSearcher,
+            # brute_force.h:41): rows stay 1 B/dim on device and convert
+            # exactly inside the scoring matmul — no float copy exists.
+            self._db = database
+            if cfg.internal_measure(scann_config.distance_measure) \
+                    == cfg.SQUARED_L2:
+                self._sq_norms = jnp.sum(
+                    database.astype(jnp.float32) ** 2, axis=-1)
+        elif bf.quantize == cfg.INT8:
             sq = quant_ops.scalar_quantize(database)
             self._db = sq.data
             self._inv_mult = sq.inverse_multipliers
@@ -85,6 +95,15 @@ class BruteForceSearcher(base.Searcher):
             deq = q.astype(jnp.float32) * self._inv_mult[None, :]
             self._sq_norms = self._sq_norms.at[idx].set(
                 jnp.sum(deq * deq, axis=-1))
+        elif self._typed_dtype is not None:
+            info = jnp.iinfo(self._typed_dtype)
+            q = jnp.clip(jnp.round(rows), info.min, info.max).astype(
+                self._typed_dtype)
+            self._db = self._db.at[idx].set(q)
+            if self._sq_norms is not None:
+                qf = q.astype(jnp.float32)
+                self._sq_norms = self._sq_norms.at[idx].set(
+                    jnp.sum(qf * qf, axis=-1))
         else:
             self._db = self._db.at[idx].set(rows.astype(self._db.dtype))
             if self._sq_norms is not None:
@@ -98,12 +117,31 @@ class BruteForceSearcher(base.Searcher):
     def _apply_delete(self, ids: np.ndarray):
         self._valid = self._valid.at[jnp.asarray(ids, jnp.int32)].set(False)
 
+    @property
+    def _typed_dtype(self):
+        """Native typed-dataset mode: int8/uint8 rows WITHOUT scalar-
+        quantization multipliers (those are quantize_mode == int8)."""
+        if (self.quantize_mode in (None, cfg.FLOAT32)
+                and self._db.dtype in (jnp.int8, jnp.uint8)):
+            return self._db.dtype
+        return None
+
     def _scores(self, queries, state):
         db = state["bf_db"]
         inv_mult = state["bf_inv_mult"]
         sq_norms = state["bf_sq_norms"]
         measure = cfg.internal_measure(
             self.config.distance_measure)
+        if self._typed_dtype is not None:
+            # Typed rows convert exactly inside the fused matmul (int8/
+            # uint8 values are exact in f32); scoring is EXACT like the
+            # reference's templated typed search.
+            return dist_ops.similarity(
+                queries, db.astype(jnp.float32), measure,
+                db_sq_norms=sq_norms,
+                query_sq_norms=(jnp.sum(queries * queries, axis=-1)
+                                if sq_norms is not None else None),
+                precision=jax.lax.Precision.HIGHEST)
         if self.quantize_mode == cfg.INT8:
             # Reference folds the inverse multipliers into the query and runs
             # the int8 x float asymmetric kernel

@@ -133,3 +133,68 @@ def test_chunked_database_path():
         bf_mod._MAX_SCORES = old
     _, want = np_topk(db, q, 8, "squared_l2")
     np.testing.assert_allclose(dist, want, rtol=2e-5, atol=1e-5)
+
+
+def test_typed_datasets():
+    """Native int8/uint8 input datasets search without a float copy
+    (reference: TypedDataset<T>, data_format/dataset.h:219, searched by
+    the templated BruteForceSearcher, brute_force.h:41): device rows stay
+    1 B/dim, scoring is exact, serialization round-trips the dtype."""
+    import tempfile
+
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((24, 32)).astype(np.float32) * 40
+    for dtype, measure in ((np.int8, "dot_product"),
+                           (np.uint8, "squared_l2"),
+                           (np.int8, "squared_l2")):
+        info = np.iinfo(dtype)
+        db = rng.integers(info.min, info.max + 1, (3000, 32)).astype(dtype)
+        s = scann_tpu.builder(db, 10, measure).score_brute_force().build()
+        assert s._db.dtype == jnp.asarray(db[:0]).dtype, s._db.dtype
+        idx, dist = s.search_batched(q)
+        dbf = db.astype(np.float32)
+        if measure == "dot_product":
+            truth_scores = q @ dbf.T
+            truth = np.argsort(-truth_scores, axis=1)[:, :10]
+        else:
+            truth_scores = ((q ** 2).sum(1)[:, None] - 2 * q @ dbf.T
+                            + (dbf ** 2).sum(1)[None])
+            truth = np.argsort(truth_scores, axis=1)[:, :10]
+        got = np.take_along_axis(truth_scores, idx, axis=1)
+        want = np.take_along_axis(truth_scores, truth, axis=1)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+        with tempfile.TemporaryDirectory() as td:
+            s.serialize(td)
+            s2 = scann_tpu.load_searcher(td)
+            assert s2._db.dtype == s._db.dtype
+            idx2, dist2 = s2.search_batched(q)
+            np.testing.assert_array_equal(idx, idx2)
+    # A non-BF config casts typed input to float and still works.
+    db = rng.integers(-127, 128, (3000, 32)).astype(np.int8)
+    s3 = (scann_tpu.builder(db, 10, "dot_product")
+          .tree(num_leaves=8, num_leaves_to_search=8,
+                training_sample_size=2000)
+          .score_ah(2).reorder(40).build())
+    idx3, _ = s3.search_batched(q)
+    assert idx3.shape == (24, 10)
+    # Typed mutation: upserted rows round+clip into the native dtype.
+    docids = [str(i) for i in range(3000)]
+    db8 = rng.integers(-127, 128, (3000, 32)).astype(np.int8)
+    s4 = (scann_tpu.builder(db8, 5, "dot_product")
+          .score_brute_force().build(docids=docids))
+    s4.upsert("p", np.round(q[0]))
+    i4, _ = s4.search(q[0] * 100.0)
+    assert "p" in i4
+
+
+def test_typed_dense_dataset_container():
+    """DenseDataset keeps typed storage (float32 otherwise)."""
+    from scann_tpu.data import dataset as dataset_mod
+    d8 = dataset_mod.DenseDataset(
+        np.ones((4, 8), np.uint8), docids=list("abcd"))
+    assert d8.data.dtype == np.uint8
+    d8.append(np.full((1, 8), 3, np.uint8), docids=["e"])
+    assert d8.data.dtype == np.uint8 and len(d8) == 5
+    df = dataset_mod.DenseDataset(np.ones((4, 8), np.float64))
+    assert df.data.dtype == np.float32
