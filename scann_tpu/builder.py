@@ -148,8 +148,13 @@ class ScannBuilder:
                  anisotropic_quantization_threshold=float("nan"),
                  training_sample_size=100000, min_cluster_size=100,
                  hash_type="lut16", training_iterations=10,
-                 quantization_scheme="product") -> "ScannBuilder":
+                 quantization_scheme="product",
+                 variable_dims_per_block=None) -> "ScannBuilder":
         """Configure asymmetric hashing (reference: scann_builder.py:241-320).
+
+        ``variable_dims_per_block``: optional per-block widths summing to
+        the dimensionality (reference VARIABLE_CHUNK,
+        chunking_projection.h:40-90); overrides dimensions_per_block.
 
         Must call this or score_brute_force."""
         del min_cluster_size  # Deprecated in the reference too.
@@ -157,6 +162,9 @@ class ScannBuilder:
             raise ValueError("score_ah has already been configured")
         self._ah = cfg.AsymmetricHashConfig(
             dimensions_per_block=dimensions_per_block,
+            variable_dims_per_block=(
+                None if variable_dims_per_block is None
+                else tuple(int(w) for w in variable_dims_per_block)),
             anisotropic_quantization_threshold=(
                 anisotropic_quantization_threshold),
             training_sample_size=training_sample_size,

@@ -124,6 +124,10 @@ class AsymmetricHashConfig:
     ScannBuilder.score_ah, scann_builder.py:241-320)."""
 
     dimensions_per_block: int = 2
+    # VARIABLE_CHUNK (reference projection/chunking_projection.h:40-90):
+    # per-block widths summing to the dimensionality; overrides
+    # dimensions_per_block when set.
+    variable_dims_per_block: Optional[tuple] = None
     anisotropic_quantization_threshold: float = math.nan  # noise_shaping_threshold
     training_sample_size: int = 100000  # expected_sample_size
     hash_type: str = "lut16"  # lut16 (16 centers/block) | lut256

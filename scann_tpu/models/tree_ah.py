@@ -226,13 +226,18 @@ class TreeAHSearcher(base.Searcher):
                         k_train, sample_vecs)
             self.model = stacked_ops.StackedModel(codebooks=books, dims=d)
         else:
+            vdpb = self.ah_cfg.variable_dims_per_block
             codebook = jax.jit(
                 lambda k, s: ah_ops.train_ah_model(
                     k, s, self.ah_cfg.dimensions_per_block,
                     self.ah_cfg.clusters_per_block,
-                    self.ah_cfg.training_iterations, dims=d).codebook)(
+                    self.ah_cfg.training_iterations, dims=d,
+                    variable_dims_per_block=vdpb).codebook)(
                         k_train, sample_vecs)
-            self.model = ah_ops.AHModel(codebook=codebook, dims=d)
+            self.model = ah_ops.AHModel(
+                codebook=codebook, dims=d,
+                block_dims=(None if vdpb is None else jnp.asarray(
+                    ah_ops.make_block_dims(d, vdpb))))
         _phase("AH model trained")
 
         codes_primary = self._encode_dataset(primary_vecs, x_dev)
@@ -490,8 +495,13 @@ class TreeAHSearcher(base.Searcher):
         (bf16 rows in HBM) and, for product quantization, the memory-lean
         int8/float32 lookup modes (codes decoded inside the kernel,
         ops/pruned_lut.py)."""
+        # The decode/int8-LUT kernels' expanded decode matrices assume
+        # fixed contiguous chunks; VARIABLE_CHUNK models ride the pruned
+        # path in reconstruct mode (ah.reconstruct handles block_dims) and
+        # otherwise serve via the dense masked scan.
+        fixed_chunks = self.ah_cfg.variable_dims_per_block is None
         return ((self._recon_mode
-                 or (not self.stacked
+                 or (not self.stacked and fixed_chunks
                      and self.ah_cfg.clusters_per_block in (16, 256)))
                 and self.partitioner is not None
                 and self.partitioner.num_leaves > 1)

@@ -19,12 +19,19 @@ projection/chunking_projection.h:40-90).  A ragged tail block is handled by
 zero-padding the dimensionality — equivalent to the reference's
 VARIABLE_CHUNK final block because centers of all-zero padded coordinates
 train to zero and contribute nothing to either distance.
+
+VARIABLE_CHUNK proper (per-block widths, chunking_projection.h:40-90) is
+the ``block_dims`` table on AHModel: block b owns the feature dims
+``block_dims[b]`` (padded to the max width with a sentinel column that is
+always zero), so every chunked op is one gather instead of a reshape and
+the downstream math — per-block k-means, encode argmins, LUT builds,
+one-hot scoring — is width-agnostic.
 """
 
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,8 +41,12 @@ from scann_tpu.ops import kmeans as kmeans_ops
 
 
 class AHModel(NamedTuple):
-    codebook: jax.Array  # (num_blocks, clusters_per_block, dims_per_block)
+    codebook: jax.Array  # (num_blocks, clusters_per_block, max_block_width)
     dims: int  # original (unpadded) dimensionality
+    # VARIABLE_CHUNK: (num_blocks, max_block_width) int32 feature-dim ids
+    # per block, sentinel ``dims`` on padding slots (reads a zero column).
+    # None = fixed contiguous dims_per_block chunks.
+    block_dims: Optional[jax.Array] = None
 
     @property
     def num_blocks(self) -> int:
@@ -69,20 +80,62 @@ def chunk(x, dims_per_block: int):
     return x.reshape(x.shape[:-1] + (-1, dims_per_block))
 
 
+def make_block_dims(dims: int, widths: Sequence[int]):
+    """Variable-chunk dim table: block b owns ``widths[b]`` consecutive
+    feature dims (reference VARIABLE_CHUNK, chunking_projection.h:40-90).
+    Returns (num_blocks, max_width) int32 with sentinel ``dims`` padding."""
+    import numpy as np
+    widths = [int(w) for w in widths]
+    if any(w <= 0 for w in widths):
+        raise ValueError("variable chunk widths must be positive")
+    if sum(widths) != dims:
+        raise ValueError(
+            f"variable chunk widths must sum to the dimensionality: "
+            f"sum({widths}) = {sum(widths)} != {dims}")
+    max_w = max(widths)
+    table = np.full((len(widths), max_w), dims, np.int32)
+    off = 0
+    for b, w in enumerate(widths):
+        table[b, :w] = np.arange(off, off + w)
+        off += w
+    return table
+
+
+def chunk_model(x, model: AHModel):
+    """(..., d) -> (..., num_blocks, width) under the model's chunking
+    (fixed reshape, or a block_dims gather for VARIABLE_CHUNK)."""
+    if model.block_dims is None:
+        return chunk(x, model.dims_per_block)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 1)])  # zero sentinel
+    return jnp.take(xp, model.block_dims, axis=-1)
+
+
 def train_ah_model(key, sample, dims_per_block: int,
                    clusters_per_block: int = 16, iterations: int = 10,
-                   dims: int | None = None) -> AHModel:
+                   dims: int | None = None,
+                   variable_dims_per_block=None) -> AHModel:
     """Train per-block codebooks on a (residual) sample.
 
     Reference: TrainAsymmetricHashing runs one k-means per block
     (asymmetric_hashing_impl.cc:60-198) with kmeans++ init under squared L2;
     here the blocks train as one vmapped batched k-means.
+    ``variable_dims_per_block``: optional per-block widths (VARIABLE_CHUNK);
+    padding slots read zeros so their center coordinates train to zero.
     """
     if dims is None:
         dims = sample.shape[-1]
-    xc = chunk(sample.astype(jnp.float32), dims_per_block)
+    block_dims = None
+    if variable_dims_per_block is not None:
+        block_dims = jnp.asarray(
+            make_block_dims(dims, variable_dims_per_block))
+        probe = AHModel(codebook=jnp.zeros(
+            (block_dims.shape[0], clusters_per_block,
+             block_dims.shape[1])), dims=dims, block_dims=block_dims)
+        xc = chunk_model(sample.astype(jnp.float32), probe)
+    else:
+        xc = chunk(sample.astype(jnp.float32), dims_per_block)
     num_blocks = xc.shape[-2]
-    xb = jnp.swapaxes(xc, 0, 1)  # (num_blocks, n, dpb)
+    xb = jnp.swapaxes(xc, 0, 1)  # (num_blocks, n, width)
     keys = jax.random.split(key, num_blocks)
 
     def train_block(k, xblk):
@@ -91,7 +144,12 @@ def train_ah_model(key, sample, dims_per_block: int,
         return res.centers
 
     codebook = jax.vmap(train_block)(keys, xb)
-    return AHModel(codebook=codebook, dims=dims)
+    if block_dims is not None:
+        # Padding slots carry exact zeros (k-means on a zero column can
+        # leave numerically-tiny noise from empty-cluster reseeding).
+        live = (block_dims < dims)[:, None, :]
+        codebook = jnp.where(live, codebook, 0.0)
+    return AHModel(codebook=codebook, dims=dims, block_dims=block_dims)
 
 
 def _block_stats(vectors, originals, model: AHModel):
@@ -103,8 +161,8 @@ def _block_stats(vectors, originals, model: AHModel):
     original datapoints defining the "parallel" direction.
     """
     cb = model.codebook  # (B, J, d)
-    vc = chunk(vectors, model.dims_per_block)  # (n, B, d)
-    oc = chunk(originals, model.dims_per_block)
+    vc = chunk_model(vectors, model)  # (n, B, d)
+    oc = chunk_model(originals, model)
     v_dot_c = jnp.einsum("nbd,bjd->nbj", vc, cb,
                          preferred_element_type=jnp.float32)
     o_dot_c = jnp.einsum("nbd,bjd->nbj", oc, cb,
@@ -123,7 +181,7 @@ def encode(vectors, model: AHModel):
     """Plain per-block nearest-center encoding -> (n, num_blocks) int8
     codes (AhImpl::IndexDatapoint, asymmetric_hashing_impl.cc:200-246)."""
     cb = model.codebook
-    vc = chunk(vectors.astype(jnp.float32), model.dims_per_block)
+    vc = chunk_model(vectors.astype(jnp.float32), model)
     dots = jnp.einsum("nbd,bjd->nbj", vc, cb,
                       preferred_element_type=jnp.float32)
     c_sq = jnp.sum(cb * cb, axis=-1)
@@ -230,7 +288,14 @@ def reconstruct(codes, model: AHModel):
         codes.astype(jnp.int32)[:, :, None, None].repeat(
             cb.shape[-1], axis=-1), axis=2)[:, :, 0, :]
     flat = gathered.reshape(codes.shape[0], -1)
-    return flat[:, :model.dims]
+    if model.block_dims is None:
+        return flat[:, :model.dims]
+    # VARIABLE_CHUNK: scatter-add each block's values back to its owned
+    # dims (every real dim is owned by exactly one block; padding slots
+    # land on the dropped sentinel column).
+    out = jnp.zeros((codes.shape[0], model.dims + 1), flat.dtype)
+    out = out.at[:, model.block_dims.reshape(-1)].add(flat)
+    return out[:, :model.dims]
 
 
 # --------------------------------------------------------------------- LUTs
@@ -260,7 +325,7 @@ def build_luts(queries, model: AHModel, measure: str,
     carried in ``base`` exactly.
     """
     qf = queries.astype(jnp.float32)
-    qc = chunk(qf, model.dims_per_block)  # (q, B, d)
+    qc = chunk_model(qf, model)  # (q, B, d)
     cb = model.codebook
     dots = jnp.einsum("qbd,bjd->qbj", qc, cb,
                       preferred_element_type=jnp.float32)

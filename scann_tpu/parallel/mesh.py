@@ -110,7 +110,10 @@ class ShardedTreeAHSearcher:
         self.query_spilling = (str(qs[0]), float(qs[1]))
         self.model = (ah_ops.AHModel(
             codebook=jnp.asarray(codebook),
-            dims=int(host_parts.get("model_dims", host_parts["dims"])))
+            dims=int(host_parts.get("model_dims", host_parts["dims"])),
+            block_dims=(jnp.asarray(host_parts["block_dims"])
+                        if host_parts.get("block_dims") is not None
+                        else None))
             if codebook is not None else None)
         self.num_leaves = int(host_parts["num_leaves"])
         self._shard_chunk = int(host_parts["chunk"])
@@ -125,19 +128,22 @@ class ShardedTreeAHSearcher:
         shard2 = NamedSharding(mesh, P(shard_axis, None))
         repl = NamedSharding(mesh, P())
         hp = host_parts
+        # device_put HOST arrays directly under the mesh sharding: going
+        # through jnp.asarray first would stage the full buffer on the
+        # DEFAULT backend (a 100M-row index is ~20 GB of int8 rows — it
+        # OOMed a 16 GB TPU that wasn't even the serving target).
+        def _host(a):
+            return a if isinstance(a, np.ndarray) else np.asarray(a)
         self.state = {
-            "slot_leaf": jax.device_put(jnp.asarray(hp["slot_leaf"]),
-                                        shard2),
-            "slot_dpid": jax.device_put(jnp.asarray(hp["slot_dpid"]),
-                                        shard2),
-            "rows_i8": jax.device_put(jnp.asarray(hp["rows_i8"]), shard3),
-            "rows_sq": jax.device_put(jnp.asarray(hp["rows_sq"]), shard2),
-            "rows_scale": jax.device_put(jnp.asarray(hp["rows_scale"]),
-                                         shard2),
-            "centers": jax.device_put(jnp.asarray(centers), repl),
+            "slot_leaf": jax.device_put(_host(hp["slot_leaf"]), shard2),
+            "slot_dpid": jax.device_put(_host(hp["slot_dpid"]), shard2),
+            "rows_i8": jax.device_put(_host(hp["rows_i8"]), shard3),
+            "rows_sq": jax.device_put(_host(hp["rows_sq"]), shard2),
+            "rows_scale": jax.device_put(_host(hp["rows_scale"]), shard2),
+            "centers": jax.device_put(_host(centers), repl),
         }
         if self.leaf_format == "ah":
-            self.state["codes"] = jax.device_put(jnp.asarray(hp["codes"]),
+            self.state["codes"] = jax.device_put(_host(hp["codes"]),
                                                  shard3)
             self.state["codebook"] = jax.device_put(self.model.codebook,
                                                     repl)
@@ -177,6 +183,9 @@ class ShardedTreeAHSearcher:
             absolute_rows=projector is not None)
         if model_dims is not None:
             host_parts["model_dims"] = model_dims
+        if (codebook is not None
+                and getattr(searcher.model, "block_dims", None) is not None):
+            host_parts["block_dims"] = np.asarray(searcher.model.block_dims)
         part = searcher.partitioner
         return cls(searcher.config, mesh, codebook,
                    np.asarray(part.centers), host_parts,
@@ -450,6 +459,11 @@ class ShardedTreeAHSearcher:
         measure = self.measure
         user_measure = self.user_measure
         model_dims = self.model.dims
+        # VARIABLE_CHUNK table: tiny (B, w) int32 — close over as a host
+        # constant (a device-array closure would force a download at
+        # trace time, STATUS "environment findings").
+        block_dims_tbl = (None if self.model.block_dims is None
+                          else np.asarray(self.model.block_dims))
         cpb = self.ah_cfg.clusters_per_block
         num_leaves = self.num_leaves
         leaves = max(1, min(leaves, num_leaves))
@@ -496,7 +510,10 @@ class ShardedTreeAHSearcher:
             rows_i8 = rows_i8[0]
             rows_sq = rows_sq[0]
             rows_scale = rows_scale[0]
-            model = ah_ops.AHModel(codebook=codebook, dims=model_dims)
+            model = ah_ops.AHModel(
+                codebook=codebook, dims=model_dims,
+                block_dims=(None if block_dims_tbl is None
+                            else jnp.asarray(block_dims_tbl)))
             luts = ah_ops.build_luts(q_t, model, measure, lookup)
             nq = queries.shape[0]
             riota = jnp.arange(nq)[:, None]
@@ -998,6 +1015,8 @@ class ShardedTreeAHSearcher:
         hp = self._host_parts
         extra = ({} if self.model is None
                  else {"codebook": np.asarray(self.model.codebook)})
+        if self.model is not None and self.model.block_dims is not None:
+            extra["block_dims"] = np.asarray(self.model.block_dims)
         if self.projector is not None and self.projector.matrix is not None:
             extra["proj_matrix"] = np.asarray(self.projector.matrix)
         np.savez(os.path.join(artifacts_dir, "sharded_assets.npz"),
@@ -1044,6 +1063,8 @@ def load_sharded(artifacts_dir: str, mesh: Mesh, shard_axis: str = "shard",
         host_parts["model_dims"] = meta["model_dims"]
     if "absolute_rows" in meta:
         host_parts["absolute_rows"] = bool(meta["absolute_rows"])
+    if "block_dims" in raw.files:
+        host_parts["block_dims"] = raw["block_dims"]
     codebook = raw["codebook"] if "codebook" in raw.files else None
     projector = None
     if "proj_out_dims" in meta:
@@ -1141,6 +1162,12 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         raise ValueError(
             "build_sharded requires tree + score_ah, or tree + "
             "score_brute_force(quantize='int8') for the exact sq format")
+    if ah is not None and ah.variable_dims_per_block is not None:
+        raise NotImplementedError(
+            "VARIABLE_CHUNK AH is not supported by the sharded streaming "
+            "build yet; build single-chip and re-shard via from_searcher "
+            "(which threads the block_dims table), or use fixed "
+            "dimensions_per_block")
     soar = part.soar
     # SOAR works in BOTH leaf formats: the sq format stores the secondary
     # slot's residual row vs its OWN center (exact scores for either copy),

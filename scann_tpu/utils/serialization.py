@@ -102,6 +102,7 @@ def collect_assets(searcher):
         put("codebook", searcher.model.codebooks
             if getattr(searcher, "stacked", False)
             else searcher.model.codebook)
+        put("block_dims", getattr(searcher.model, "block_dims", None))
         put("datapoint_to_token", jnp.asarray(searcher.datapoint_to_token))
         meta["model_dims"] = searcher.model.dims
         meta["num_slots"] = searcher._num_slots
@@ -258,7 +259,8 @@ def _restore_searcher(blob: dict, arrays: dict, docids):
         else:
             from scann_tpu.ops import ah as ah_ops
             s.model = ah_ops.AHModel(codebook=arrays["codebook"],
-                                     dims=meta["model_dims"])
+                                     dims=meta["model_dims"],
+                                     block_dims=arrays.get("block_dims"))
         s._num_slots = meta["num_slots"]
         s._chunk = meta["chunk"]
         s._quantization_error_sq = meta.get("quantization_error_sq", 0.0)
