@@ -16,13 +16,23 @@ a big chip, serve on a mesh" shape.  The emitted index is structurally
 identical to the pure-mesh build; searches are validated on the 8-device
 mesh.  `--build-device cpu` reproduces the round-3 pure-mesh build.
 
+Crash-safety (learned the hard way: the first full run was OOM-killed by
+the host kernel AFTER the 5400 s build, losing the index):
+  * exact ground truth is folded into the build's FIRST streaming pass on
+    host numpy (argpartition top-k merge per chunk) — no second
+    chunk-generation sweep and no extra device traffic;
+  * the index is serialized to --save-dir immediately after build;
+  * --resume skips the build and loads the serialized index + GT;
+  * the result JSON is rewritten after every sweep point;
+  * RSS is logged with every progress line.
+
 The database is a deterministic synthetic deep-96 stand-in (topic mixture,
 L2-normalized like the DEEP descriptor corpus) generated chunk-by-chunk so
-the f32 rows are NEVER resident.  Exact ground truth is streamed the same
-way on the compute device.
+the f32 rows are NEVER resident.
 
 Usage:
   python benchmarks/sharded_100m.py [--chunks 400] [--leaves 10240]
+  python benchmarks/sharded_100m.py --resume   # sweep only
 
 Defaults = 400 x 250k = 100M rows.  Results land in
 benchmarks/sharded_100m_result.json.
@@ -32,6 +42,7 @@ axis is the new TPU-native leaf-sharded design (parallel/mesh.py).
 """
 
 import argparse
+import gc
 import json
 import os
 import sys
@@ -51,9 +62,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 
 
+def rss_gb():
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / (1 << 20)
+    except OSError:
+        pass
+    return -1.0
+
+
 def log(msg):
-    print(f"[100m +{time.perf_counter() - T0:8.1f}s] {msg}",
-          file=sys.stderr, flush=True)
+    print(f"[100m +{time.perf_counter() - T0:8.1f}s rss={rss_gb():5.1f}G] "
+          f"{msg}", file=sys.stderr, flush=True)
 
 
 T0 = time.perf_counter()
@@ -73,8 +95,13 @@ def main():
     ap.add_argument("--soar", type=float, default=1.5,
                     help="SOAR lambda; 0 disables dual assignment")
     ap.add_argument("--build-device", choices=("tpu", "cpu"), default="tpu")
+    ap.add_argument("--save-dir", type=str, default=None,
+                    help="index checkpoint dir (default benchmarks/"
+                         "index_<n>m)")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip the build; load --save-dir and sweep")
     args = ap.parse_args()
-    l2s_list = [int(v) for v in str(args.leaves_to_search).split(",")]
+    l2s_list = sorted(int(v) for v in str(args.leaves_to_search).split(","))
 
     if args.build_device == "cpu":
         # Pure-mesh build: drop the remote-TPU PJRT plugin ("axon") before
@@ -96,7 +123,6 @@ def main():
                   file=sys.stderr)
             compute_device = None
     import jax
-    import jax.numpy as jnp
     from jax.sharding import Mesh
     import scann_tpu
     from scann_tpu.parallel import mesh as mesh_mod
@@ -107,6 +133,12 @@ def main():
 
     d = args.dim
     n = args.chunks * args.chunk_rows
+    bench_dir = os.path.dirname(os.path.abspath(__file__))
+    save_dir = args.save_dir or os.path.join(
+        bench_dir, f"index_{n // 1_000_000}m")
+    gt_path = os.path.join(save_dir, "gt.npz")
+    out = os.path.join(bench_dir, f"sharded_{n // 1_000_000}m_result.json")
+
     # ~12 rows/topic, per-dim noise 0.05 (noise-vector norm ~0.5 vs the
     # unit topic): the true top-10 is dominated by the query's topic with
     # real inter-topic margins.  At 100M rows the extreme-value tail of
@@ -116,103 +148,138 @@ def main():
     # retrieve (bench.py's glove-like generator makes the same choice).
     n_topics = max(n // 12, 1000)
     rng = np.random.default_rng(7)
-    topics = rng.standard_normal((n_topics, d)).astype(np.float32)
-    topics /= np.linalg.norm(topics, axis=1, keepdims=True)
-    log(f"{n_topics} topic centers materialized")
 
-    def make_chunk(ci):
-        r = np.random.default_rng(100 + ci)
-        x = (topics[r.integers(0, n_topics, args.chunk_rows)]
-             + args.noise * r.standard_normal(
-                 (args.chunk_rows, d)).astype(np.float32))
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
-        return x
+    if args.resume:
+        log(f"resume: loading index from {save_dir}")
+        t0 = time.perf_counter()
+        ss = mesh_mod.load_sharded(save_dir, mesh)
+        build_s = -1.0
+        saved = np.load(gt_path)
+        q, best_i = saved["q"], saved["gt"]
+        nq = q.shape[0]
+        prior = {}
+        if os.path.exists(out):
+            with open(out) as f:
+                prior = json.load(f)
+            build_s = prior.get("build_s", -1.0)
+        log(f"resume: loaded in {time.perf_counter() - t0:.1f}s")
+        gt_s = float(prior.get("gt_stream_s", -1.0))
+    else:
+        topics = rng.standard_normal((n_topics, d)).astype(np.float32)
+        topics /= np.linalg.norm(topics, axis=1, keepdims=True)
+        log(f"{n_topics} topic centers materialized")
 
-    def chunks():
-        for ci in range(args.chunks):
-            yield make_chunk(ci)
-            if ci % 50 == 49:
-                log(f"  [chunk {ci + 1}/{args.chunks}]")
+        # Topic-aligned queries (the retrieval workload), generated UP
+        # FRONT so exact ground truth folds into the build's first
+        # streaming pass.
+        nq = args.nq
+        q = (topics[rng.integers(0, n_topics, nq)]
+             + args.noise * rng.standard_normal((nq, d)).astype(np.float32))
+        q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
 
-    # The flagship sharded format: exact residual-int8 leaves (sq) with
-    # SOAR dual assignment (leaf-boundary spill recovery at scale).
-    b = (scann_tpu.builder(np.zeros((1, d), np.float32), 10, "dot_product")
-         .tree(num_leaves=args.leaves,
-               num_leaves_to_search=l2s_list[0],
-               training_sample_size=args.sample, random_init=False,
-               soar_lambda=args.soar if args.soar > 0 else None)
-         .score_brute_force(quantize="int8"))
-    config = b.create_config()
+        def make_chunk(ci):
+            r = np.random.default_rng(100 + ci)
+            x = (topics[r.integers(0, n_topics, args.chunk_rows)]
+                 + args.noise * r.standard_normal(
+                     (args.chunk_rows, d)).astype(np.float32))
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            return x
 
-    t0 = time.perf_counter()
-    ss = mesh_mod.build_sharded_streaming(chunks, config, mesh,
-                                          compute_device=compute_device)
-    build_s = time.perf_counter() - t0
+        # Running exact top-10 on host numpy, merged chunk-by-chunk
+        # inside the generator (argpartition, not a device round-trip:
+        # the first full run leaked ~80 GB of host RSS through the
+        # tunneled-TPU GT loop and was OOM-killed after the build).
+        gt_state = {"v": np.full((nq, 10), -np.inf, np.float32),
+                    "i": np.full((nq, 10), -1, np.int64),
+                    "done": False, "secs": 0.0}
+
+        def merge_gt(x, ci):
+            t0 = time.perf_counter()
+            sims = q @ x.T
+            top = np.argpartition(-sims, 10, axis=1)[:, :10]
+            v = np.concatenate(
+                [gt_state["v"], np.take_along_axis(sims, top, axis=1)],
+                axis=1)
+            i = np.concatenate(
+                [gt_state["i"], top.astype(np.int64)
+                 + ci * args.chunk_rows], axis=1)
+            keep = np.argsort(-v, axis=1)[:, :10]
+            gt_state["v"] = np.take_along_axis(v, keep, axis=1)
+            gt_state["i"] = np.take_along_axis(i, keep, axis=1)
+            gt_state["secs"] += time.perf_counter() - t0
+
+        def chunks():
+            first = not gt_state["done"]
+            for ci in range(args.chunks):
+                x = make_chunk(ci)
+                if first:
+                    merge_gt(x, ci)
+                yield x
+                if ci % 50 == 49:
+                    log(f"  [chunk {ci + 1}/{args.chunks}]")
+                    gc.collect()
+            if first:
+                gt_state["done"] = True
+                os.makedirs(save_dir, exist_ok=True)
+                np.savez(gt_path, q=q, gt=gt_state["i"])
+                log(f"ground truth merged into pass 1 "
+                    f"(+{gt_state['secs']:.1f}s) and saved")
+
+        # The flagship sharded format: exact residual-int8 leaves (sq)
+        # with SOAR dual assignment (leaf-boundary spill recovery at
+        # scale).
+        b = (scann_tpu.builder(np.zeros((1, d), np.float32), 10,
+                               "dot_product")
+             .tree(num_leaves=args.leaves,
+                   num_leaves_to_search=l2s_list[0],
+                   training_sample_size=args.sample, random_init=False,
+                   soar_lambda=args.soar if args.soar > 0 else None)
+             .score_brute_force(quantize="int8"))
+        config = b.create_config()
+
+        t0 = time.perf_counter()
+        ss = mesh_mod.build_sharded_streaming(chunks, config, mesh,
+                                              compute_device=compute_device)
+        build_s = time.perf_counter() - t0
+        gt_s = gt_state["secs"]
+        best_i = gt_state["i"]
+        del topics
+        gc.collect()
+        log(f"build: {build_s:.1f}s for {n} rows "
+            f"({n / build_s / 1e6:.2f}M rows/s)")
+        # Checkpoint the index BEFORE anything else can crash the
+        # process.
+        t0 = time.perf_counter()
+        ss.serialize(save_dir)
+        log(f"index serialized to {save_dir} "
+            f"in {time.perf_counter() - t0:.1f}s")
+
     slots = int((np.asarray(ss._host_parts["slot_dpid"]) >= 0).sum())
     want = 2 * n if args.soar > 0 else n
     assert slots == want, (slots, want)
-    log(f"build: {build_s:.1f}s for {n} rows "
-        f"({n / build_s / 1e6:.2f}M rows/s), {slots} slots")
-
-    # Topic-aligned queries (the retrieval workload).
-    nq = args.nq
-    q = (topics[rng.integers(0, n_topics, nq)]
-         + args.noise * rng.standard_normal((nq, d)).astype(np.float32))
-    q = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
-
-    # Exact ground truth streamed chunk-by-chunk on the compute device
-    # (never resident).
-    t0 = time.perf_counter()
-    if compute_device is not None:
-        qd = jax.device_put(q, compute_device)
-
-        @jax.jit
-        def gt_step(best_v, best_i, x, qd, base):
-            sims = jax.lax.dot_general(
-                qd, x, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ids = base + jnp.arange(x.shape[0], dtype=jnp.int32)
-            v = jnp.concatenate([best_v, sims], axis=1)
-            i = jnp.concatenate(
-                [best_i, jnp.broadcast_to(ids[None, :], sims.shape)],
-                axis=1)
-            vv, pos = jax.lax.top_k(v, 10)
-            return vv, jnp.take_along_axis(i, pos, axis=1)
-
-        best_v = jax.device_put(
-            jnp.full((nq, 10), -jnp.inf, jnp.float32), compute_device)
-        best_i = jax.device_put(
-            jnp.full((nq, 10), -1, jnp.int32), compute_device)
-        from scann_tpu.utils import transfer
-        for ci in range(args.chunks):
-            # Bounded slices: single ~100 MB device_puts wedge the
-            # tunneled PJRT worker (STATUS.md).
-            x = transfer.to_device(make_chunk(ci), device=compute_device)
-            best_v, best_i = gt_step(best_v, best_i, x, qd,
-                                     np.int32(ci * args.chunk_rows))
-        best_i = np.asarray(best_i)
-    else:
-        best_v = np.full((nq, 10), -np.inf, np.float32)
-        best_i = np.full((nq, 10), -1, np.int64)
-        for ci in range(args.chunks):
-            x = make_chunk(ci)
-            sims = q @ x.T
-            v = np.concatenate([best_v, sims], axis=1)
-            i = np.concatenate(
-                [best_i, np.tile(
-                    np.arange(args.chunk_rows, dtype=np.int64)
-                    + ci * args.chunk_rows, (nq, 1))], axis=1)
-            top = np.argsort(-v, axis=1)[:, :10]
-            best_v = np.take_along_axis(v, top, axis=1)
-            best_i = np.take_along_axis(i, top, axis=1)
-    gt_s = time.perf_counter() - t0
-    log(f"ground truth streamed in {gt_s:.1f}s")
+    log(f"{slots} slots live")
 
     def recall_of(idx_):
         return float(np.mean(
             [len(set(idx_[i]) & set(best_i[i])) / 10 for i in range(nq)]))
 
     points = []
+    result = {
+        "rows": n, "dim": d, "num_leaves": args.leaves,
+        "leaf_format": ss.leaf_format,
+        "soar_lambda": args.soar,
+        "training_sample": args.sample,
+        "build_s": round(build_s, 1),
+        "build_compute_device": ("8-device virtual cpu mesh"
+                                 if compute_device is None
+                                 else str(compute_device)),
+        "search_mesh": "8-device virtual cpu mesh (2 data x 4 shard)",
+        "gt_stream_s": round(gt_s, 1),
+        "points": points,
+        "mesh": {"data": 2, "shard": 4},
+        "nq": nq,
+        "bytes_per_vector": round(slots * (d + 12) / n, 1),
+    }
     for l2s in l2s_list:
         t0 = time.perf_counter()
         idx_l, _ = ss.search_batched(q, leaves_to_search=l2s)
@@ -222,30 +289,13 @@ def main():
                                              4)})
         log(f"  l2s={l2s}: recall {points[-1]['recall_at_10']} "
             f"({points[-1]['search_batch_s']}s)")
-    best = max(points, key=lambda p: p["recall_at_10"])
-    result = {
-        "rows": n, "dim": d, "num_leaves": args.leaves,
-        "leaf_format": ss.leaf_format,
-        "soar_lambda": args.soar,
-        "training_sample": args.sample,
-        "build_s": round(build_s, 1),
-        "build_compute_device": str(compute_device) if compute_device
-        else "8-device virtual cpu mesh",
-        "search_mesh": "8-device virtual cpu mesh (2 data x 4 shard)",
-        "gt_stream_s": round(gt_s, 1),
-        "points": points,
-        "best_recall_at_10": best["recall_at_10"],
-        "mesh": {"data": 2, "shard": 4},
-        "nq": nq,
-        "bytes_per_vector": round(
-            slots * (d + 12) / n, 1),
-    }
+        best = max(points, key=lambda p: p["recall_at_10"])
+        result["best_recall_at_10"] = best["recall_at_10"]
+        # Rewrite after every point: a crash mid-sweep keeps the data.
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
     print(json.dumps(result))
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       f"sharded_{n // 1_000_000}m_result.json")
-    with open(out, "w") as f:
-        json.dump(result, f, indent=1)
-    assert best["recall_at_10"] >= 0.95, result
+    assert result["best_recall_at_10"] >= 0.95, result
 
 
 if __name__ == "__main__":
