@@ -1417,11 +1417,21 @@ class TreeAHSearcher(base.Searcher):
                     plan, qg_rows, state["p_codes"], state["p_cb"],
                     state["p_mean"], p_bias, measure_l2=l2,
                     kpg=kpg)
-        cand_vals, cand_slots = pruned_scan.merge_candidates(
-            plan, packed, leaf_ids, valid_sel, state["p_tile_start"],
-            state["p_ntiles"], self._p_max_ntiles, k_fetch,
-            pair_bias=center_sims if residual_bias else None,
-            hot=merge_hot)
+        if pruned_scan.fused_merge_enabled(k_fetch):
+            # Fused merge: one DMA-gather + in-VMEM top-k kernel replaces
+            # the stratified XLA gathers (exact for k_fetch <= 32; the
+            # larger reorder-bound budgets stay on the stratified path).
+            cand_vals, cand_slots = pruned_scan.merge_candidates_fused(
+                plan, packed, leaf_ids, valid_sel, state["p_tile_start"],
+                state["p_ntiles"], self._p_max_ntiles, k_fetch,
+                pair_bias=center_sims if residual_bias else None,
+                use_pallas=use_pallas and not interp, interpret=interp)
+        else:
+            cand_vals, cand_slots = pruned_scan.merge_candidates(
+                plan, packed, leaf_ids, valid_sel, state["p_tile_start"],
+                state["p_ntiles"], self._p_max_ntiles, k_fetch,
+                pair_bias=center_sims if residual_bias else None,
+                hot=merge_hot)
         dpids = jnp.where(cand_slots >= 0,
                           jnp.take(state["p_dpid"],
                                    jnp.maximum(cand_slots, 0)), -1)

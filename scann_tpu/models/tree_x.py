@@ -458,11 +458,20 @@ class TreeXSearcher(base.Searcher):
             packed = pruned_sq.score_work_xla_sq(
                 plan, qg_rows, state["tx_rows"], state["tx_scale"], bias2,
                 measure_l2=l2, kpg=kpg)
-        cand_vals, cand_slots = pruned_scan.merge_candidates(
-            plan, packed, leaf_ids, valid_sel, state["tx_tile_start"],
-            state["tx_ntiles"], self._p_max_ntiles, k_fetch,
-            pair_bias=pair_bias, hot=merge_hot,
-            tile=state["tx_rows"].shape[1])
+        if pruned_scan.fused_merge_enabled(k_fetch):
+            # Fused merge: one DMA-gather + in-VMEM top-k kernel replaces
+            # the stratified XLA gathers (exact for k_fetch <= 32).
+            cand_vals, cand_slots = pruned_scan.merge_candidates_fused(
+                plan, packed, leaf_ids, valid_sel, state["tx_tile_start"],
+                state["tx_ntiles"], self._p_max_ntiles, k_fetch,
+                pair_bias=pair_bias, tile=state["tx_rows"].shape[1],
+                use_pallas=use_pallas and not interp, interpret=interp)
+        else:
+            cand_vals, cand_slots = pruned_scan.merge_candidates(
+                plan, packed, leaf_ids, valid_sel, state["tx_tile_start"],
+                state["tx_ntiles"], self._p_max_ntiles, k_fetch,
+                pair_bias=pair_bias, hot=merge_hot,
+                tile=state["tx_rows"].shape[1])
         dpids = jnp.where(cand_slots >= 0,
                           jnp.take(state["tx_dpid"],
                                    jnp.maximum(cand_slots, 0)), -1)

@@ -542,6 +542,232 @@ def merge_candidates(plan: WorkPlan, packed, sel, valid_sel, tile_start,
     return top_vals, top_slots
 
 
+# ------------------------------------------------------------ fused merge
+# The rank-stratified merge above is built from XLA gathers, whose
+# per-slice latency (~0.5 us, ~3 GB/s effective) makes the merge rival the
+# scoring kernel at realistic operating points (round-3 stage profile:
+# merge 17.2 ms vs kernel 25 ms).  The fused merge replaces the whole
+# stage with ONE Pallas kernel: each (query, leaf) pair's packed survivor
+# row is DMA-gathered from HBM (double-buffered across grid steps, so the
+# row-fetch latency hides behind the previous step's reduction) and
+# reduced in VMEM to its top-k (value, slot) — per-pair output shrinks
+# from mnt*kgp ints (512 at the tree-SQ shapes) to 2*k, the cold-stratum
+# full-array reduction disappears, and the final XLA top_k runs over
+# l*k-wide rows instead of l*mnt*kgp.  Selection is EXACT for
+# k_fetch <= _FUSED_MAX_K: the global top-k_fetch per query keeps at most
+# k_fetch candidates from any one (query, leaf) pair, and within a pair
+# the reduction is a true top-k (role analogue: the reference's fused
+# top-N push inside the LUT16 accumulation loop,
+# asymmetric_hashing2/lut16_avx2.inc:56-120 feeding FastTopNeighbors,
+# tree_ah_hybrid_residual.cc:679-786).
+#
+# Identity encoding: before the selection passes each survivor's low
+# mantissa bits are rewritten from (tile, argmax) to its FULL within-leaf
+# slot offset t*tile + (col % gp)*SUBP + arg (12 bits at tile=256, 13 at
+# tile=512), so every max pass keeps the winner's slot for free and the
+# merge emits global slots with one multiply-add.  The stripped-bit
+# perturbation grows from 2^-14 to <= 2^-10 relative — still far below
+# the int8 leaf quantization error that produced the scores, and the
+# final values are re-derived from the stripped bits identically in the
+# Pallas and XLA paths (bit-identical fallback).
+
+_FUSED_MAX_K = 32  # per-pair reduction passes scale with k; beyond this
+# the stratified merge + exact reorder path wins (reorder absorbs the
+# cold-stratum approximation anyway)
+_FUSED_ROWS = 64   # pairs per grid step: 64 in-flight row DMAs per buffer
+# 0xFF000000 = -2^127: finite with a zero mantissa, so OR'd identity bits
+# can never form a NaN.  Kept as a Python float (a traced module-level
+# jnp constant would be captured by the Pallas kernel).
+_BIG_NEG_F = float(np.int32(-(1 << 24)).view(np.float32))
+
+
+def fused_merge_enabled(k_fetch: int) -> bool:
+    import os
+    return (k_fetch <= _FUSED_MAX_K
+            and os.environ.get("SCANN_TPU_FUSED_MERGE", "1") != "0")
+
+
+def _fused_rewrite(bits, col, nt1, valid1, gp_bits: int, kgp_bits: int):
+    """Shared bit math: rewrite packed survivors' low mantissa bits with
+    the full within-leaf slot offset; dead columns to -2^127 (finite, so
+    OR'd identity bits can never form a NaN).  bits (r, w) int32; nt1 /
+    valid1 broadcastable (r, 1)."""
+    off_bits = gp_bits + _IDX_BITS + _TILE_BITS
+    off_mask = (1 << off_bits) - 1
+    col = col.astype(jnp.int32)
+    t_col = jnp.right_shift(col, kgp_bits)
+    g = jnp.bitwise_and(col, (1 << gp_bits) - 1)
+    arg = jnp.bitwise_and(bits, _IDX_MASK)
+    off = jnp.bitwise_or(
+        jnp.left_shift(t_col, gp_bits + _IDX_BITS),
+        jnp.bitwise_or(jnp.left_shift(g, _IDX_BITS), arg))
+    live = jnp.logical_and(t_col < nt1, valid1 != 0)
+    pv = jnp.where(
+        live,
+        jax.lax.bitcast_convert_type(
+            jnp.bitwise_or(jnp.bitwise_and(bits, ~off_mask), off),
+            jnp.float32),
+        _BIG_NEG_F)
+    return pv, off_mask
+
+
+def _fused_emit(m_bits, base1, bias1, off_mask):
+    """(value, slot) from selected packed maxima m_bits (r, k) int32."""
+    m = jax.lax.bitcast_convert_type(m_bits, jnp.float32)
+    dead = m == _BIG_NEG_F
+    v = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(m_bits, ~off_mask), jnp.float32) + bias1
+    vals = jnp.where(dead, -jnp.inf, v)
+    slots = jnp.where(dead, -1, base1 + jnp.bitwise_and(m_bits, off_mask))
+    return vals, slots
+
+
+def merge_pairs_pallas(packed2, flat_idx, nt1, tile01, bias1, valid1, *,
+                       kgp: int, tile: int, k: int,
+                       rows_per_step: int = _FUSED_ROWS,
+                       interpret: bool = False):
+    """Fused merge kernel: per grid step, DMA ``rows_per_step`` pair rows
+    of ``packed2`` (HBM-resident, scalar-prefetched flat indices) into a
+    double-buffered VMEM scratch and reduce each to its top-``k``
+    (value, slot).
+
+    packed2 (g_pad*QG, w) int32; flat_idx (P,) int32; nt1/tile01/valid1
+    (P, 1) int32; bias1 (P, 1) f32; P % rows_per_step == 0.  Returns
+    vals (P, k) f32, slots (P, k) int32 (global tile-major slots).
+    """
+    p = nt1.shape[0]
+    w = packed2.shape[1]
+    r = rows_per_step
+    assert p % r == 0, (p, r)
+    gp = tile // SUBP
+    gp_bits = gp.bit_length() - 1
+    kgp_bits = kgp.bit_length() - 1
+
+    def kernel(idx_ref, nt_ref, t0_ref, bias_ref, valid_ref, src_ref,
+               vals_ref, slots_ref, scratch, sems):
+        s = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+
+        def start(step, buf):
+            for j in range(r):
+                pltpu.make_async_copy(
+                    src_ref.at[idx_ref[step * r + j]],
+                    scratch.at[buf, j], sems.at[buf, j]).start()
+
+        @pl.when(s == 0)
+        def _():
+            start(0, 0)
+
+        @pl.when(s + 1 < nsteps)
+        def _():
+            start(s + 1, (s + 1) % 2)
+
+        buf = s % 2
+        for j in range(r):
+            pltpu.make_async_copy(
+                src_ref.at[idx_ref[s * r + j]],
+                scratch.at[buf, j], sems.at[buf, j]).wait()
+        bits = scratch[buf]
+        col = jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+        pv, off_mask = _fused_rewrite(bits, col, nt_ref[...],
+                                      valid_ref[...], gp_bits, kgp_bits)
+        ms = []
+        for _ in range(k):
+            m = jnp.max(pv, axis=1, keepdims=True)
+            pv = jnp.where(pv == m, _BIG_NEG_F, pv)
+            ms.append(jax.lax.bitcast_convert_type(m, jnp.int32))
+        vals, slots = _fused_emit(jnp.concatenate(ms, axis=1),
+                                  t0_ref[...] * tile, bias_ref[...],
+                                  off_mask)
+        vals_ref[...] = vals
+        slots_ref[...] = slots
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p // r,),
+        in_specs=[
+            pl.BlockSpec((r, 1), lambda s, idx: (s, 0)),
+            pl.BlockSpec((r, 1), lambda s, idx: (s, 0)),
+            pl.BlockSpec((r, 1), lambda s, idx: (s, 0)),
+            pl.BlockSpec((r, 1), lambda s, idx: (s, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, k), lambda s, idx: (s, 0)),
+            pl.BlockSpec((r, k), lambda s, idx: (s, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, r, w), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, r)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((p, k), jnp.float32),
+                   jax.ShapeDtypeStruct((p, k), jnp.int32)],
+        interpret=interpret,
+    )(flat_idx, nt1, tile01, bias1, valid1, packed2)
+
+
+def merge_pairs_xla(packed2, flat_idx, nt1, tile01, bias1, valid1, *,
+                    kgp: int, tile: int, k: int):
+    """XLA fallback with bit-identical outputs (CPU tests, non-TPU
+    backends): top_k over the identity-rewritten packed floats selects
+    the same distinct values the kernel's iterative maxes do."""
+    gp = tile // SUBP
+    gp_bits = gp.bit_length() - 1
+    kgp_bits = kgp.bit_length() - 1
+    bits = jnp.take(packed2, flat_idx, axis=0)        # (P, w)
+    col = jnp.arange(packed2.shape[1], dtype=jnp.int32)[None, :]
+    pv, off_mask = _fused_rewrite(bits, col, nt1, valid1, gp_bits,
+                                  kgp_bits)
+    top, _ = jax.lax.top_k(pv, k)
+    return _fused_emit(jax.lax.bitcast_convert_type(top, jnp.int32),
+                       tile01 * tile, bias1, off_mask)
+
+
+def merge_candidates_fused(plan: WorkPlan, packed, sel, valid_sel,
+                           tile_start, ntiles, max_ntiles: int,
+                           k_fetch: int, pair_bias=None, tile: int = TILE,
+                           use_pallas: bool = False,
+                           interpret: bool = False):
+    """Drop-in replacement for merge_candidates on small-k paths
+    (k_fetch <= _FUSED_MAX_K): every pair reduced to its top-k in one
+    fused pass — uniform treatment (no hot/cold strata), exact global
+    selection, and an l*k-wide final top_k."""
+    b, l = sel.shape
+    w = packed.shape[-1]
+    kgp = w // max_ntiles
+    packed2 = packed.reshape(-1, w)
+    flat = (plan.pair_gid * QG + plan.pair_row).reshape(-1)
+    nt1 = jnp.take(ntiles, sel).reshape(-1, 1).astype(jnp.int32)
+    t01 = jnp.take(tile_start, sel).reshape(-1, 1).astype(jnp.int32)
+    bias1 = (pair_bias.astype(jnp.float32) if pair_bias is not None
+             else jnp.zeros((b, l), jnp.float32)).reshape(-1, 1)
+    valid1 = valid_sel.reshape(-1, 1).astype(jnp.int32)
+    k = min(k_fetch, w)
+    p = b * l
+    r = min(_FUSED_ROWS, p)
+    pad = _round_up(p, r) - p
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+        nt1 = jnp.pad(nt1, ((0, pad), (0, 0)))
+        t01 = jnp.pad(t01, ((0, pad), (0, 0)))
+        bias1 = jnp.pad(bias1, ((0, pad), (0, 0)))
+        valid1 = jnp.pad(valid1, ((0, pad), (0, 0)))
+    fn = merge_pairs_pallas if (use_pallas or interpret) else merge_pairs_xla
+    kw = {"interpret": interpret, "rows_per_step": r} if (
+        use_pallas or interpret) else {}
+    vals, slots = fn(packed2, flat, nt1, t01, bias1, valid1,
+                     kgp=kgp, tile=tile, k=k, **kw)
+    vals = vals[:p].reshape(b, l * k)
+    slots = slots[:p].reshape(b, l * k)
+    kk = min(k_fetch, l * k)
+    top_vals, pos = jax.lax.top_k(vals, kk)
+    top_slots = jnp.take_along_axis(slots, pos, axis=-1)
+    return top_vals, top_slots
+
+
 def build_layout_host(leaf: np.ndarray, num_leaves: int, seed: int = 0,
                       tile: int = TILE):
     """Host-side tile-major layout: returns (order, tile_start, ntiles,
