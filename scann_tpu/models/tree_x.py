@@ -157,7 +157,12 @@ class TreeXSearcher(base.Searcher):
         l2 = self.measure == cfg.SQUARED_L2
 
         def enc(src_c, lf_c, x, c):
-            xs = jnp.take(x, jnp.maximum(src_c, 0), axis=0)
+            # Cast AFTER the per-chunk gather: typed (int8/uint8)
+            # databases residual-encode without an (n, d) f32 device copy
+            # (TypedDataset<T> through TreeXHybridSMMD<T>, dataset.h:219,
+            # tree_x_hybrid_smmd.h:51).
+            xs = jnp.take(x, jnp.maximum(src_c, 0),
+                          axis=0).astype(jnp.float32)
             crows = jnp.take(c, lf_c, axis=0)
             delta = jnp.where((src_c >= 0)[:, None], xs - crows, 0.0)
             q8, scale = base._row_quantize(delta)
@@ -213,6 +218,22 @@ class TreeXSearcher(base.Searcher):
 
     def _set_leaf_data(self, rows, leaf, dpid):
         from scann_tpu.utils import transfer
+        typed = rows.dtype in (np.int8, np.uint8)
+        if typed and self.quantize_mode in (None, cfg.FLOAT32):
+            # Typed tree-BF leaves: int8/uint8 values are EXACT in
+            # bfloat16 (8 significand bits cover |v| <= 256), so the scan
+            # scores exactly at 2 B/dim with no f32 copy at any point
+            # (TypedDataset<T> leaves under TreeXHybridSMMD<T>).
+            rows_dev = transfer.to_device(rows, dtype=jnp.bfloat16)
+            self.slot_leaf = jnp.asarray(leaf)
+            self.slot_dpid = jnp.asarray(dpid)
+            self._inv_mult = None
+            self.slot_rows = rows_dev
+            self._sq_norms = None
+            if self.measure == cfg.SQUARED_L2:
+                f32 = rows_dev.astype(jnp.float32)
+                self._sq_norms = jnp.sum(f32 * f32, axis=-1)
+            return
         rows = transfer.to_device(rows)
         self.slot_leaf = jnp.asarray(leaf)
         self.slot_dpid = jnp.asarray(dpid)
