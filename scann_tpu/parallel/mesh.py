@@ -1162,12 +1162,6 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         raise ValueError(
             "build_sharded requires tree + score_ah, or tree + "
             "score_brute_force(quantize='int8') for the exact sq format")
-    if ah is not None and ah.variable_dims_per_block is not None:
-        raise NotImplementedError(
-            "VARIABLE_CHUNK AH is not supported by the sharded streaming "
-            "build yet; build single-chip and re-shard via from_searcher "
-            "(which threads the block_dims table), or use fixed "
-            "dimensions_per_block")
     soar = part.soar
     # SOAR works in BOTH leaf formats: the sq format stores the secondary
     # slot's residual row vs its OWN center (exact scores for either copy),
@@ -1373,13 +1367,16 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
 
         resid_sample = _residualize_sample(_rep(sample),
                                            centers_assign, centers)
-        codebook = jax.jit(
+        model = jax.jit(
             lambda k_, s: ah_ops.train_ah_model(
                 k_, s, ah.dimensions_per_block, ah.clusters_per_block,
-                ah.training_iterations, dims=d).codebook)(
+                ah.training_iterations, dims=d,
+                variable_dims_per_block=ah.variable_dims_per_block))(
             jax.random.PRNGKey(seed + 1), resid_sample)
-        model = ah_ops.AHModel(codebook=codebook, dims=d)
-        _logger.info("sharded build: AH codebook trained")
+        codebook = model.codebook
+        _logger.info("sharded build: AH codebook trained%s",
+                     "" if model.block_dims is None
+                     else f" (VARIABLE_CHUNK, {model.num_blocks} blocks)")
 
     # -- 3. second streaming pass: tokenize (+SOAR) + encode + compress.
     threshold = (float("nan") if sq_mode
@@ -1387,13 +1384,14 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
     noise_shaped = not math.isnan(threshold)
     soar_lam = float(soar.lambda_) if soar is not None else 0.0
 
-    def _enc(vecs, x, cb):
+    def _enc(vecs, x, cb, bd):
         if sq_mode:
             # The sq format has no codes: emit a zero-width placeholder so
             # the streaming plumbing stays shape-uniform.
-            del cb
+            del cb, bd
             return jnp.zeros((vecs.shape[0], 0), jnp.uint8)
-        m = ah_ops.AHModel(codebook=cb, dims=d)
+        m = ah_ops.AHModel(codebook=cb, dims=d,
+                           block_dims=None if bd.size == 0 else bd)
         if noise_shaped:
             return ah_ops.encode_noise_shaped(vecs, x, m, threshold)
         return ah_ops.encode(vecs, m)
@@ -1410,13 +1408,13 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         deq = rows_q.astype(jnp.float32) * scale[:, None] + c_rows
         return rows_q, jnp.sum(deq * deq, axis=-1), scale
 
-    def _te_block(x, ca, cr, cb):
+    def _te_block(x, ca, cr, cb, bd):
         # ca = assignment centers (pre-AVQ), cr = residual centers (post-
         # AVQ refit); identical arrays when AVQ is off.
         tokens, _ = kmeans_ops.assign(x, ca)
         cprim0 = jnp.take(cr, tokens, axis=0)
         vecs = (x - cprim0) if residual else x
-        codes = _enc(vecs, x, cb)
+        codes = _enc(vecs, x, cb, bd)
         rows_q, rows_sq, rows_scale = _row_compress(x, cprim0)
         if soar is None:
             return (tokens.astype(jnp.int32), codes, rows_q, rows_sq,
@@ -1439,7 +1437,7 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         sdist = sdist.at[jnp.arange(x.shape[0]), tokens].set(jnp.inf)
         tokens2 = jnp.argmin(sdist, axis=-1).astype(jnp.int32)
         c2_rows = jnp.take(cr, tokens2, axis=0)
-        codes2 = _enc(x - c2_rows, x, cb)
+        codes2 = _enc(x - c2_rows, x, cb, bd)
         # Secondary slots store residuals vs THEIR OWN center so every
         # slot's rescore bias is q.c_{slot_leaf}.
         rows_q2, rows_sq2, rows_scale2 = _row_compress(x, c2_rows)
@@ -1448,9 +1446,9 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
                 rows_scale2)
 
     @jax.jit
-    def _tokenize_encode(x, ca, cr, cb):
+    def _tokenize_encode(x, ca, cr, cb, bd):
         if build_block is None or x.shape[0] <= build_block:
-            return _te_block(x, ca, cr, cb)
+            return _te_block(x, ca, cr, cb, bd)
         # Blocked on the compute chip: the SOAR assignment needs 3-4
         # (rows, num_leaves) f32 intermediates — stream row blocks so
         # peak memory stays ~GB at any chunk size.
@@ -1459,7 +1457,7 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         xp = jnp.pad(x, ((0, pad), (0, 0)))
         nb = xp.shape[0] // build_block
         outs = jax.lax.map(
-            lambda xb: _te_block(xb, ca, cr, cb),
+            lambda xb: _te_block(xb, ca, cr, cb, bd),
             xp.reshape(nb, build_block, xp.shape[1]))
         return tuple(
             o.reshape((o.shape[0] * o.shape[1],) + o.shape[2:])[:m]
@@ -1470,6 +1468,12 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         codebook_arg = jnp.zeros((0, 0, 0), jnp.float32)  # jit placeholder
     else:
         codebook_arg = codebook
+    # VARIABLE_CHUNK per-block dim table: passed as a (possibly empty)
+    # operand rather than a jit closure so its placement follows the
+    # compute device like every other build operand.
+    block_dims_arg = (jnp.zeros((0, 0), jnp.int32)
+                      if model is None or model.block_dims is None
+                      else model.block_dims.astype(jnp.int32))
     n_shards = mesh.shape[shard_axis]
     leaves_per_shard = -(-part.num_leaves // n_shards)
     acc = [{"codes": [], "leaf": [], "dpid": [], "rows": [], "sq": [],
@@ -1505,7 +1509,8 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
             x_dev = transfer.to_device(rows, device=compute_device)
         else:
             x_dev = jax.device_put(jnp.asarray(rows), row_sharding)
-        out = _tokenize_encode(x_dev, centers_assign, centers, codebook_arg)
+        out = _tokenize_encode(x_dev, centers_assign, centers, codebook_arg,
+                               block_dims_arg)
         for o in out:  # overlap the per-array transfer latencies
             o.copy_to_host_async()
         dpids = np.arange(row_base, row_base + m_rows, dtype=np.int32)
@@ -1526,6 +1531,8 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
     host_parts = _layout_shards_from_parts(
         acc, part.num_leaves, n_shards, dims=d,
         num_blocks=0 if sq_mode else model.num_blocks)
+    if model is not None and model.block_dims is not None:
+        host_parts["block_dims"] = np.asarray(model.block_dims)
     _logger.info("sharded build: slots laid out over %d shards", n_shards)
     return ShardedTreeAHSearcher(
         scann_config, mesh,

@@ -116,8 +116,9 @@ def test_variable_chunk_searcher_end_to_end(tmp_path):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_variable_chunk_sharded():
-    """from_searcher threads the block_dims table to the mesh; the
-    streaming build states its capability limit."""
+    """from_searcher threads the block_dims table to the mesh, and the
+    streaming build trains/encodes through it natively (VERDICT r4
+    next-9)."""
     from jax.sharding import Mesh
     from scann_tpu.parallel import mesh as mesh_mod
     db, q = make_data(n=8000)
@@ -142,5 +143,12 @@ def test_variable_chunk_sharded():
                   for i in range(len(q))])
     assert r >= r1 - 0.05, (r, r1)
     assert r >= 0.5, r
-    with pytest.raises(NotImplementedError):
-        mesh_mod.build_sharded(db, cfg_b.create_config(), m)
+    # The streaming build trains the codebook and encodes through the
+    # block_dims table natively (mesh.py build_sharded_streaming).
+    ss2 = mesh_mod.build_sharded(db, cfg_b.create_config(), m)
+    assert ss2.model.block_dims is not None
+    assert ss2.model.block_dims.shape == s.model.block_dims.shape
+    idx2s, _ = ss2.search_batched(q)
+    r2 = np.mean([len(set(idx2s[i]) & set(truth[i])) / 10
+                  for i in range(len(q))])
+    assert r2 >= r1 - 0.08, (r2, r1)
