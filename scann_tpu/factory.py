@@ -30,13 +30,19 @@ def create_searcher(database, scann_config: cfg.ScannConfig, docids=None):
         database = database.data
     database = np.asarray(database)
     # Typed input datasets (reference TypedDataset<T>, data_format/
-    # dataset.h:219; BruteForceSearcher<T>, brute_force.h:41): int8/uint8
-    # rows search NATIVELY on the pure brute-force path — 1 B/dim device
-    # storage, exact scoring (small ints are exact in the MXU operands).
-    # Every other engine (trees, AH, quantized/reordered BF, projections,
-    # cosine's normalization) computes in float and casts up front.
+    # dataset.h:219; BruteForceSearcher<T>, brute_force.h:41;
+    # TreeXHybridSMMD<T>, tree_x_hybrid_smmd.h:51): int8/uint8 rows build
+    # and search WITHOUT a full float32 copy on two paths —
+    #   * pure brute force: native typed device rows, exact scoring;
+    #   * tree + score_brute_force (tree-X): sample/tokenize/split/encode
+    #     all cast per chunk after their gathers; leaves store residual
+    #     int8 (quantize="int8") or exact bfloat16 rows (float32 mode —
+    #     int8/uint8 values are exact in bf16).
+    # Everything else (AH — the reference's TreeAHHybridResidual is
+    # float-only too, tree_ah_hybrid_residual.h:47 —, reordering,
+    # projections, cosine's normalization, autopilot sizing) computes in
+    # float and casts up front.
     typed_ok = (database.dtype in (np.int8, np.uint8)
-                and scann_config.partitioning is None
                 and scann_config.asymmetric_hash is None
                 and scann_config.reordering is None
                 and scann_config.projection is None
@@ -44,7 +50,10 @@ def create_searcher(database, scann_config: cfg.ScannConfig, docids=None):
                 and scann_config.distance_measure != cfg.COSINE
                 and (scann_config.brute_force is None
                      or scann_config.brute_force.quantize
-                     in (None, cfg.FLOAT32)))
+                     in (None, cfg.FLOAT32)
+                     or (scann_config.partitioning is not None
+                         and scann_config.brute_force.quantize
+                         == cfg.INT8)))
     if not typed_ok and database.dtype != np.float32:
         database = np.asarray(database, dtype=np.float32)
     if database.ndim != 2:

@@ -81,8 +81,11 @@ class KMeansTreePartitioner(NamedTuple):
         k_sample, k_train = jax.random.split(key)
         sample_idx = kmeans_ops.sample_rows(
             k_sample, n, part.training_sample_size)
-        x = jnp.asarray(database, jnp.float32)
-        sample = jnp.take(x, sample_idx, axis=0)
+        # Sample FIRST, cast after: typed (int8/uint8) databases train
+        # without ever materializing an (n, d) float32 copy (reference:
+        # TypedDataset<T> sampling, partitioner_factory_base.cc:34-76).
+        sample = jnp.take(jnp.asarray(database), sample_idx,
+                          axis=0).astype(jnp.float32)
         if (part.hierarchical_top
                 and part.num_leaves > part.hierarchical_top):
             # Two-level recursive training (KMeansTreeNode::Train,
@@ -245,8 +248,7 @@ class KMeansTreePartitioner(NamedTuple):
         capture: a closed-over device array is lowered as an MLIR constant,
         which silently downloads it to host at trace time and re-embeds it
         in every executable."""
-        return _tokenize_run(jnp.asarray(database, jnp.float32),
-                             self.centers)
+        return _tokenize_run(jnp.asarray(database), self.centers)
 
     def tokenize_database_soar(self, database, soar: cfg.SoarConfig):
         """Two-center SOAR assignment: secondary center minimizes
@@ -258,8 +260,8 @@ class KMeansTreePartitioner(NamedTuple):
 
         Returns (n, 2) int32; column 0 = primary, column 1 = secondary.
         """
-        return _tokenize_soar_run(jnp.asarray(database, jnp.float32),
-                                  self.centers, float(soar.lambda_))
+        return _tokenize_soar_run(jnp.asarray(database), self.centers,
+                                  float(soar.lambda_))
 
     @staticmethod
     @jax.jit
@@ -355,7 +357,11 @@ def _tokenize_run(x, centers):
     pad = (-n) % _TOKENIZE_CHUNK
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     chunks = xp.reshape(-1, min(_TOKENIZE_CHUNK, xp.shape[0]), x.shape[1])
-    a = jax.lax.map(lambda c: kmeans_ops.assign(c, centers)[0], chunks)
+    # Cast per chunk: typed (int8/uint8) databases tokenize without an
+    # (n, d) float32 intermediate (values are exact in f32).
+    a = jax.lax.map(
+        lambda c: kmeans_ops.assign(c.astype(jnp.float32), centers)[0],
+        chunks)
     return a.reshape(-1)[:n]
 
 
@@ -367,6 +373,7 @@ def _tokenize_soar_run(x, centers, lam):
     chunks = xp.reshape(-1, min(_TOKENIZE_CHUNK, xp.shape[0]), x.shape[1])
 
     def per_chunk(c):
+        c = c.astype(jnp.float32)  # typed dbs cast per chunk (exact)
         prim, _ = kmeans_ops.assign(c, centers)
         cprim = jnp.take(centers, prim, axis=0)
         r = c - cprim
@@ -489,7 +496,9 @@ def _two_means_batch(x_dev, idx_t, valid_t):
 
     def split_one(args):
         idx_row, valid_row = args
-        xm = jnp.take(x_dev, idx_row, axis=0)
+        # Cast AFTER the gather: typed (int8/uint8) databases split
+        # without an (n, d) float32 device copy.
+        xm = jnp.take(x_dev, idx_row, axis=0).astype(jnp.float32)
         v = valid_row.astype(jnp.float32)
         d0 = jnp.sum((xm - xm[0]) ** 2, axis=1)
         c1 = xm[jnp.argmax(jnp.where(valid_row, d0, -1.0))]
@@ -534,7 +543,7 @@ def split_oversized(x, tokens: np.ndarray, centers: np.ndarray, cap: int,
     """
     tokens = np.array(tokens, np.int64, copy=True)
     centers = np.array(centers, np.float32, copy=True)
-    x_dev = jnp.asarray(x, jnp.float32)
+    x_dev = jnp.asarray(x)  # typed dbs stay typed; cast inside the gather
     fn = jax.jit(_two_means_batch)  # x passed as an argument, not closed
     # over: closure capture would embed the database in the executable.
     import logging
