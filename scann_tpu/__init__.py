@@ -72,12 +72,17 @@ def load_reference_assets(artifacts_dir):
     return ref_assets.load_reference_assets(artifacts_dir)
 
 
-def save_reference_assets(searcher, artifacts_dir):
+def save_reference_assets(searcher, artifacts_dir,
+                          lossy_reorder_downgrade=False):
     """Write a searcher as a reference-format artifact directory readable
     by the reference's load_searcher (ScannInterface::Serialize role,
-    scann_ops/cc/scann.cc:504-601)."""
+    scann_ops/cc/scann.cc:504-601).  lossy_reorder_downgrade: re-quantize
+    residual-int8 reorder rows to the reference's absolute-int8
+    FixedPoint format instead of raising."""
     from scann_tpu.utils import ref_assets
-    return ref_assets.save_reference_assets(searcher, artifacts_dir)
+    return ref_assets.save_reference_assets(
+        searcher, artifacts_dir,
+        lossy_reorder_downgrade=lossy_reorder_downgrade)
 
 
 def serve(artifacts_dir, host="0.0.0.0", port=8080, block=True):

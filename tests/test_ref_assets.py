@@ -205,6 +205,38 @@ def test_residual_reorder_export_rejected(tmp_path):
         scann_tpu.save_reference_assets(s, str(tmp_path))
 
 
+def test_residual_reorder_lossy_downgrade(tmp_path):
+    """The flagship residual-int8 reorder layout exports via the lossy
+    absolute-int8 downgrade (VERDICT r4 weak-8): migration back to the
+    reference format is never blocked on the TPU-native engine."""
+    from scann_tpu.utils import ref_assets
+    db, q = make_data()
+    s = (scann_tpu.builder(db, 10, "dot_product")
+         .tree(num_leaves=16, num_leaves_to_search=4,
+               training_sample_size=3000)
+         .score_ah(2)
+         .reorder(50, quantize="int8").build())
+    assert s.reorder_helper._leaf is not None  # residual layout live
+    scann_tpu.save_reference_assets(s, str(tmp_path),
+                                    lossy_reorder_downgrade=True)
+    # The exported dir is the reference FixedPoint layout.
+    data = np.load(tmp_path / "int8_dataset.npy")
+    mult = np.load(tmp_path / "int8_multipliers.npy")
+    assert data.dtype == np.int8 and data.shape == db.shape
+    assert mult.shape == (db.shape[1],)
+    # Reconstruction error is bounded by the absolute-int8 step.
+    np.testing.assert_allclose(data.astype(np.float32) / mult[None, :],
+                               db, atol=1.5 * np.abs(db).max() / 127)
+    # And it loads back into a working searcher with near-identical
+    # results (rescore steps are coarser; candidates are unchanged).
+    s2 = ref_assets.load_reference_assets(str(tmp_path))
+    i1, d1 = s.search_batched(q)
+    i2, d2 = s2.search_batched(q)
+    agree = np.mean([len(set(i1[i]) & set(np.asarray(i2)[i])) / 10
+                     for i in range(len(q))])
+    assert agree >= 0.95, agree
+
+
 def test_brute_force_reference_round_trip(tmp_path):
     db, q = make_data()
     s = (scann_tpu.builder(db, 7, "squared_l2")
