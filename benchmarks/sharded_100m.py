@@ -100,6 +100,10 @@ def main():
                          "index_<n>m)")
     ap.add_argument("--resume", action="store_true",
                     help="skip the build; load --save-dir and sweep")
+    ap.add_argument("--spill-dir", type=str, default=None,
+                    help="disk-backed build state: O(chunk) host RAM + "
+                         "crash resume from the last completed encode "
+                         "chunk (rerun the same command to resume)")
     args = ap.parse_args()
     l2s_list = sorted(int(v) for v in str(args.leaves_to_search).split(","))
 
@@ -189,9 +193,18 @@ def main():
         # inside the generator (argpartition, not a device round-trip:
         # the first full run leaked ~80 GB of host RSS through the
         # tunneled-TPU GT loop and was OOM-killed after the build).
-        gt_state = {"v": np.full((nq, 10), -np.inf, np.float32),
-                    "i": np.full((nq, 10), -1, np.int64),
-                    "done": False, "secs": 0.0}
+        # A saved GT checkpoint (a crashed run that got through pass 1)
+        # is reused instead of recomputed.
+        if os.path.exists(gt_path):
+            saved = np.load(gt_path)
+            gt_state = {"v": None, "i": saved["gt"].astype(np.int64),
+                        "done": True, "secs": -1.0}
+            q = saved["q"]
+            log("ground truth loaded from checkpoint (merge skipped)")
+        else:
+            gt_state = {"v": np.full((nq, 10), -np.inf, np.float32),
+                        "i": np.full((nq, 10), -1, np.int64),
+                        "done": False, "secs": 0.0}
 
         def merge_gt(x, ci):
             t0 = time.perf_counter()
@@ -239,7 +252,8 @@ def main():
 
         t0 = time.perf_counter()
         ss = mesh_mod.build_sharded_streaming(chunks, config, mesh,
-                                              compute_device=compute_device)
+                                              compute_device=compute_device,
+                                              spill_dir=args.spill_dir)
         build_s = time.perf_counter() - t0
         gt_s = gt_state["secs"]
         best_i = gt_state["i"]

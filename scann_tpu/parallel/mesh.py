@@ -1125,7 +1125,8 @@ def _reservoir_sample(chunks, sample_size: int, rng) -> tuple:
 def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
                             mesh: Mesh, shard_axis: str = "shard",
                             data_axis: str = "data",
-                            compute_device=None
+                            compute_device=None,
+                            spill_dir: Optional[str] = None
                             ) -> ShardedTreeAHSearcher:
     """Multi-chip index build that NEVER holds the f32 database resident:
     ``chunks_fn`` is a callable returning a fresh iterator of (m, d) f32
@@ -1153,6 +1154,14 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
     chip, serve on a mesh" shape; the emitted index is structurally
     identical to the pure-mesh build (same programs, replicated instead
     of row-sharded operands).
+
+    ``spill_dir``: optional directory for DISK-BACKED build state — the
+    trained centers/codebook checkpoint, append-only encode spill files
+    with chunk-granular progress, and a memmap leaf-sorted layout.  Host
+    RAM stays O(one chunk) regardless of database size, and a crashed
+    build RESUMES from the last completed chunk when rerun with the same
+    spill_dir.  The emitted index is bit-identical to the in-memory
+    build's.
     """
     part = scann_config.partitioning
     ah = scann_config.asymmetric_hash
@@ -1206,177 +1215,218 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         return rows / np.maximum(
             np.linalg.norm(rows, axis=1, keepdims=True), 1e-20)
 
-    # -- 1. streaming reservoir sample + data-parallel k-means.
-    sample, n = _reservoir_sample(
-        map(_norm, chunks_fn()), min(part.training_sample_size, 1 << 30),
-        rng)
-    sample_n, d = sample.shape
-    if compute_device is not None or sample_n * d <= (1 << 25):
-        # The sample fits one device comfortably: use the FULL single-chip
-        # k-means engine (kmeans++/random init, empty-cluster reseeding,
-        # min-size enforcement — one engine everywhere, like the
-        # reference's GmmUtils; VERDICT r2 weak-4) and replicate the
-        # result.
-        res = jax.jit(functools.partial(
-            kmeans_ops.kmeans, k=part.num_leaves,
-            iterations=part.training_iterations,
-            init="random" if part.random_init else "kmeans++",
-            spherical=part.spherical,
-            min_cluster_size=part.min_partition_size,
-            block_rows=build_block))(
-                jax.random.PRNGKey(seed),
-                (transfer_mod.to_device(sample, device=compute_device)
-                 if compute_device is not None else _rep(sample)))
-        centers = _rep(res.centers)
+    spill = (_SpillState(spill_dir, mesh.shape[shard_axis])
+             if spill_dir is not None else None)
+    ph = spill.load_phase1() if spill is not None else None
+    if ph is None:
+        # -- 1. streaming reservoir sample + data-parallel k-means.
+        sample, n = _reservoir_sample(
+            map(_norm, chunks_fn()), min(part.training_sample_size, 1 << 30),
+            rng)
+        sample_n, d = sample.shape
+        if compute_device is not None or sample_n * d <= (1 << 25):
+            # The sample fits one device comfortably: use the FULL single-chip
+            # k-means engine (kmeans++/random init, empty-cluster reseeding,
+            # min-size enforcement — one engine everywhere, like the
+            # reference's GmmUtils; VERDICT r2 weak-4) and replicate the
+            # result.
+            res = jax.jit(functools.partial(
+                kmeans_ops.kmeans, k=part.num_leaves,
+                iterations=part.training_iterations,
+                init="random" if part.random_init else "kmeans++",
+                spherical=part.spherical,
+                min_cluster_size=part.min_partition_size,
+                block_rows=build_block))(
+                    jax.random.PRNGKey(seed),
+                    (transfer_mod.to_device(sample, device=compute_device)
+                     if compute_device is not None else _rep(sample)))
+            centers = _rep(res.centers)
+        else:
+            # Huge samples: data-parallel Lloyd iterations over the mesh.
+            sample_pad = _round_up(sample_n, n_dev)
+            sample_padded = np.zeros((sample_pad, d), np.float32)
+            sample_padded[:sample_n] = sample
+            x_sharded = jax.device_put(
+                jnp.asarray(sample_padded),
+                NamedSharding(flat_mesh, P("data", None)))
+            centers = jnp.asarray(sample[rng.choice(sample_n, part.num_leaves,
+                                                    replace=False)])
+            for _ in range(part.training_iterations):
+                centers = sharded_kmeans_step(x_sharded, centers, flat_mesh,
+                                              valid_rows=sample_n)
+            centers = jax.device_put(centers, NamedSharding(flat_mesh, P()))
+        _logger.info("sharded build: centers trained (%d leaves) over %d rows",
+                     part.num_leaves, n)
+
+        # -- 1b. split oversized partitions ON THE SAMPLE (scaled cap): the
+        # streaming contract forbids a full-database pass here; the sample's
+        # leaf-size distribution is an unbiased estimate of the database's.
+        from scann_tpu.partitioning import kmeans_tree as kt
+
+        @jax.jit
+        def _tokenize_only(x, c):
+            a, _ = kmeans_ops.assign(x, c, block_rows=build_block)
+            return a.astype(jnp.int32)
+
+        cap = max(2.0 * n / max(part.num_leaves, 1), 1024)
+        cap_sample = max(int(cap * sample_n / max(n, 1)), 8)
+        tokens_s = np.asarray(_tokenize_only(_rep(sample), centers))
+        _, centers_np = kt.split_oversized(sample, tokens_s.astype(np.int64),
+                                           np.asarray(centers), cap_sample)
+        if centers_np.shape[0] != part.num_leaves:
+            import dataclasses
+            part = dataclasses.replace(part, num_leaves=centers_np.shape[0])
+            scann_config = dataclasses.replace(scann_config, partitioning=part)
+            centers = _rep(centers_np)
+            _logger.info("sharded build: split to %d leaves", part.num_leaves)
+
+        # -- 1c. streaming AVQ centroid refit (single-chip apply_avq parity;
+        # reference AvqAccumulator, partitioning/anisotropic.cc:32-87, applied
+        # post-tokenization by TokenizeDatabaseWithAvq,
+        # tree_x_hybrid_factory.cc:105-156).  The per-leaf sufficient
+        # statistics — eta-weighted Gram matrix A, weighted sum b, total
+        # weight — are chunk-additive, so ONE extra tokenize-only streaming
+        # pass accumulates them without ever holding rows.  Assignment keeps
+        # the PRE-refit centers (tokens are fixed before AVQ, exactly like the
+        # single-chip build); residuals, rescore rows, and query tokenization
+        # all use the refitted centers.
+        centers_assign = centers
+        if part.avq is not None:
+            if not residual:
+                raise ValueError("avq requires residual quantization")
+            eta = float(part.avq)
+            num_l = part.num_leaves
+            stats_bytes = num_l * d * d * 4
+            if stats_bytes > (1 << 31):
+                raise ValueError(
+                    f"streaming AVQ statistics need num_leaves*d*d*4 = "
+                    f"{stats_bytes} bytes; reduce num_leaves or project first")
+            blk = 2048
+
+            # At eta == 1 the reference's AvqAccumulator weights zero-norm
+            # members with fillzero = 1 (anisotropic.cc:32-87): zero vectors
+            # count toward the mean.  (ADVICE r3.)
+            fillzero = 1.0 if eta == 1.0 else 0.0
+
+            @jax.jit
+            def _avq_accum(x, c, acc_a, acc_b, acc_tw):
+                tokens, _ = kmeans_ops.assign(x, c, block_rows=build_block)
+                norms = jnp.linalg.norm(x, axis=-1)
+                nz = norms > 1e-20
+                w = jnp.where(nz, norms ** (eta - 1.0), fillzero)
+                sw = jnp.where(nz, norms ** (0.5 * (eta - 3.0)), 0.0)
+                xw = x * sw[:, None]
+                m = x.shape[0]
+                pad = (-m) % blk
+                # Padded rows carry zero weight (and zero xw), so the scatter
+                # targets for them are irrelevant.  (With fillzero, w is
+                # padded with zeros below, keeping pad rows excluded.)
+                xp = jnp.pad(x, ((0, pad), (0, 0)))
+                xwp = jnp.pad(xw, ((0, pad), (0, 0)))
+                wp = jnp.pad(w, (0, pad))
+                tp = jnp.pad(tokens, (0, pad))
+                nblk = xp.shape[0] // blk
+
+                def body(carry, args):
+                    a_c, b_c, tw_c = carry
+                    xb, xwb, wb, tb = args
+                    a_c = a_c.at[tb].add(xwb[:, :, None] * xwb[:, None, :])
+                    b_c = b_c.at[tb].add(xb * wb[:, None])
+                    tw_c = tw_c.at[tb].add(wb)
+                    return (a_c, b_c, tw_c), None
+
+                (acc_a, acc_b, acc_tw), _ = jax.lax.scan(
+                    body, (acc_a, acc_b, acc_tw),
+                    (xp.reshape(nblk, blk, d), xwp.reshape(nblk, blk, d),
+                     wp.reshape(nblk, blk), tp.reshape(nblk, blk)))
+                return acc_a, acc_b, acc_tw
+
+            @jax.jit
+            def _avq_refit(acc_a, acc_b, acc_tw, c_old):
+                eye = jnp.eye(d)
+
+                def solve(args):
+                    a_l, b_l, tw_l = args
+                    a_mat = tw_l * eye + (eta - 1.0) * a_l
+                    c_l = eta * jnp.linalg.solve(a_mat, b_l)
+                    return jnp.where(tw_l > 0, c_l, jnp.zeros((d,)))
+
+                new = jax.lax.map(solve, (acc_a, acc_b, acc_tw))
+                return jnp.where((acc_tw > 0)[:, None], new, c_old)
+
+            acc_a = _rep(jnp.zeros((num_l, d, d), jnp.float32))
+            acc_b = _rep(jnp.zeros((num_l, d), jnp.float32))
+            acc_tw = _rep(jnp.zeros((num_l,), jnp.float32))
+            for rows in chunks_fn():
+                rows = _norm(np.asarray(rows, np.float32))
+                acc_a, acc_b, acc_tw = _avq_accum(
+                    _rep(rows), centers_assign, acc_a, acc_b, acc_tw)
+            centers = _rep(
+                np.asarray(_avq_refit(acc_a, acc_b, acc_tw,
+                                      jnp.asarray(centers))))
+            del acc_a, acc_b, acc_tw
+            _logger.info("sharded build: AVQ centroid refit applied (eta=%g)",
+                         eta)
+
+        # -- 2. AH codebook on sampled residuals + int8 multipliers.
+        if sq_mode:
+            codebook = None
+            model = None
+        else:
+            @jax.jit
+            def _residualize_sample(x, ca, cr):
+                a, _ = kmeans_ops.assign(x, ca, block_rows=build_block)
+                return (x - jnp.take(cr, a, axis=0)) if residual else x
+
+            resid_sample = _residualize_sample(_rep(sample),
+                                               centers_assign, centers)
+            model = jax.jit(
+                lambda k_, s: ah_ops.train_ah_model(
+                    k_, s, ah.dimensions_per_block, ah.clusters_per_block,
+                    ah.training_iterations, dims=d,
+                    variable_dims_per_block=ah.variable_dims_per_block))(
+                jax.random.PRNGKey(seed + 1), resid_sample)
+            codebook = model.codebook
+            _logger.info("sharded build: AH codebook trained%s",
+                         "" if model.block_dims is None
+                         else f" (VARIABLE_CHUNK, {model.num_blocks} blocks)")
+
+        if spill is not None:
+            spill.save_phase1(
+                centers=np.asarray(centers),
+                centers_assign=np.asarray(centers_assign),
+                codebook=(None if codebook is None
+                          else np.asarray(codebook)),
+                block_dims=(None if model is None
+                            or model.block_dims is None
+                            else np.asarray(model.block_dims)),
+                dims=np.int64(d), n=np.int64(n),
+                num_leaves=np.int64(part.num_leaves))
     else:
-        # Huge samples: data-parallel Lloyd iterations over the mesh.
-        sample_pad = _round_up(sample_n, n_dev)
-        sample_padded = np.zeros((sample_pad, d), np.float32)
-        sample_padded[:sample_n] = sample
-        x_sharded = jax.device_put(
-            jnp.asarray(sample_padded),
-            NamedSharding(flat_mesh, P("data", None)))
-        centers = jnp.asarray(sample[rng.choice(sample_n, part.num_leaves,
-                                                replace=False)])
-        for _ in range(part.training_iterations):
-            centers = sharded_kmeans_step(x_sharded, centers, flat_mesh,
-                                          valid_rows=sample_n)
-        centers = jax.device_put(centers, NamedSharding(flat_mesh, P()))
-    _logger.info("sharded build: centers trained (%d leaves) over %d rows",
-                 part.num_leaves, n)
-
-    # -- 1b. split oversized partitions ON THE SAMPLE (scaled cap): the
-    # streaming contract forbids a full-database pass here; the sample's
-    # leaf-size distribution is an unbiased estimate of the database's.
-    from scann_tpu.partitioning import kmeans_tree as kt
-
-    @jax.jit
-    def _tokenize_only(x, c):
-        a, _ = kmeans_ops.assign(x, c, block_rows=build_block)
-        return a.astype(jnp.int32)
-
-    cap = max(2.0 * n / max(part.num_leaves, 1), 1024)
-    cap_sample = max(int(cap * sample_n / max(n, 1)), 8)
-    tokens_s = np.asarray(_tokenize_only(_rep(sample), centers))
-    _, centers_np = kt.split_oversized(sample, tokens_s.astype(np.int64),
-                                       np.asarray(centers), cap_sample)
-    if centers_np.shape[0] != part.num_leaves:
-        import dataclasses
-        part = dataclasses.replace(part, num_leaves=centers_np.shape[0])
-        scann_config = dataclasses.replace(scann_config, partitioning=part)
-        centers = _rep(centers_np)
-        _logger.info("sharded build: split to %d leaves", part.num_leaves)
-
-    # -- 1c. streaming AVQ centroid refit (single-chip apply_avq parity;
-    # reference AvqAccumulator, partitioning/anisotropic.cc:32-87, applied
-    # post-tokenization by TokenizeDatabaseWithAvq,
-    # tree_x_hybrid_factory.cc:105-156).  The per-leaf sufficient
-    # statistics — eta-weighted Gram matrix A, weighted sum b, total
-    # weight — are chunk-additive, so ONE extra tokenize-only streaming
-    # pass accumulates them without ever holding rows.  Assignment keeps
-    # the PRE-refit centers (tokens are fixed before AVQ, exactly like the
-    # single-chip build); residuals, rescore rows, and query tokenization
-    # all use the refitted centers.
-    centers_assign = centers
-    if part.avq is not None:
-        if not residual:
-            raise ValueError("avq requires residual quantization")
-        eta = float(part.avq)
-        num_l = part.num_leaves
-        stats_bytes = num_l * d * d * 4
-        if stats_bytes > (1 << 31):
-            raise ValueError(
-                f"streaming AVQ statistics need num_leaves*d*d*4 = "
-                f"{stats_bytes} bytes; reduce num_leaves or project first")
-        blk = 2048
-
-        # At eta == 1 the reference's AvqAccumulator weights zero-norm
-        # members with fillzero = 1 (anisotropic.cc:32-87): zero vectors
-        # count toward the mean.  (ADVICE r3.)
-        fillzero = 1.0 if eta == 1.0 else 0.0
-
-        @jax.jit
-        def _avq_accum(x, c, acc_a, acc_b, acc_tw):
-            tokens, _ = kmeans_ops.assign(x, c, block_rows=build_block)
-            norms = jnp.linalg.norm(x, axis=-1)
-            nz = norms > 1e-20
-            w = jnp.where(nz, norms ** (eta - 1.0), fillzero)
-            sw = jnp.where(nz, norms ** (0.5 * (eta - 3.0)), 0.0)
-            xw = x * sw[:, None]
-            m = x.shape[0]
-            pad = (-m) % blk
-            # Padded rows carry zero weight (and zero xw), so the scatter
-            # targets for them are irrelevant.  (With fillzero, w is
-            # padded with zeros below, keeping pad rows excluded.)
-            xp = jnp.pad(x, ((0, pad), (0, 0)))
-            xwp = jnp.pad(xw, ((0, pad), (0, 0)))
-            wp = jnp.pad(w, (0, pad))
-            tp = jnp.pad(tokens, (0, pad))
-            nblk = xp.shape[0] // blk
-
-            def body(carry, args):
-                a_c, b_c, tw_c = carry
-                xb, xwb, wb, tb = args
-                a_c = a_c.at[tb].add(xwb[:, :, None] * xwb[:, None, :])
-                b_c = b_c.at[tb].add(xb * wb[:, None])
-                tw_c = tw_c.at[tb].add(wb)
-                return (a_c, b_c, tw_c), None
-
-            (acc_a, acc_b, acc_tw), _ = jax.lax.scan(
-                body, (acc_a, acc_b, acc_tw),
-                (xp.reshape(nblk, blk, d), xwp.reshape(nblk, blk, d),
-                 wp.reshape(nblk, blk), tp.reshape(nblk, blk)))
-            return acc_a, acc_b, acc_tw
-
-        @jax.jit
-        def _avq_refit(acc_a, acc_b, acc_tw, c_old):
-            eye = jnp.eye(d)
-
-            def solve(args):
-                a_l, b_l, tw_l = args
-                a_mat = tw_l * eye + (eta - 1.0) * a_l
-                c_l = eta * jnp.linalg.solve(a_mat, b_l)
-                return jnp.where(tw_l > 0, c_l, jnp.zeros((d,)))
-
-            new = jax.lax.map(solve, (acc_a, acc_b, acc_tw))
-            return jnp.where((acc_tw > 0)[:, None], new, c_old)
-
-        acc_a = _rep(jnp.zeros((num_l, d, d), jnp.float32))
-        acc_b = _rep(jnp.zeros((num_l, d), jnp.float32))
-        acc_tw = _rep(jnp.zeros((num_l,), jnp.float32))
-        for rows in chunks_fn():
-            rows = _norm(np.asarray(rows, np.float32))
-            acc_a, acc_b, acc_tw = _avq_accum(
-                _rep(rows), centers_assign, acc_a, acc_b, acc_tw)
-        centers = _rep(
-            np.asarray(_avq_refit(acc_a, acc_b, acc_tw,
-                                  jnp.asarray(centers))))
-        del acc_a, acc_b, acc_tw
-        _logger.info("sharded build: AVQ centroid refit applied (eta=%g)",
-                     eta)
-
-    # -- 2. AH codebook on sampled residuals + int8 multipliers.
-    if sq_mode:
-        codebook = None
-        model = None
-    else:
-        @jax.jit
-        def _residualize_sample(x, ca, cr):
-            a, _ = kmeans_ops.assign(x, ca, block_rows=build_block)
-            return (x - jnp.take(cr, a, axis=0)) if residual else x
-
-        resid_sample = _residualize_sample(_rep(sample),
-                                           centers_assign, centers)
-        model = jax.jit(
-            lambda k_, s: ah_ops.train_ah_model(
-                k_, s, ah.dimensions_per_block, ah.clusters_per_block,
-                ah.training_iterations, dims=d,
-                variable_dims_per_block=ah.variable_dims_per_block))(
-            jax.random.PRNGKey(seed + 1), resid_sample)
-        codebook = model.codebook
-        _logger.info("sharded build: AH codebook trained%s",
-                     "" if model.block_dims is None
-                     else f" (VARIABLE_CHUNK, {model.num_blocks} blocks)")
+        # Resume: phases 1-2 (sample, k-means, split, AVQ, AH
+        # codebook) restore from the spill checkpoint; only the
+        # encode pass re-runs (and itself resumes mid-pass below).
+        d = int(ph["dims"])
+        n = int(ph["n"])
+        if int(ph["num_leaves"]) != part.num_leaves:
+            import dataclasses
+            part = dataclasses.replace(
+                part, num_leaves=int(ph["num_leaves"]))
+            scann_config = dataclasses.replace(scann_config,
+                                               partitioning=part)
+        centers = _rep(ph["centers"])
+        centers_assign = _rep(ph["centers_assign"])
+        if sq_mode:
+            codebook = None
+            model = None
+        else:
+            bd = ph.get("block_dims")
+            model = ah_ops.AHModel(
+                codebook=jnp.asarray(ph["codebook"]), dims=d,
+                block_dims=None if bd is None else jnp.asarray(bd))
+            codebook = model.codebook
+        _logger.info("sharded build: resumed trained state from spill "
+                     "(%d leaves)", part.num_leaves)
 
     # -- 3. second streaming pass: tokenize (+SOAR) + encode + compress.
     threshold = (float("nan") if sq_mode
@@ -1476,9 +1526,9 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
                       else model.block_dims.astype(jnp.int32))
     n_shards = mesh.shape[shard_axis]
     leaves_per_shard = -(-part.num_leaves // n_shards)
-    acc = [{"codes": [], "leaf": [], "dpid": [], "rows": [], "sq": [],
-            "scale": []}
-           for _ in range(n_shards)]
+    num_blocks_enc = 0 if sq_mode else model.num_blocks
+    sink = (spill.encode_sink(dims=d, num_blocks=num_blocks_enc)
+            if spill is not None else _MemEncodeSink(n_shards))
 
     def _append(sh_tokens, sh_codes, sh_rows, sh_sq, sh_scale, dpids):
         owner = sh_tokens // leaves_per_shard
@@ -1486,16 +1536,20 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
             sel = np.nonzero(owner == sh)[0]
             if not len(sel):
                 continue
-            a = acc[sh]
-            a["codes"].append(sh_codes[sel])
-            a["leaf"].append(sh_tokens[sel])
-            a["dpid"].append(dpids[sel])
-            a["rows"].append(sh_rows[sel])
-            a["sq"].append(sh_sq[sel])
-            a["scale"].append(sh_scale[sel])
+            sink.put(sh, codes=sh_codes[sel], leaf=sh_tokens[sel],
+                     dpid=dpids[sel], rows=sh_rows[sel], sq=sh_sq[sel],
+                     scale=sh_scale[sel])
 
-    row_base = 0
+    row_base = sink.rows_done
+    skip_chunks = sink.chunks_done
+    if skip_chunks:
+        _logger.info("sharded build: resuming encode at chunk %d "
+                     "(%d rows already spilled)", skip_chunks, row_base)
+    ci = -1
     for rows in chunks_fn():
+        ci += 1
+        if ci < skip_chunks:
+            continue
         rows = _norm(np.asarray(rows, np.float32))
         m_rows = rows.shape[0]
         pad = _round_up(m_rows, n_dev) - m_rows
@@ -1525,12 +1579,12 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
                     np.asarray(out[8][:m_rows]),
                     np.asarray(out[9][:m_rows]), dpids)
         row_base += m_rows
+        sink.commit(ci + 1, row_base)
     _logger.info("sharded build: %d rows tokenized + encoded", row_base)
 
     # -- 4. per-shard leaf-sorted layout from the compressed buffers.
-    host_parts = _layout_shards_from_parts(
-        acc, part.num_leaves, n_shards, dims=d,
-        num_blocks=0 if sq_mode else model.num_blocks)
+    host_parts = sink.layout(part.num_leaves, n_shards, dims=d,
+                             num_blocks=num_blocks_enc)
     if model is not None and model.block_dims is not None:
         host_parts["block_dims"] = np.asarray(model.block_dims)
     _logger.info("sharded build: slots laid out over %d shards", n_shards)
@@ -1538,6 +1592,203 @@ def build_sharded_streaming(chunks_fn, scann_config: cfg.ScannConfig,
         scann_config, mesh,
         None if codebook is None else np.asarray(codebook),
         np.asarray(centers), host_parts, shard_axis, data_axis)
+
+
+class _MemEncodeSink:
+    """Default in-memory encode accumulator: per-shard chunk lists,
+    concatenated + leaf-sorted by ``_layout_shards_from_parts``."""
+
+    chunks_done = 0
+    rows_done = 0
+
+    def __init__(self, n_shards: int):
+        self.acc = [{"codes": [], "leaf": [], "dpid": [], "rows": [],
+                     "sq": [], "scale": []} for _ in range(n_shards)]
+
+    def put(self, sh, **arrs):
+        a = self.acc[sh]
+        for k, v in arrs.items():
+            a[k].append(v)
+
+    def commit(self, chunks_done: int, rows_done: int):
+        pass
+
+    def layout(self, num_leaves, n_shards, dims, num_blocks):
+        return _layout_shards_from_parts(self.acc, num_leaves, n_shards,
+                                         dims=dims, num_blocks=num_blocks)
+
+
+# (key, dtype) of the per-slot encode outputs; "codes" has width
+# num_blocks (0 in the sq format), "rows" has width dims, the rest are
+# scalar per slot.
+_SPILL_KEYS = (("codes", np.uint8), ("leaf", np.int32), ("dpid", np.int32),
+               ("rows", np.int8), ("sq", np.float32),
+               ("scale", np.float32))
+
+
+class _SpillState:
+    """Disk-backed streaming-build state (``spill_dir``).
+
+    Three artifacts make the build O(one chunk) in host RAM and
+    resumable after a crash:
+      * ``phase1.npz`` — trained centers (+ assignment centers, AH
+        codebook, block_dims): phases 1-2 skip entirely on resume;
+      * ``enc_s{shard}_{key}.bin`` — append-only encode spill files with
+        ``encode_progress.json`` updated atomically after every chunk
+        (a crashed encode pass resumes at the last completed chunk; the
+        files are truncated to the committed byte counts first);
+      * ``layout_{key}.npy`` — the leaf-sorted slot tables as memmaps,
+        gathered from the spill files in bounded blocks; the searcher's
+        host tables stay disk-backed (the serving copies live in the
+        mesh devices' buffers).
+
+    The emitted index is bit-identical to the in-memory build's (same
+    append order, same stable leaf sort).  Reference role: ScaNN builds
+    entirely in RAM; this is new capability for the sharded TPU engine's
+    100M+ axis on bounded-RAM hosts (SURVEY.md §2.10)."""
+
+    def __init__(self, spill_dir: str, n_shards: int):
+        self.dir = spill_dir
+        self.n_shards = n_shards
+        os.makedirs(spill_dir, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.dir, name)
+
+    def load_phase1(self):
+        p = self.path("phase1.npz")
+        if not os.path.exists(p):
+            return None
+        return dict(np.load(p))
+
+    def save_phase1(self, **arrs):
+        # np.savez appends ".npz" when absent — keep the tmp suffix valid.
+        tmp = self.path("phase1.tmp.npz")
+        np.savez(tmp, **{k: v for k, v in arrs.items() if v is not None})
+        os.replace(tmp, self.path("phase1.npz"))
+
+    def encode_sink(self, dims: int, num_blocks: int):
+        return _SpillEncodeSink(self, dims, num_blocks)
+
+
+class _SpillEncodeSink:
+    """Append-only disk spill for the encode pass (see _SpillState)."""
+
+    def __init__(self, spill: _SpillState, dims: int, num_blocks: int):
+        self.spill = spill
+        self.widths = {"codes": num_blocks, "leaf": 1, "dpid": 1,
+                       "rows": dims, "sq": 1, "scale": 1}
+        self.prog_path = spill.path("encode_progress.json")
+        self.chunks_done = 0
+        self.rows_done = 0
+        self.counts = [0] * spill.n_shards
+        if os.path.exists(self.prog_path):
+            with open(self.prog_path) as f:
+                prog = json.load(f)
+            self.chunks_done = int(prog["chunks_done"])
+            self.rows_done = int(prog["rows_done"])
+            self.counts = [int(c) for c in prog["counts"]]
+        self.files = {}
+        for sh in range(spill.n_shards):
+            for key, dt in _SPILL_KEYS:
+                if self.widths[key] == 0:
+                    continue
+                p = spill.path(f"enc_s{sh}_{key}.bin")
+                want = (self.counts[sh] * self.widths[key]
+                        * np.dtype(dt).itemsize)
+                if os.path.exists(p):
+                    if os.path.getsize(p) < want:
+                        raise ValueError(
+                            f"spill file {p} is shorter than its progress "
+                            f"record ({os.path.getsize(p)} < {want} "
+                            f"bytes); the spill dir is corrupt — delete "
+                            f"it and rebuild")
+                    # A crash between file writes and the progress commit
+                    # leaves a partial chunk tail: drop it.
+                    os.truncate(p, want)
+                elif want:
+                    raise ValueError(
+                        f"spill file {p} is missing but progress records "
+                        f"{want} bytes; delete the spill dir and rebuild")
+                else:
+                    open(p, "wb").close()
+                self.files[(sh, key)] = open(p, "ab")
+
+    def put(self, sh, **arrs):
+        self.counts[sh] += len(arrs["leaf"])
+        for key, dt in _SPILL_KEYS:
+            if self.widths[key] == 0:
+                continue
+            self.files[(sh, key)].write(
+                np.ascontiguousarray(arrs[key], dtype=dt).tobytes())
+
+    def commit(self, chunks_done: int, rows_done: int):
+        for f in self.files.values():
+            f.flush()
+        tmp = self.prog_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"chunks_done": chunks_done, "rows_done": rows_done,
+                       "counts": self.counts}, f)
+        os.replace(tmp, self.prog_path)
+        self.chunks_done = chunks_done
+        self.rows_done = rows_done
+
+    def layout(self, num_leaves, n_shards, dims, num_blocks):
+        for f in self.files.values():
+            f.close()
+        self.files = {}
+        counts = self.counts
+        max_slots = max(max(counts), 1)
+        chunk = min(65536, _round_up(max(max_slots, 128), 128))
+        slots_padded = _round_up(max(max_slots, chunk), chunk)
+        out_name = {"codes": "codes", "leaf": "slot_leaf",
+                    "dpid": "slot_dpid", "rows": "rows_i8",
+                    "sq": "rows_sq", "scale": "rows_scale"}
+        dst = {}
+        for key, dt in _SPILL_KEYS:
+            w = self.widths[key]
+            if key == "codes" and w == 0:
+                dst[key] = np.zeros((n_shards, slots_padded, 0), dt)
+                continue
+            shape = ((n_shards, slots_padded) if key not in
+                     ("codes", "rows") else (n_shards, slots_padded, w))
+            mm = np.lib.format.open_memmap(
+                self.spill.path(f"layout_{key}.npy"), mode="w+",
+                dtype=dt, shape=shape)
+            if key == "dpid":
+                mm[:] = -1  # open_memmap zero-fills; dead slots are -1
+            dst[key] = mm
+        for sh in range(n_shards):
+            m = counts[sh]
+            if m == 0:
+                continue
+            leaf = np.fromfile(self.spill.path(f"enc_s{sh}_leaf.bin"),
+                               dtype=np.int32, count=m)
+            order = np.argsort(leaf, kind="stable")
+            for key, dt in _SPILL_KEYS:
+                w = self.widths[key]
+                if key == "codes" and w == 0:
+                    continue
+                src = np.memmap(
+                    self.spill.path(f"enc_s{sh}_{key}.bin"), dtype=dt,
+                    mode="r",
+                    shape=(m,) if key not in ("codes", "rows")
+                    else (m, w))
+                # Bounded gather blocks: ~128 MB of sorted rows at a
+                # time through the page cache.
+                blk = max((1 << 27) // max(w * np.dtype(dt).itemsize, 1),
+                          1)
+                for s in range(0, m, blk):
+                    sel = order[s:s + blk]
+                    dst[key][sh, s:s + len(sel)] = src[sel]
+                del src
+        host_parts = {}
+        for key, _ in _SPILL_KEYS:
+            if hasattr(dst[key], "flush"):
+                dst[key].flush()
+            host_parts[out_name[key]] = dst[key]
+        host_parts.update(num_leaves=num_leaves, dims=dims, chunk=chunk)
+        return host_parts
 
 
 def _layout_shards_from_parts(acc, num_leaves: int, n_shards: int,
