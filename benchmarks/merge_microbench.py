@@ -225,6 +225,14 @@ def stage_profile(n, d, leaves_list, batch):
         def sync(x):
             np.asarray(jax.tree.leaves(x)[0].ravel()[0])
 
+        @jax.jit
+        def merge_fused(plan, packed, leaf_ids, valid, pair_bias, state):
+            return pruned_scan.merge_candidates_fused(
+                plan, packed, leaf_ids, valid, state["tx_tile_start"],
+                state["tx_ntiles"], s._p_max_ntiles, 10,
+                pair_bias=pair_bias, tile=state["tx_rows"].shape[1],
+                use_pallas=jax.default_backend() == "tpu")
+
         res = {
             "batch": bsz,
             "tokenize_plan_ms": round(slope(
@@ -234,6 +242,9 @@ def stage_profile(n, d, leaves_list, batch):
             "merge_ms": round(slope(
                 lambda: merge(plan, packed, leaf_ids, valid, pair_bias,
                               state), sync) * 1e3, 2),
+            "merge_fused_ms": round(slope(
+                lambda: merge_fused(plan, packed, leaf_ids, valid,
+                                    pair_bias, state), sync) * 1e3, 2),
         }
         full = jax.jit(functools.partial(
             s._search_impl, k=10, k_pre=10, leaves=leaves))
