@@ -85,6 +85,21 @@ def save_reference_assets(searcher, artifacts_dir,
         lossy_reorder_downgrade=lossy_reorder_downgrade)
 
 
+def builder_from_pbtxt(db, config_text):
+    """Canonicalize a reference ScannConfig TEXT proto (the format
+    scann_builder.py:385-470 emits and ScaNN's docs show) onto this
+    package's builder (utils/scann_config_utils.cc canonicalization
+    role).  Returns a configured builder; call .build() on it."""
+    from scann_tpu.utils import config_text as _ct
+    return _ct.builder_from_pbtxt(db, config_text)
+
+
+def searcher_from_pbtxt(db, config_text):
+    """Build a searcher straight from a reference ScannConfig textproto."""
+    from scann_tpu.utils import config_text as _ct
+    return _ct.searcher_from_pbtxt(db, config_text)
+
+
 def serve(artifacts_dir, host="0.0.0.0", port=8080, block=True):
     """Serve a serialized index over HTTP (the reference's TF-Serving
     deployment role; see scann_tpu.serving)."""
