@@ -40,8 +40,8 @@ def _log(msg):
 
 _T0 = time.perf_counter()
 
-N_DB = 1_183_514
-N_QUERY = 10_000
+N_DB = int(os.environ.get("SCANN_TPU_BENCH_ROWS", 1_183_514))
+N_QUERY = int(os.environ.get("SCANN_TPU_BENCH_QUERIES", 10_000))
 DIM = 100
 K = 10
 BASELINE_QPS = 7240.0
@@ -247,6 +247,19 @@ def main():
     # "int8"/"reconstruct"/"float32" select the tree-AH paths (4-bit AH
     # codes + int8 reorder at the reference's exact quantization spec).
     lookup = os.environ.get("SCANN_TPU_BENCH_LOOKUP", "sq")
+    # Smoke scale (SCANN_TPU_BENCH_ROWS < full): keep the bench's
+    # rows-per-leaf ratio so every code path (pruned dispatch, merge,
+    # autopilot) exercises the same shapes it sees at full scale.
+    n_leaves = max(64, round(N_DB / 1_183_514 * 2000))
+    # Reference-notebook parity: training_sample_size=250000
+    # (docs/example.ipynb; BASELINE.md:12).  NOT lower: this corpus has
+    # n/12 topics, so 100k samples is ~1 training point per topic at
+    # full scale and k-means produces a near-garbage partition — r5's
+    # first chip run measured recall 0.0067 at leaves=4 / 0.80 at 200,
+    # and the scaled-ratio CPU repro (1.0 sample/topic) shows the same
+    # collapse while 2.5/topic (=250k full-scale) restores the
+    # calibrated curve (0.92@5% of leaves).
+    train_sample = min(round(N_DB * 250_000 / 1_183_514), N_DB)
     load_dir = os.environ.get("SCANN_TPU_BENCH_LOAD")
     t0 = time.perf_counter()
     if load_dir and os.path.exists(load_dir):
@@ -255,8 +268,8 @@ def main():
         _log(f"index loaded from {load_dir} in {build_s:.1f}s")
     elif lookup == "sq":
         searcher = (scann_tpu.builder(db, K, "dot_product")
-                    .tree(num_leaves=2000, num_leaves_to_search=100,
-                          training_sample_size=100_000)
+                    .tree(num_leaves=n_leaves, num_leaves_to_search=100,
+                          training_sample_size=train_sample)
                     .score_brute_force(quantize="int8").build())
         build_s = time.perf_counter() - t0
         _log(f"index built in {build_s:.1f}s (tree-SQ pruned-exact)")
@@ -265,8 +278,8 @@ def main():
         reorder_kw = ({"anisotropic_quantization_threshold": 0.2}
                       if reorder_q == "int8" else {})
         b = (scann_tpu.builder(db, K, "dot_product")
-             .tree(num_leaves=2000, num_leaves_to_search=100,
-                   training_sample_size=100_000)
+             .tree(num_leaves=n_leaves, num_leaves_to_search=100,
+                   training_sample_size=train_sample)
              .score_ah(2, anisotropic_quantization_threshold=0.2)
              .reorder(100, quantize=reorder_q, **reorder_kw))
         config = b.create_config()
@@ -310,7 +323,9 @@ def main():
         return {"leaves": leaves, "recall": r, "qps": sustained,
                 "e2e_qps": qps, "batch_ms": batch_ms, "pre": pre}
 
-    for leaves in (4, 12, 50, 100, 150, 200, 300, num_leaves_total):
+    sweep = [lv for lv in (4, 12, 50, 100, 150, 200, 300)
+             if lv < num_leaves_total] + [num_leaves_total]
+    for leaves in sweep:
         pt = _safe(f"leaves={leaves}",
                    lambda lv=leaves: measure(lv, PRE_REORDER),
                    searcher=searcher)

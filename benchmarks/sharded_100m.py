@@ -168,6 +168,10 @@ def main():
             build_s = prior.get("build_s", -1.0)
         log(f"resume: loaded in {time.perf_counter() - t0:.1f}s")
         gt_s = float(prior.get("gt_stream_s", -1.0))
+        # A resumed sweep EXTENDS the recorded curve: keep prior points
+        # (skipping any l2s being re-measured) instead of clobbering them.
+        prior_points = [p for p in prior.get("points", [])
+                        if p["leaves_to_search"] not in l2s_list]
     else:
         topics = rng.standard_normal((n_topics, d)).astype(np.float32)
         topics /= np.linalg.norm(topics, axis=1, keepdims=True)
@@ -277,7 +281,8 @@ def main():
         return float(np.mean(
             [len(set(idx_[i]) & set(best_i[i])) / 10 for i in range(nq)]))
 
-    points = []
+    points = sorted(prior_points, key=lambda p: p["leaves_to_search"]) \
+        if args.resume else []
     result = {
         "rows": n, "dim": d, "num_leaves": args.leaves,
         "leaf_format": ss.leaf_format,
