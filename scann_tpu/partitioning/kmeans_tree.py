@@ -40,6 +40,10 @@ from scann_tpu.ops import quantize as quant_ops
 # (chunk, num_leaves) score matrix.
 _TOKENIZE_CHUNK = 65536
 
+# Training points per leaf below which k-means is considered unstable
+# (reference kKMeansStableSize=100, utils/single_machine_autopilot.cc).
+_KMEANS_STABLE_SAMPLE_PER_LEAF = 100
+
 
 class KMeansTreePartitioner(NamedTuple):
     """Trained flat k-means tree (optionally with a second-level "upper
@@ -77,6 +81,24 @@ class KMeansTreePartitioner(NamedTuple):
     def train(database: np.ndarray, part: cfg.PartitioningConfig,
               measure: str, seed: int) -> "KMeansTreePartitioner":
         n = database.shape[0]
+        effective_sample = min(n, part.training_sample_size)
+        if effective_sample < _KMEANS_STABLE_SAMPLE_PER_LEAF * part.num_leaves:
+            # The reference's kmeans stable size is 100 training points
+            # per partition (single_machine_autopilot.cc kKMeansStableSize;
+            # its autopilot sizes training_sample_size = 2*100*num_leaves).
+            # Under-sampled k-means produces a near-arbitrary partition
+            # whose leaf selection can silently destroy recall — the r5
+            # bench measured recall 0.0067 at leaves=4 from 50 samples/leaf
+            # on a hard corpus.  Warn, don't fail: tiny corpora and
+            # deliberate fast-build configs are legitimate.
+            import logging
+            logging.getLogger("scann_tpu").warning(
+                "k-means training sample (%d) is below %d per leaf for "
+                "num_leaves=%d; the trained partition may be unstable and "
+                "recall may suffer. Raise training_sample_size toward %d.",
+                effective_sample, _KMEANS_STABLE_SAMPLE_PER_LEAF,
+                part.num_leaves,
+                _KMEANS_STABLE_SAMPLE_PER_LEAF * part.num_leaves)
         key = jax.random.PRNGKey(seed)
         k_sample, k_train = jax.random.split(key)
         sample_idx = kmeans_ops.sample_rows(

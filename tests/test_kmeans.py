@@ -262,3 +262,19 @@ def test_hierarchical_tree_training():
         s2 = scann_tpu.load_searcher(td)
         idx2, _ = s2.search_batched(q)
         np.testing.assert_array_equal(idx_h, idx2)
+
+
+def test_undersampled_training_warns(caplog):
+    """A training sample below the reference's kmeans stable size (100
+    points per leaf, single_machine_autopilot.cc) must warn: the r5
+    bench traced a recall collapse (0.0067 at leaves=4) to exactly this
+    silent under-sampling."""
+    import logging
+    x, _, _ = clustered_data(n=4000)
+    with caplog.at_level(logging.WARNING, logger="scann_tpu"):
+        _make_partitioner(x, num_leaves=16, training_sample_size=800)
+    assert any("training sample" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="scann_tpu"):
+        _make_partitioner(x, num_leaves=16, training_sample_size=2000)
+    assert not any("training sample" in r.message for r in caplog.records)
