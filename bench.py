@@ -323,7 +323,10 @@ def main():
         return {"leaves": leaves, "recall": r, "qps": sustained,
                 "e2e_qps": qps, "batch_ms": batch_ms, "pre": pre}
 
-    sweep = [lv for lv in (4, 12, 50, 100, 150, 200, 300)
+    # 64/80 bracket the honest corpus's 0.95 crossing (r5 run2: 0.9305
+    # at 50, 0.9593 at 100) — the QPS knee is steep there (134k at 50 vs
+    # 67k at 100), so resolution at the crossing is the headline.
+    sweep = [lv for lv in (4, 12, 50, 64, 80, 100, 150, 200, 300)
              if lv < num_leaves_total] + [num_leaves_total]
     for leaves in sweep:
         pt = _safe(f"leaves={leaves}",

@@ -53,14 +53,24 @@ _MAGIC = 42
 _TPU_LEAF_ROWS = 500       # rows/leaf sweet spot for 256-slot tiles
 _TPU_TOKENIZE_CAP = 8.0    # num_leaves <= cap * sqrt(n)
 # Glove-hard candidate-recall anchors: (candidate recall, scanned
-# fraction of leaves) from the calibrated corpus curve.
+# fraction of leaves) from the calibrated corpus curve.  Used for
+# engines whose end recall sits BELOW candidate recall (AH codes +
+# reorder lose a little on top of leaf selection).
 _RECALL_CURVE = ((0.90, 0.04), (0.95, 0.075), (0.97, 0.12), (0.98, 0.20))
+# Measured END-TO-END anchors for the exact-scoring tree-SQ engine
+# (recall ~= candidate recall): r5 chip sweep on the calibrated corpus
+# at reference-parity training sample (benchmarks/bench_r5_run2.log,
+# 2338-leaf tree: 0.9305 at 50 leaves / 0.9593 at 100 / 0.9705 at 150 /
+# 0.9825 at 300).  The candidate anchors overshoot exact engines by
+# ~2x scanned leaves at target 0.95 (VERDICT r4 weak-7 re-validation).
+_RECALL_CURVE_SQ = ((0.93, 0.021), (0.959, 0.043), (0.970, 0.064),
+                    (0.9825, 0.128))
 
 
-def _scan_fraction(target_recall: float) -> float:
+def _scan_fraction(target_recall: float,
+                   pts=_RECALL_CURVE) -> float:
     """Scanned-leaf fraction reaching target candidate recall on a
     glove-hard corpus (piecewise-linear over the calibrated anchors)."""
-    pts = _RECALL_CURVE
     if target_recall <= pts[0][0]:
         return pts[0][1] * max(target_recall / pts[0][0], 0.25)
     for (r0, f0), (r1, f1) in zip(pts, pts[1:]):
@@ -102,7 +112,12 @@ def autopilot_rewrite(config: cfg.ScannConfig, database: np.ndarray
         tree_size = min(n // _TPU_LEAF_ROWS,
                         math.ceil(_TPU_TOKENIZE_CAP * math.sqrt(n)))
         tree_size = max(tree_size, 16)
-        frac = _scan_fraction(min(max(auto.target_recall, 0.5), 0.999))
+        exact_sq = (auto.engine == "tree_sq"
+                    and config.distance_measure in (cfg.DOT_PRODUCT,
+                                                    cfg.COSINE))
+        frac = _scan_fraction(min(max(auto.target_recall, 0.5), 0.999),
+                              _RECALL_CURVE_SQ if exact_sq
+                              else _RECALL_CURVE)
         leaves_to_search = min(tree_size,
                                max(2, math.ceil(frac * tree_size)))
     else:

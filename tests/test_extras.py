@@ -105,9 +105,12 @@ def test_autopilot_tpu_cost_model():
     assert p is not None and out.brute_force is not None  # tree-SQ engine
     # ~500 rows/leaf at glove scale (the measured sweet spot).
     assert 1800 <= p.num_leaves <= 2600, p.num_leaves
-    # target 0.95 -> ~7.5% of leaves scanned on the calibrated curve.
+    # target 0.95 -> ~3.6% of leaves scanned on the MEASURED end-to-end
+    # tree-SQ curve (r5 chip sweep: 0.9305 at 2.1% / 0.9593 at 4.3%;
+    # exact scoring makes end recall ~= candidate recall, so the
+    # candidate-curve anchors (~7.5%) overshoot this engine ~2x).
     frac = p.num_leaves_to_search / p.num_leaves
-    assert 0.05 <= frac <= 0.10, frac
+    assert 0.025 <= frac <= 0.06, frac
     # Higher target -> more leaves scanned; lower -> fewer.
     hi = autopilot_mod.autopilot_rewrite(
         cfg.ScannConfig(num_neighbors=10, distance_measure="dot_product",
