@@ -32,3 +32,38 @@ def test_bench_corpus_matches_glove_hardness():
     assert 0.45 <= curve[0.001] <= 0.78, curve  # no few-leaf shortcut
     assert 0.88 <= curve[0.05] <= 0.96, curve   # ~0.93 at 5% of leaves
     assert 0.92 <= curve[0.075] <= 0.98, curve  # ~0.955 at 7.5%
+
+
+def test_bench_config_library_path_recall():
+    """The BENCH CONFIG must reproduce the calibrated curve through the
+    LIBRARY build path, not just through calibrate_corpus's own k-means.
+
+    Round-5 lesson: the calibration test above passed while the bench
+    itself collapsed on chip (recall 0.0067 at leaves=4), because the
+    bench's training_sample_size (then 100k ~ 1 sample/topic at full
+    scale) starved k-means — a failure mode the cal.kmeans leg cannot
+    see.  This leg builds through scann_tpu.builder at the bench's
+    exact scaled ratios (rows/leaf, rows/topic, samples/topic of the
+    250k reference-parity sample) and asserts end-to-end recall."""
+    import bench
+    import scann_tpu
+
+    n, nq, d, k = 60_000, 300, 100, 10
+    db, q = bench.make_glove_like(n, nq, d, seed=0)
+    truth = np.argsort(-(q @ db.T), axis=1)[:, :k]
+    nl = n // 592
+    sample = round(n * 250_000 / 1_183_514)  # bench.py's scaling rule
+    s = (scann_tpu.builder(db, k, "dot_product")
+         .tree(num_leaves=nl, num_leaves_to_search=10,
+               training_sample_size=sample)
+         .score_brute_force(quantize="int8").build())
+    l5 = max(1, round(0.05 * nl))
+    idx, _ = s.search_batched(q, leaves_to_search=l5)
+    r5 = np.mean([len(set(idx[i]) & set(truth[i])) / k for i in range(nq)])
+    # Calibrated anchor ~0.92 at 5% of leaves, minus int8 loss + small-n
+    # variance; the r5 regression measured 0.12 here.
+    assert r5 >= 0.85, r5
+    l1 = max(1, round(0.01 * nl))
+    idx, _ = s.search_batched(q, leaves_to_search=l1)
+    r1 = np.mean([len(set(idx[i]) & set(truth[i])) / k for i in range(nq)])
+    assert 0.40 <= r1 <= 0.85, r1  # no few-leaf shortcut either
