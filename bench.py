@@ -211,8 +211,8 @@ def main():
             _log(f"ERROR at {label}: {msg[:300]}")
             errors.append({"point": label, "error": msg[:500]})
             if (searcher is not None
-                    and os.environ.get("SCANN_TPU_FUSED_MERGE", "1")
-                    != "0"):
+                    and os.environ.get("SCANN_TPU_FUSED_MERGE", "0")
+                    == "1"):
                 _log(f"retrying {label} with SCANN_TPU_FUSED_MERGE=0")
                 os.environ["SCANN_TPU_FUSED_MERGE"] = "0"
                 searcher._compiled = {}
@@ -494,7 +494,7 @@ def main():
                                   ".py; asserted in tests/"
                                   "test_bench_corpus.py)"},
         "matched_hardness_qps": round(best["qps"], 1),
-        "fused_merge": os.environ.get("SCANN_TPU_FUSED_MERGE", "1") != "0",
+        "fused_merge": os.environ.get("SCANN_TPU_FUSED_MERGE", "0") == "1",
         "autopilot": autopilot_report,
         "errors": errors[:20],
     }))

@@ -598,9 +598,22 @@ _BIG_NEG_F = float(np.int32(-(1 << 24)).view(np.float32))
 
 
 def fused_merge_enabled(k_fetch: int) -> bool:
+    """Data-driven merge-strategy policy (VERDICT r4 next-6).
+
+    Measured on the real v5e chip (benchmarks/merge_microbench_r5.json,
+    300k-row calibrated corpus, batch 8192, k_fetch=10): the stratified
+    XLA merge beats the fused group-major Pallas merge in EVERY honest
+    operating regime — 3.55 vs 9.03 ms at leaves=8, 6.23 vs 14.71 at 24,
+    10.44 vs 24.70 at 50, 15.35 vs 35.54 at 80 — and the XLA advanced-
+    index gather it rides runs at 17 GB/s (same file, `gathers`), not
+    the 3 GB/s measured in round 3 that motivated the fused design.
+    The fused kernel is correct (ranking parity tested) but its per-pair
+    top-k reduction passes cost more than the gather they avoid, so it
+    is OFF by default at every regime; SCANN_TPU_FUSED_MERGE=1 forces it
+    on for future re-measurement."""
     import os
     return (k_fetch <= _FUSED_MAX_K
-            and os.environ.get("SCANN_TPU_FUSED_MERGE", "1") != "0")
+            and os.environ.get("SCANN_TPU_FUSED_MERGE", "0") == "1")
 
 
 def _fused_rewrite(bits, col, nt1, valid1, gp_bits: int, kgp_bits: int):
